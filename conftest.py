@@ -1,0 +1,18 @@
+"""Root conftest: force JAX onto a virtual 8-device CPU mesh for all tests.
+
+Mirrors the reference's test strategy of running everything on lightweight local
+infrastructure (reference: backend/tests run on in-memory SQLite, queue always mocked
+— /root/reference/backend/tests/test_api.py:14-60). Here the analogous move is running
+all JAX code on the CPU backend with 8 virtual devices so sharding/pjit paths are
+exercised without TPU hardware.
+"""
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(__file__))

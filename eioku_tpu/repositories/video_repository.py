@@ -1,0 +1,83 @@
+"""Video repository.
+
+Capability parity: /root/reference/backend/src/repositories/video_repository.py:1-160
+(CRUD + projection-backed location read).
+"""
+from __future__ import annotations
+
+from eioku_tpu.db.connection import Database
+from eioku_tpu.domain.models import Video, VideoStatus
+from eioku_tpu.repositories._util import dt_to_str, str_to_dt
+
+
+def _row_to_video(r) -> Video:
+    return Video(
+        id=r["id"],
+        path=r["path"],
+        file_hash=r["file_hash"],
+        size_bytes=r["size_bytes"],
+        duration_ms=r["duration_ms"],
+        status=VideoStatus(r["status"]),
+        created_at=str_to_dt(r["created_at"]),
+        file_created_at=str_to_dt(r["file_created_at"]),
+        processed_at=str_to_dt(r["processed_at"]),
+    )
+
+
+class VideoRepository:
+    def __init__(self, db: Database):
+        self.db = db
+
+    def save(self, v: Video) -> Video:
+        self.db.execute(
+            "INSERT INTO videos (id, path, file_hash, size_bytes, duration_ms, status,"
+            " created_at, file_created_at, processed_at)"
+            " VALUES (?,?,?,?,?,?,?,?,?)"
+            " ON CONFLICT(id) DO UPDATE SET path=excluded.path, file_hash=excluded.file_hash,"
+            " size_bytes=excluded.size_bytes, duration_ms=excluded.duration_ms,"
+            " status=excluded.status, file_created_at=excluded.file_created_at,"
+            " processed_at=excluded.processed_at",
+            (v.id, v.path, v.file_hash, v.size_bytes, v.duration_ms, v.status.value,
+             dt_to_str(v.created_at), dt_to_str(v.file_created_at), dt_to_str(v.processed_at)),
+        )
+        return v
+
+    def get(self, video_id: str) -> Video | None:
+        r = self.db.query_one("SELECT * FROM videos WHERE id=?", (video_id,))
+        return _row_to_video(r) if r else None
+
+    def get_by_path(self, path: str) -> Video | None:
+        r = self.db.query_one("SELECT * FROM videos WHERE path=?", (path,))
+        return _row_to_video(r) if r else None
+
+    def list(self, status: VideoStatus | None = None,
+             limit: int = 1000, offset: int = 0) -> list[Video]:
+        if status is not None:
+            rows = self.db.query(
+                "SELECT * FROM videos WHERE status=? ORDER BY created_at DESC LIMIT ? OFFSET ?",
+                (status.value, limit, offset))
+        else:
+            rows = self.db.query(
+                "SELECT * FROM videos ORDER BY created_at DESC LIMIT ? OFFSET ?",
+                (limit, offset))
+        return [_row_to_video(r) for r in rows]
+
+    def delete(self, video_id: str) -> bool:
+        cur = self.db.execute("DELETE FROM videos WHERE id=?", (video_id,))
+        return cur.rowcount > 0
+
+    def count(self) -> int:
+        return self.db.scalar("SELECT COUNT(*) FROM videos")
+
+    def get_location(self, video_id: str) -> dict | None:
+        """Read the video_locations projection (reference: video_repository.py:103-128)."""
+        r = self.db.query_one("SELECT * FROM video_locations WHERE asset_id=?", (video_id,))
+        if r is None:
+            return None
+        return {
+            "latitude": r["latitude"],
+            "longitude": r["longitude"],
+            "country": r["country"],
+            "state": r["state"],
+            "city": r["city"],
+        }

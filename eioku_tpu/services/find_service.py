@@ -1,0 +1,84 @@
+"""Within-video keyword find over FTS projections.
+
+Capability parity: /root/reference/backend/src/services/find_within_video_service.py:27-435:
+searches transcript_fts + ocr_fts with snippets, direction-aware (next occurrence
+after t / previous before t), LIKE fallback when the FTS query yields nothing,
+per-source LIMIT 10, results merged and sorted by start time.
+
+Unlike the reference, jump/find here use the projection tables (indexed by
+(asset_id, start_ms)) instead of loading all artifacts and filtering in Python —
+see the reference's own perf note at jump_navigation_service.py:31-240.
+"""
+from __future__ import annotations
+
+import re
+
+from eioku_tpu.db.connection import Database
+
+_PER_SOURCE_LIMIT = 10
+
+
+def _fts_query(query: str) -> str:
+    """Sanitize a user query into an FTS5 AND-of-terms match expression
+    (the reference does q.replace(' ', ' & ') for PG to_tsquery)."""
+    terms = re.findall(r"\w+", query, flags=re.UNICODE)
+    return " AND ".join(f'"{t}"' for t in terms) if terms else ""
+
+
+class FindWithinVideoService:
+    def __init__(self, db: Database):
+        self.db = db
+
+    def find(self, asset_id: str, query: str, from_ms: int = 0,
+             direction: str = "next", limit: int = _PER_SOURCE_LIMIT) -> list[dict]:
+        if not query or not query.strip():
+            return []
+        results = []
+        for source, fts, meta in (("transcript", "transcript_fts", "transcript_fts_meta"),
+                                  ("ocr", "ocr_fts", "ocr_fts_meta")):
+            results.extend(self._search(source, fts, meta, asset_id, query,
+                                        from_ms, direction, limit))
+        reverse = direction == "prev"
+        results.sort(key=lambda m: m["jump_to"]["start_ms"], reverse=reverse)
+        return results
+
+    def _search(self, source: str, fts_table: str, meta_table: str, asset_id: str,
+                query: str, from_ms: int, direction: str, limit: int) -> list[dict]:
+        match = _fts_query(query)
+        time_op = ">=" if direction == "next" else "<"
+        order = "ASC" if direction == "next" else "DESC"
+        rows: list = []
+        if match:
+            try:
+                rows = self.db.query(
+                    f"SELECT m.artifact_id, m.start_ms, m.end_ms, m.language,"
+                    f" snippet({fts_table}, 0, '<b>', '</b>', '…', 12) AS snip"
+                    f" FROM {fts_table} f JOIN {meta_table} m ON m.rowid = f.rowid"
+                    f" WHERE f.{fts_table} MATCH ? AND m.asset_id = ?"
+                    f" AND m.start_ms {time_op} ?"
+                    f" ORDER BY m.start_ms {order} LIMIT ?",
+                    (match, asset_id, from_ms, limit),
+                )
+            except Exception:
+                rows = []
+        if not rows:
+            # Substring fallback, mirrors the reference's ILIKE fallback
+            # (find_within_video_service.py:171-196).
+            rows = self.db.query(
+                f"SELECT m.artifact_id, m.start_ms, m.end_ms, m.language,"
+                f" f.text AS snip"
+                f" FROM {fts_table} f JOIN {meta_table} m ON m.rowid = f.rowid"
+                f" WHERE f.text LIKE ? AND m.asset_id = ? AND m.start_ms {time_op} ?"
+                f" ORDER BY m.start_ms {order} LIMIT ?",
+                (f"%{query}%", asset_id, from_ms, limit),
+            )
+        return [
+            {
+                "artifact_id": r["artifact_id"],
+                "source": source,
+                "snippet": r["snip"],
+                "language": r["language"],
+                "jump_to": {"start_ms": r["start_ms"], "end_ms": r["end_ms"]},
+            }
+            for r in rows
+        ]
