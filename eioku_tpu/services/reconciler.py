@@ -1,0 +1,126 @@
+"""Task <-> queue reconciliation: the failure-detection/recovery subsystem.
+
+Capability parity: /root/reference/backend/src/workers/reconciler.py:27-401, which
+repairs PostgreSQL<->Redis drift. This framework's queue shares the database with
+the task table, so whole classes of drift (queue data loss) cannot happen; the
+reconciler still covers:
+  1. PENDING tasks with no active job -> re-enqueue with refetched video path/config
+     (covers lost enqueues, e.g. crash between task insert and enqueue).
+  2. RUNNING tasks whose job finished -> sync completed/failed status to the task.
+  3. RUNNING tasks with no active job (worker crash, lease expiry) -> reset to
+     PENDING and re-enqueue.
+  4. Long-running tasks (> alert_after_s) -> structured warning, never auto-kill
+     (reference alerts at 3600 s, reconciler.py:286-318).
+  5. Expired job leases -> requeue/fail via the queue itself.
+
+The reference duplicated this logic in backend and ml-service with the ml-side
+copy re-enqueuing with an empty path/config (a noted defect,
+ml-service/src/workers/reconciler.py:139-145); here there is exactly one
+implementation that always refetches real task state.
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+from dataclasses import dataclass
+
+from eioku_tpu.domain.artifacts import utcnow
+from eioku_tpu.domain.models import TaskStatus
+from eioku_tpu.queue.jobs import JobStatus
+from eioku_tpu.queue.producer import JobProducer
+from eioku_tpu.repositories.task_repository import TaskRepository
+from eioku_tpu.repositories.video_repository import VideoRepository
+
+log = logging.getLogger(__name__)
+
+DEFAULT_INTERVAL_S = 300.0
+DEFAULT_ALERT_AFTER_S = 3600.0
+
+
+@dataclass
+class ReconcileReport:
+    pending_reenqueued: int = 0
+    running_reset: int = 0
+    statuses_synced: int = 0
+    leases_requeued: int = 0
+    long_running_alerts: int = 0
+
+    def to_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+class Reconciler:
+    def __init__(self, tasks: TaskRepository, videos: VideoRepository,
+                 producer: JobProducer, alert_after_s: float = DEFAULT_ALERT_AFTER_S):
+        self.tasks = tasks
+        self.videos = videos
+        self.producer = producer
+        self.alert_after_s = alert_after_s
+
+    def run(self) -> ReconcileReport:
+        report = ReconcileReport()
+        report.leases_requeued = self.producer.queue.requeue_expired()
+        self._sync_pending(report)
+        self._sync_running(report)
+        self._alert_long_running(report)
+        if any(vars(report).values()):
+            log.info("reconciliation actions", extra=report.to_dict())
+        return report
+
+    def _sync_pending(self, report: ReconcileReport) -> None:
+        for task in self.tasks.find(status=TaskStatus.PENDING, limit=10000):
+            if self.producer.job_exists(task.id):
+                continue
+            video = self.videos.get(task.video_id)
+            if video is None:
+                continue
+            if self.producer.enqueue_task(task.id, task.task_type, task.video_id,
+                                          video.path, task.config) is not None:
+                report.pending_reenqueued += 1
+
+    def _sync_running(self, report: ReconcileReport) -> None:
+        for task in self.tasks.find(status=TaskStatus.RUNNING, limit=10000):
+            job = self.producer.queue.get(self.producer.job_id_for_task(task.id))
+            if job is not None and job.status is JobStatus.COMPLETED:
+                self.tasks.update_status(task.id, TaskStatus.COMPLETED)
+                report.statuses_synced += 1
+            elif job is not None and job.status is JobStatus.FAILED:
+                self.tasks.update_status(task.id, TaskStatus.FAILED,
+                                         error=job.error or "job failed")
+                report.statuses_synced += 1
+            elif job is None or job.status is JobStatus.CANCELLED:
+                # Worker crashed or job vanished: reset and re-enqueue.
+                self.tasks.update_status(task.id, TaskStatus.PENDING)
+                video = self.videos.get(task.video_id)
+                if video is not None:
+                    self.producer.enqueue_task(task.id, task.task_type, task.video_id,
+                                               video.path, task.config)
+                report.running_reset += 1
+
+    def _alert_long_running(self, report: ReconcileReport) -> None:
+        for task in self.tasks.find(status=TaskStatus.RUNNING, limit=10000):
+            if task.started_at is None:
+                continue
+            elapsed = (utcnow() - task.started_at).total_seconds()
+            if elapsed > self.alert_after_s:
+                report.long_running_alerts += 1
+                log.warning("task running too long", extra={
+                    "task_id": task.id, "task_type": task.task_type,
+                    "elapsed_s": round(elapsed)})
+
+
+async def reconciliation_loop(reconciler: Reconciler,
+                              interval_s: float = DEFAULT_INTERVAL_S,
+                              stop: asyncio.Event | None = None) -> None:
+    """Background loop for the API process
+    (reference: main_api.py:200-208, every 300 s)."""
+    stop = stop or asyncio.Event()
+    while not stop.is_set():
+        try:
+            reconciler.run()
+        except Exception:
+            log.exception("reconciliation failed")
+        try:
+            await asyncio.wait_for(stop.wait(), timeout=interval_s)
+        except asyncio.TimeoutError:
+            pass
