@@ -1,0 +1,355 @@
+"""REST API routes under /api/v1.
+
+Capability parity with the reference's routers:
+  - videos:     /root/reference/backend/src/api/video_controller.py:22-148
+  - artifacts:  /root/reference/backend/src/api/artifact_controller.py:63-451
+  - paths:      /root/reference/backend/src/api/path_controller_full.py:36-151
+  - tasks:      /root/reference/backend/src/api/task_routes.py:146-505
+plus /api/v1/search (semantic retrieval — the layer the reference spec'd but
+never shipped) and selection-policy management endpoints.
+"""
+from __future__ import annotations
+
+from pydantic import BaseModel, Field
+
+from eioku_tpu.domain.artifacts import SelectionPolicy
+from eioku_tpu.domain.models import PathConfig, TaskStatus, Video, VideoStatus
+from eioku_tpu.web.framework import (
+    App,
+    FileResponse,
+    HTTPException,
+    JSONResponse,
+    Request,
+)
+
+PREFIX = "/api/v1"
+
+
+class VideoCreateBody(BaseModel):
+    path: str
+    file_hash: str = ""
+    size_bytes: int = 0
+
+
+class PathCreateBody(BaseModel):
+    path: str
+    recursive: bool = True
+    enabled: bool = True
+
+
+class SelectionPolicyBody(BaseModel):
+    mode: str = "latest"
+    run_id: str | None = None
+    model_profile: str | None = None
+
+
+class TopicBody(BaseModel):
+    label: str
+    score: float = Field(default=0.0, ge=0.0, le=1.0)
+
+
+def _selection_from_query(request: Request, ctx, asset_id: str,
+                          artifact_type: str | None) -> SelectionPolicy | None:
+    """Build a selection policy from query params, falling back to the stored
+    per-asset policy (reference: artifact_controller.py:124-132)."""
+    q = request.query_params
+    run_id = q.get("run_id")
+    profile = q.get("profile") or q.get("model_profile")
+    mode = q.get("selection")
+    try:
+        if run_id:
+            return SelectionPolicy(mode="pinned", run_id=run_id)
+        if profile:
+            return SelectionPolicy(mode="profile", model_profile=profile)
+        if mode:
+            return SelectionPolicy(mode=mode)
+    except ValueError as e:
+        raise HTTPException(422, str(e))
+    if artifact_type:
+        return ctx.policies.get_policy(asset_id, artifact_type)
+    return None
+
+
+def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
+    # -- root/health -----------------------------------------------------------
+
+    @app.get("/")
+    async def root(request: Request):
+        return {"name": "eioku-tpu", "version": "0.1.0"}
+
+    @app.get("/health")
+    async def health(request: Request):
+        return {"status": "ok", "database": ctx.db.url}
+
+    # -- videos ------------------------------------------------------------------
+
+    @app.get(PREFIX + "/videos")
+    async def list_videos(request: Request):
+        status = request.query_params.get("status")
+        videos = ctx.videos.list(
+            status=VideoStatus(status) if status else None,
+            limit=request.query_int("limit", 1000),
+            offset=request.query_int("offset", 0))
+        return {"videos": [v.to_dict() for v in videos], "total": ctx.videos.count()}
+
+    @app.post(PREFIX + "/videos")
+    async def create_video(request: Request):
+        body = await request.parse(VideoCreateBody)
+        if ctx.videos.get_by_path(body.path) is not None:
+            raise HTTPException(409, "video with this path already exists")
+        v = Video(path=body.path, file_hash=body.file_hash, size_bytes=body.size_bytes)
+        ctx.videos.save(v)
+        return JSONResponse(v.to_dict(), 201)
+
+    def _get_video(video_id: str) -> Video:
+        v = ctx.videos.get(video_id)
+        if v is None:
+            raise HTTPException(404, "video not found")
+        return v
+
+    @app.get(PREFIX + "/videos/{video_id}")
+    async def get_video(request: Request):
+        return _get_video(request.path_params["video_id"]).to_dict()
+
+    @app.delete(PREFIX + "/videos/{video_id}")
+    async def delete_video(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        ctx.tasks.delete_for_video(v.id)
+        ctx.artifacts.delete_for_asset(v.id)
+        ctx.videos.delete(v.id)
+        return {"deleted": v.id}
+
+    @app.get(PREFIX + "/videos/{video_id}/stream")
+    async def stream_video(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        return FileResponse(v.path, media_type="video/mp4",
+                            range_header=request.headers.get("range"))
+
+    @app.get(PREFIX + "/videos/{video_id}/location")
+    async def video_location(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        loc = ctx.videos.get_location(v.id)
+        if loc is None:
+            raise HTTPException(404, "no location for this video")
+        return loc
+
+    @app.get(PREFIX + "/videos/{video_id}/tasks")
+    async def video_tasks(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        return {"tasks": [t.to_dict() for t in ctx.tasks.find(video_id=v.id, limit=1000)]}
+
+    # -- artifacts / jump / find -----------------------------------------------------
+
+    @app.get(PREFIX + "/videos/{video_id}/jump")
+    async def jump(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        q = request.query_params
+        kind = q.get("kind")
+        if not kind:
+            raise HTTPException(422, "query parameter 'kind' is required")
+        direction = q.get("direction", "next")
+        if direction not in ("next", "prev"):
+            raise HTTPException(422, "direction must be 'next' or 'prev'")
+        from eioku_tpu.services.jump_service import KIND_TO_ARTIFACT_TYPE
+        artifact_type = KIND_TO_ARTIFACT_TYPE.get(kind, kind)
+        selection = _selection_from_query(request, ctx, v.id, artifact_type)
+        hit = ctx.jump.jump(
+            v.id, kind, from_ms=request.query_int("from_ms", 0),
+            direction=direction, label=q.get("label"),
+            cluster_id=q.get("face_cluster_id") or q.get("cluster_id"),
+            min_confidence=request.query_float("min_confidence"),
+            selection=selection)
+        if hit is None:
+            return {"found": False, "jump_to": None}
+        return {"found": True, "jump_to": hit}
+
+    @app.get(PREFIX + "/videos/{video_id}/find")
+    async def find(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        q = request.query_params.get("q") or request.query_params.get("query")
+        if not q:
+            raise HTTPException(422, "query parameter 'q' is required")
+        direction = request.query_params.get("direction", "next")
+        matches = ctx.find.find(v.id, q, from_ms=request.query_int("from_ms", 0),
+                                direction=direction)
+        return {"query": q, "matches": matches, "total": len(matches)}
+
+    @app.get(PREFIX + "/videos/{video_id}/artifacts")
+    async def artifacts(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        q = request.query_params
+        artifact_type = q.get("type") or q.get("artifact_type")
+        payload_filters = {}
+        if q.get("label"):
+            payload_filters["label"] = q["label"]
+        selection = None
+        if artifact_type and not q.get("run_id"):
+            selection = _selection_from_query(request, ctx, v.id, artifact_type)
+        envs = ctx.artifacts.get_by_asset(
+            v.id, artifact_type=artifact_type,
+            start_ms=request.query_int("start_ms"),
+            end_ms=request.query_int("end_ms"),
+            run_id=q.get("run_id"),
+            payload_filters=payload_filters or None,
+            selection=selection,
+            limit=request.query_int("limit", 10000),
+            offset=request.query_int("offset", 0))
+        return {"artifacts": [e.to_dict() for e in envs], "total": len(envs)}
+
+    @app.get(PREFIX + "/videos/{video_id}/artifact_types")
+    async def artifact_types(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        return {"types": ctx.artifacts.list_types_for_asset(v.id)}
+
+    @app.get(PREFIX + "/videos/{video_id}/profiles")
+    async def profiles(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        return {"profiles": ctx.artifacts.list_profiles(
+            v.id, request.query_params.get("artifact_type"))}
+
+    @app.get(PREFIX + "/videos/{video_id}/runs")
+    async def runs(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        return {"runs": ctx.artifacts.list_runs(
+            v.id, request.query_params.get("artifact_type"))}
+
+    @app.get(PREFIX + "/videos/{video_id}/selection/{artifact_type}")
+    async def get_selection(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        policy = ctx.policies.get_policy(v.id, request.path_params["artifact_type"])
+        return policy.to_dict()
+
+    @app.put(PREFIX + "/videos/{video_id}/selection/{artifact_type}")
+    async def set_selection(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        body = await request.parse(SelectionPolicyBody)
+        try:
+            policy = SelectionPolicy(mode=body.mode, run_id=body.run_id,
+                                     model_profile=body.model_profile)
+        except ValueError as e:
+            raise HTTPException(422, str(e))
+        ctx.policies.set_policy(v.id, request.path_params["artifact_type"], policy)
+        return policy.to_dict()
+
+    # -- paths -------------------------------------------------------------------------
+
+    @app.get(PREFIX + "/paths")
+    async def list_paths(request: Request):
+        return {"paths": [p.to_dict() for p in ctx.paths.list()]}
+
+    @app.post(PREFIX + "/paths")
+    async def add_path(request: Request):
+        body = await request.parse(PathCreateBody)
+        pc = PathConfig(path=body.path, recursive=body.recursive, enabled=body.enabled)
+        ctx.paths.save(pc)
+        return JSONResponse(ctx.paths.get_by_path(body.path).to_dict(), 201)
+
+    @app.delete(PREFIX + "/paths")
+    async def delete_path(request: Request):
+        path = request.query_params.get("path")
+        if not path:
+            raise HTTPException(422, "query parameter 'path' is required")
+        if not ctx.paths.delete(path):
+            raise HTTPException(404, "path not configured")
+        return {"deleted": path}
+
+    @app.post(PREFIX + "/paths/discover")
+    async def discover(request: Request):
+        report = ctx.discovery.discover()
+        return report.to_dict()
+
+    @app.post(PREFIX + "/paths/validate")
+    async def validate_paths(request: Request):
+        report = ctx.discovery.validate_existing()
+        return report.to_dict()
+
+    # -- tasks ----------------------------------------------------------------------------
+
+    @app.get(PREFIX + "/tasks")
+    async def list_tasks(request: Request):
+        q = request.query_params
+        limit = min(request.query_int("limit", 100), 100)  # reference caps at 100
+        status = q.get("status")
+        tasks = ctx.tasks.find(
+            video_id=q.get("video_id"),
+            status=TaskStatus(status) if status else None,
+            task_type=q.get("task_type"),
+            sort_by=q.get("sort_by", "created_at"),
+            descending=not request.query_bool("ascending"),
+            limit=limit, offset=request.query_int("offset", 0))
+        return {"tasks": [t.to_dict() for t in tasks], "total": ctx.tasks.count()}
+
+    def _get_task(task_id: str):
+        t = ctx.tasks.get(task_id)
+        if t is None:
+            raise HTTPException(404, "task not found")
+        return t
+
+    @app.get(PREFIX + "/tasks/{task_id}")
+    async def get_task(request: Request):
+        return _get_task(request.path_params["task_id"]).to_dict()
+
+    @app.post(PREFIX + "/tasks/{task_id}/enqueue")
+    async def enqueue_task(request: Request):
+        t = _get_task(request.path_params["task_id"])
+        if t.status is not TaskStatus.PENDING:
+            raise HTTPException(409, f"task is {t.status.value}, only pending tasks"
+                                " can be enqueued")
+        video = ctx.videos.get(t.video_id)
+        if video is None:
+            raise HTTPException(404, "video not found")
+        job = ctx.producer.enqueue_task(t.id, t.task_type, t.video_id, video.path,
+                                        t.config, priority=t.priority)
+        return {"enqueued": job is not None, "job_id": ctx.producer.job_id_for_task(t.id)}
+
+    @app.post(PREFIX + "/tasks/{task_id}/cancel")
+    async def cancel_task(request: Request):
+        t = _get_task(request.path_params["task_id"])
+        if t.status not in (TaskStatus.PENDING, TaskStatus.RUNNING):
+            raise HTTPException(409, f"task is {t.status.value}, only pending/running"
+                                " tasks can be cancelled")
+        ctx.producer.abort_task(t.id)
+        ctx.tasks.update_status(t.id, TaskStatus.CANCELLED)
+        return ctx.tasks.get(t.id).to_dict()
+
+    @app.post(PREFIX + "/tasks/{task_id}/retry")
+    async def retry_task(request: Request):
+        t = _get_task(request.path_params["task_id"])
+        if t.status not in (TaskStatus.FAILED, TaskStatus.CANCELLED):
+            raise HTTPException(409, f"task is {t.status.value}, only failed/cancelled"
+                                " tasks can be retried")
+        ctx.tasks.update_status(t.id, TaskStatus.PENDING)
+        video = ctx.videos.get(t.video_id)
+        if video is not None:
+            ctx.producer.enqueue_task(t.id, t.task_type, t.video_id, video.path,
+                                      t.config, priority=t.priority)
+        return ctx.tasks.get(t.id).to_dict()
+
+    @app.post(PREFIX + "/tasks/reconcile")
+    async def reconcile(request: Request):
+        return ctx.reconciler.run().to_dict()
+
+    # -- topics (reference has the table, spec'd Req 9; exposed here) -------------------
+
+    @app.get(PREFIX + "/videos/{video_id}/topics")
+    async def list_topics(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        rows = ctx.db.query(
+            "SELECT id, label, score, created_at FROM topics WHERE asset_id=?"
+            " ORDER BY score DESC", (v.id,))
+        return {"topics": [dict(r) for r in rows]}
+
+    # -- semantic search (new layer; engine attaches when index is built) ---------------
+
+    @app.get(PREFIX + "/search")
+    async def search(request: Request):
+        q = request.query_params.get("q")
+        if not q:
+            raise HTTPException(422, "query parameter 'q' is required")
+        index = ctx.extra.get("semantic_index")
+        if index is None:
+            raise HTTPException(503, "semantic index not available on this deployment")
+        top_k = min(request.query_int("top_k", 10), 100)
+        results = index.search(q, top_k=top_k,
+                               asset_id=request.query_params.get("video_id"))
+        return {"query": q, "results": results, "total": len(results)}

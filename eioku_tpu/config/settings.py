@@ -1,0 +1,97 @@
+"""Configuration system: env vars + JSON config files + per-task profiles.
+
+Capability parity: /root/reference/backend/src/services/config_loader.py:11-86
+(config file search order: explicit --config arg -> EIOKU_CONFIG_PATH ->
+~/.eioku/config.json -> /etc/eioku/config.json -> defaults) and
+video_discovery_service.py:371-443 (hardcoded per-task defaults merged with a
+profile file's task_settings). The reference's profile JSONs
+(config/content_creator.json etc.) carry model names, sampling intervals,
+confidence thresholds, and languages per task type.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+log = logging.getLogger(__name__)
+
+DEFAULT_SCAN_PATHS = ["~/Videos", "/media", "/mnt"]
+
+# Hardcoded per-task defaults (reference: video_discovery_service.py:399-430 and
+# model_manager.py:230-232,324-326,423,499,645,732).
+DEFAULT_TASK_SETTINGS: dict[str, dict[str, Any]] = {
+    "object_detection": {"model": "yolov8n", "confidence_threshold": 0.5,
+                         "frame_interval_s": 1.0, "batch_size": 32},
+    "face_detection": {"model": "yolov8n-face", "confidence_threshold": 0.7,
+                       "frame_interval_s": 3.0, "batch_size": 32},
+    "transcription": {"model": "whisper-large-v3", "languages": [],
+                      "vad_filter": True, "chunk_s": 30.0},
+    "ocr": {"languages": ["en"], "frame_interval_s": 2.0, "batch_size": 16},
+    "place_classification": {"model": "resnet18-places365", "top_k": 5,
+                             "frame_interval_s": 1.0, "batch_size": 64},
+    "scene_detection": {"threshold": 0.3, "min_scene_len_s": 0.5, "sample_fps": 4.0},
+    "metadata_extraction": {},
+    "semantic_indexing": {"model": "minilm-l6", "chunk_chars": 400, "overlap_chars": 80},
+}
+
+
+@dataclass
+class AppConfig:
+    scan_paths: list[str] = field(default_factory=lambda: list(DEFAULT_SCAN_PATHS))
+    recursive: bool = True
+    database_url: str | None = None
+    model_profile: str = "balanced"
+    profile_name: str | None = None
+    task_settings: dict[str, dict[str, Any]] = field(default_factory=dict)
+    active_task_types: list[str] | None = None
+    model_cache_dir: str | None = None
+    reconcile_interval_s: float = 300.0
+    auto_discover: bool = True
+
+    def settings_for(self, task_type: str) -> dict[str, Any]:
+        merged = dict(DEFAULT_TASK_SETTINGS.get(task_type, {}))
+        merged.update(self.task_settings.get(task_type, {}))
+        return merged
+
+
+def _search_config_path(explicit: str | None) -> str | None:
+    candidates = []
+    if explicit:
+        candidates.append(explicit)
+    env = os.environ.get("EIOKU_CONFIG_PATH")
+    if env:
+        candidates.append(env)
+    candidates.append(os.path.expanduser("~/.eioku/config.json"))
+    candidates.append("/etc/eioku/config.json")
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    if explicit:
+        raise FileNotFoundError(f"config file not found: {explicit}")
+    return None
+
+
+def load_config(explicit_path: str | None = None) -> AppConfig:
+    cfg = AppConfig()
+    path = _search_config_path(explicit_path)
+    if path is not None:
+        with open(path) as f:
+            data = json.load(f)
+        cfg.scan_paths = data.get("paths", data.get("scan_paths", cfg.scan_paths))
+        cfg.recursive = data.get("recursive", cfg.recursive)
+        cfg.database_url = data.get("database_url", cfg.database_url)
+        cfg.model_profile = data.get("model_profile", cfg.model_profile)
+        cfg.profile_name = data.get("profile", cfg.profile_name)
+        cfg.task_settings = data.get("task_settings", {})
+        cfg.active_task_types = data.get("active_task_types")
+        cfg.model_cache_dir = data.get("model_cache_dir")
+        cfg.auto_discover = data.get("auto_discover", cfg.auto_discover)
+        log.info("loaded config", extra={"config_path": path})
+    if os.environ.get("EIOKU_DATABASE_URL"):
+        cfg.database_url = os.environ["EIOKU_DATABASE_URL"]
+    if os.environ.get("MODEL_CACHE_DIR"):
+        cfg.model_cache_dir = os.environ["MODEL_CACHE_DIR"]
+    return cfg

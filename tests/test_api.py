@@ -1,0 +1,280 @@
+"""API tests over the ASGI app via httpx (no sockets), with a real sqlite DB and
+the in-process queue — mirroring the reference's TestClient + mocked-producer
+strategy (/root/reference/backend/tests/test_api.py:14-60)."""
+import asyncio
+
+import httpx
+import numpy as np
+import pytest
+
+from eioku_tpu.api.app import build_context, create_app
+from eioku_tpu.config.settings import AppConfig
+from eioku_tpu.db.connection import Database
+from eioku_tpu.domain.artifacts import ArtifactEnvelope, new_id
+
+
+@pytest.fixture()
+def ctx(tmp_path):
+    config = AppConfig(scan_paths=[], auto_discover=False)
+    db = Database(f"sqlite:///{tmp_path}/api.db")
+    c = build_context(config, db=db)
+    yield c
+    db.close()
+
+
+@pytest.fixture()
+def client(ctx):
+    from eioku_tpu.web.testing import TestClient
+    app = create_app(ctx=ctx, start_reconciler=False)
+    with TestClient(app) as c:
+        yield c
+
+
+def seed_video(ctx, path="/tmp/nonexistent.mp4"):
+    from eioku_tpu.domain.models import Video
+    v = Video(path=path, file_hash="h", size_bytes=123)
+    ctx.videos.save(v)
+    return v
+
+
+def seed_transcript(ctx, video_id, run="r1"):
+    envs = [
+        ArtifactEnvelope(
+            artifact_id=new_id(), asset_id=video_id, artifact_type="transcript.segment",
+            schema_version=1, span_start_ms=s, span_end_ms=s + 2000,
+            payload_json={"text": t, "language": "en", "start_ms": s, "end_ms": s + 2000},
+            producer="whisper-jax", producer_version="0.1", model_profile="balanced",
+            config_hash="c", input_hash="i", run_id=run)
+        for s, t in [(0, "hello world"), (2000, "a red fox appears"),
+                     (4000, "goodbye world")]
+    ]
+    ctx.artifacts.batch_create(envs)
+    return envs
+
+
+class TestRootAndHealth:
+    def test_root(self, client):
+        r = client.get("/")
+        assert r.status_code == 200 and r.json()["name"] == "eioku-tpu"
+
+    def test_health(self, client):
+        assert client.get("/health").json()["status"] == "ok"
+
+    def test_404(self, client):
+        assert client.get("/nope").status_code == 404
+
+    def test_405(self, client):
+        r = client.delete("/health")
+        assert r.status_code == 405 and "GET" in r.headers["allow"]
+
+
+class TestVideos:
+    def test_create_and_get(self, client):
+        r = client.post("/api/v1/videos", json={"path": "/a.mp4"})
+        assert r.status_code == 201
+        vid = r.json()["id"]
+        assert client.get(f"/api/v1/videos/{vid}").json()["path"] == "/a.mp4"
+        # duplicate path -> 409
+        assert client.post("/api/v1/videos", json={"path": "/a.mp4"}).status_code == 409
+
+    def test_validation_error(self, client):
+        assert client.post("/api/v1/videos", json={}).status_code == 422
+        assert client.post("/api/v1/videos", content=b"not json",
+                           headers={"content-type": "application/json"}).status_code == 400
+
+    def test_list(self, client, ctx):
+        seed_video(ctx, "/x1.mp4")
+        seed_video(ctx, "/x2.mp4")
+        body = client.get("/api/v1/videos").json()
+        assert body["total"] == 2 and len(body["videos"]) == 2
+
+    def test_missing_video_404(self, client):
+        assert client.get("/api/v1/videos/nope").status_code == 404
+
+    def test_delete_cascades(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        r = client.delete(f"/api/v1/videos/{v.id}")
+        assert r.status_code == 200
+        assert client.get(f"/api/v1/videos/{v.id}/artifacts").status_code == 404
+
+
+class TestStreaming:
+    def test_stream_full_and_range(self, client, ctx, tmp_path):
+        payload = bytes(range(256)) * 40
+        f = tmp_path / "clip.mp4"
+        f.write_bytes(payload)
+        v = seed_video(ctx, str(f))
+        r = client.get(f"/api/v1/videos/{v.id}/stream")
+        assert r.status_code == 200 and r.content == payload
+        assert r.headers["accept-ranges"] == "bytes"
+        r = client.get(f"/api/v1/videos/{v.id}/stream", headers={"range": "bytes=0-99"})
+        assert r.status_code == 206 and len(r.content) == 100
+        assert r.headers["content-range"] == f"bytes 0-99/{len(payload)}"
+        r = client.get(f"/api/v1/videos/{v.id}/stream", headers={"range": "bytes=-100"})
+        assert r.status_code == 206 and r.content == payload[-100:]
+        r = client.get(f"/api/v1/videos/{v.id}/stream",
+                       headers={"range": f"bytes={len(payload) + 10}-"})
+        assert r.status_code == 416
+
+    def test_stream_missing_file(self, client, ctx):
+        v = seed_video(ctx, "/definitely/not/here.mp4")
+        assert client.get(f"/api/v1/videos/{v.id}/stream").status_code == 404
+
+
+class TestArtifactsEndpoints:
+    def test_artifacts_listing_and_filters(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        body = client.get(f"/api/v1/videos/{v.id}/artifacts",
+                          params={"type": "transcript.segment"}).json()
+        assert body["total"] == 3
+        body = client.get(f"/api/v1/videos/{v.id}/artifacts",
+                          params={"type": "transcript.segment",
+                                  "start_ms": 2000, "end_ms": 2100}).json()
+        assert body["total"] == 1  # [2000,2100) overlaps only the 2000-4000 segment
+
+    def test_runs_and_profiles(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id, run="r1")
+        seed_transcript(ctx, v.id, run="r2")
+        runs = client.get(f"/api/v1/videos/{v.id}/runs").json()["runs"]
+        assert {r["run_id"] for r in runs} == {"r1", "r2"}
+        assert runs[0]["language"] == "en"
+        profiles = client.get(f"/api/v1/videos/{v.id}/profiles").json()["profiles"]
+        assert profiles[0]["model_profile"] == "balanced"
+
+    def test_selection_endpoints(self, client, ctx):
+        v = seed_video(ctx)
+        r = client.get(f"/api/v1/videos/{v.id}/selection/transcript.segment")
+        assert r.json()["mode"] == "latest"
+        r = client.put(f"/api/v1/videos/{v.id}/selection/transcript.segment",
+                       json={"mode": "pinned", "run_id": "r1"})
+        assert r.status_code == 200
+        r = client.get(f"/api/v1/videos/{v.id}/selection/transcript.segment")
+        assert r.json() == {"mode": "pinned", "run_id": "r1", "model_profile": None}
+        # invalid policy
+        r = client.put(f"/api/v1/videos/{v.id}/selection/transcript.segment",
+                       json={"mode": "pinned"})
+        assert r.status_code == 422
+
+    def test_selection_applied_to_artifacts(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id, run="r1")
+        import time
+        time.sleep(0.01)
+        seed_transcript(ctx, v.id, run="r2")
+        body = client.get(f"/api/v1/videos/{v.id}/artifacts",
+                          params={"type": "transcript.segment"}).json()
+        assert {a["run_id"] for a in body["artifacts"]} == {"r2"}  # default latest
+        body = client.get(f"/api/v1/videos/{v.id}/artifacts",
+                          params={"type": "transcript.segment", "run_id": "r1"}).json()
+        assert {a["run_id"] for a in body["artifacts"]} == {"r1"}
+
+    def test_find(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        body = client.get(f"/api/v1/videos/{v.id}/find",
+                          params={"q": "fox", "from_ms": 0}).json()
+        assert body["total"] == 1
+        assert body["matches"][0]["jump_to"]["start_ms"] == 2000
+        assert client.get(f"/api/v1/videos/{v.id}/find").status_code == 422
+
+    def test_jump(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        body = client.get(f"/api/v1/videos/{v.id}/jump",
+                          params={"kind": "transcript", "from_ms": 1000,
+                                  "direction": "next"}).json()
+        assert body["found"] and body["jump_to"]["start_ms"] == 2000
+        body = client.get(f"/api/v1/videos/{v.id}/jump",
+                          params={"kind": "transcript", "from_ms": 99999,
+                                  "direction": "next"}).json()
+        assert not body["found"]
+        assert client.get(f"/api/v1/videos/{v.id}/jump").status_code == 422
+        assert client.get(f"/api/v1/videos/{v.id}/jump",
+                          params={"kind": "transcript",
+                                  "direction": "sideways"}).status_code == 422
+
+
+class TestPathsAndDiscovery:
+    def test_add_list_delete(self, client):
+        r = client.post("/api/v1/paths", json={"path": "/videos", "recursive": True})
+        assert r.status_code == 201
+        assert len(client.get("/api/v1/paths").json()["paths"]) == 1
+        assert client.delete("/api/v1/paths", params={"path": "/videos"}).status_code == 200
+        assert client.delete("/api/v1/paths", params={"path": "/gone"}).status_code == 404
+
+    def test_discover_creates_tasks(self, client, ctx, tmp_path):
+        import cv2
+        vid_path = str(tmp_path / "t.mp4")
+        w = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+        for _ in range(5):
+            w.write(np.zeros((32, 32, 3), np.uint8))
+        w.release()
+        client.post("/api/v1/paths", json={"path": str(tmp_path)})
+        report = client.post("/api/v1/paths/discover").json()
+        assert report["videos_new"] == 1
+        assert report["tasks_created"] == 7  # 7 active types, single language each
+        assert report["tasks_enqueued"] == 7
+        tasks = client.get("/api/v1/tasks").json()
+        assert tasks["total"] == 7
+        # discovery is idempotent
+        report = client.post("/api/v1/paths/discover").json()
+        assert report["videos_new"] == 0 and report["tasks_created"] == 0
+
+    def test_validate_removes_missing(self, client, ctx):
+        seed_video(ctx, "/gone/file.mp4")
+        report = client.post("/api/v1/paths/validate").json()
+        assert report["videos_removed"] == 1
+
+
+class TestTaskLifecycle:
+    def _seed_task(self, ctx, status=None):
+        from eioku_tpu.domain.models import Task, TaskStatus
+        v = seed_video(ctx)
+        t = Task(video_id=v.id, task_type="scene_detection")
+        ctx.tasks.save(t)
+        if status == "failed":
+            ctx.tasks.update_status(t.id, TaskStatus.RUNNING)
+            ctx.tasks.update_status(t.id, TaskStatus.FAILED, error="x")
+        return t
+
+    def test_enqueue(self, client, ctx):
+        t = self._seed_task(ctx)
+        r = client.post(f"/api/v1/tasks/{t.id}/enqueue")
+        assert r.status_code == 200 and r.json()["enqueued"]
+        # second enqueue dedups
+        assert client.post(f"/api/v1/tasks/{t.id}/enqueue").json()["enqueued"] is False
+
+    def test_cancel(self, client, ctx):
+        t = self._seed_task(ctx)
+        client.post(f"/api/v1/tasks/{t.id}/enqueue")
+        r = client.post(f"/api/v1/tasks/{t.id}/cancel")
+        assert r.json()["status"] == "cancelled"
+        assert client.post(f"/api/v1/tasks/{t.id}/cancel").status_code == 409
+
+    def test_retry(self, client, ctx):
+        t = self._seed_task(ctx, status="failed")
+        r = client.post(f"/api/v1/tasks/{t.id}/retry")
+        assert r.json()["status"] == "pending"
+        assert ctx.producer.job_exists(t.id)
+
+    def test_retry_requires_terminal(self, client, ctx):
+        t = self._seed_task(ctx)
+        assert client.post(f"/api/v1/tasks/{t.id}/retry").status_code == 409
+
+    def test_reconcile_endpoint(self, client, ctx):
+        t = self._seed_task(ctx)
+        report = client.post("/api/v1/tasks/reconcile").json()
+        assert report["pending_reenqueued"] == 1
+
+    def test_task_list_cap(self, client, ctx):
+        r = client.get("/api/v1/tasks", params={"limit": 5000})
+        assert r.status_code == 200  # capped internally at 100
+
+
+class TestSearchGate:
+    def test_search_unavailable_without_index(self, client):
+        assert client.get("/api/v1/search", params={"q": "fox"}).status_code == 503
+        assert client.get("/api/v1/search").status_code == 422
