@@ -32,7 +32,7 @@ DEFAULT_TASK_SETTINGS: dict[str, dict[str, Any]] = {
     "ocr": {"languages": ["en"], "frame_interval_s": 2.0, "batch_size": 16},
     "place_classification": {"model": "resnet18-places365", "top_k": 5,
                              "frame_interval_s": 1.0, "batch_size": 64},
-    "scene_detection": {"threshold": 0.3, "min_scene_len_s": 0.5, "sample_fps": 4.0},
+    "scene_detection": {"threshold": 0.1, "min_scene_len_s": 0.5, "sample_fps": 4.0},
     "metadata_extraction": {},
     "semantic_indexing": {"model": "minilm-l6", "chunk_chars": 400, "overlap_chars": 80},
 }

@@ -1,0 +1,213 @@
+"""End-to-end pipeline tests on synthetic videos (CPU JAX backend).
+
+This is the integration layer the reference never had in CI (its ml-service was
+untested end-to-end, SURVEY.md section 4): a tiny video runs discovery -> queue ->
+worker -> engine -> artifacts -> projections -> API queries, with a fake queue
+nowhere in sight.
+"""
+import asyncio
+
+import cv2
+import numpy as np
+import pytest
+
+from eioku_tpu.api.app import build_context
+from eioku_tpu.config.settings import AppConfig
+from eioku_tpu.db.connection import Database
+from eioku_tpu.domain.models import TaskStatus
+
+
+def write_video(path: str, segments: list[tuple[int, tuple[int, int, int]]],
+                fps: int = 10, size=(64, 64)) -> None:
+    """Write an mp4 of solid-color segments: [(n_frames, (r,g,b)), ...]."""
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    for n_frames, (r, g, b) in segments:
+        base = np.zeros((size[1], size[0], 3), np.uint8)
+        base[:, :] = (b, g, r)  # BGR for cv2
+        for _ in range(n_frames):
+            noisy = base.astype(np.int16) + rng.integers(-4, 5, base.shape)
+            w.write(np.clip(noisy, 0, 255).astype(np.uint8))
+    w.release()
+
+
+@pytest.fixture()
+def scene_video(tmp_path):
+    path = str(tmp_path / "scenes.mp4")
+    # 3 visually distinct scenes: dark red 2s, bright green 3s, blue 2s @ 10fps
+    write_video(path, [(20, (120, 0, 0)), (30, (30, 220, 30)), (20, (10, 10, 230))])
+    return path
+
+
+class TestVideoIO:
+    def test_probe(self, scene_video):
+        from eioku_tpu.ml.video_io import probe
+        info = probe(scene_video)
+        assert info.frame_count == 70
+        assert info.fps == 10.0
+        assert info.duration_ms == 7000
+
+    def test_batches_fixed_shape(self, scene_video):
+        from eioku_tpu.ml.video_io import iter_frame_batches
+        batches = list(iter_frame_batches(scene_video, batch_size=16,
+                                          frame_interval_s=0.1))
+        assert all(b.frames.shape == (16, 64, 64, 3) for b in batches)
+        assert sum(b.valid for b in batches) == 70
+        # padding slots are zeros
+        last = batches[-1]
+        assert last.frames[last.valid:].sum() == 0
+
+    def test_sampling_interval(self, scene_video):
+        from eioku_tpu.ml.video_io import iter_frame_batches
+        batches = list(iter_frame_batches(scene_video, batch_size=8,
+                                          frame_interval_s=1.0))
+        idx = np.concatenate([b.frame_indices[:b.valid] for b in batches])
+        assert list(idx) == [0, 10, 20, 30, 40, 50, 60]
+
+    def test_prefetch_matches_direct(self, scene_video):
+        from eioku_tpu.ml.video_io import iter_frame_batches, prefetch
+        direct = list(iter_frame_batches(scene_video, batch_size=8,
+                                         frame_interval_s=0.5))
+        fetched = list(prefetch(iter_frame_batches(scene_video, batch_size=8,
+                                                   frame_interval_s=0.5)))
+        assert len(direct) == len(fetched)
+        for a, b in zip(direct, fetched):
+            np.testing.assert_array_equal(a.frames, b.frames)
+
+
+class TestSceneKernel:
+    def test_pallas_matches_jnp(self):
+        import jax.numpy as jnp
+        from eioku_tpu.ops.scene_diff import scene_scores
+        rng = np.random.default_rng(1)
+        planes = jnp.asarray(rng.random((6, 300), dtype=np.float32))
+        prev = jnp.asarray(rng.random(300, dtype=np.float32))
+        a = np.asarray(scene_scores(prev, planes, use_pallas=True))
+        b = np.asarray(scene_scores(prev, planes, use_pallas=False))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_rgb_to_hsv_matches_colorsys(self):
+        import colorsys
+        import jax.numpy as jnp
+        from eioku_tpu.ops.colorspace import rgb_to_hsv
+        rng = np.random.default_rng(2)
+        rgb = rng.random((50, 3)).astype(np.float32)
+        ours = np.asarray(rgb_to_hsv(jnp.asarray(rgb)))
+        for i in range(50):
+            expected = colorsys.rgb_to_hsv(*rgb[i])
+            np.testing.assert_allclose(ours[i], expected, atol=1e-5)
+
+    def test_detects_three_scenes(self, scene_video):
+        from eioku_tpu.ml.scenes import detect_scenes
+        scenes = detect_scenes(scene_video, sample_fps=4.0)
+        assert len(scenes) == 3
+        assert scenes[0].start_ms == 0
+        assert abs(scenes[1].start_ms - 2000) <= 300
+        assert abs(scenes[2].start_ms - 5000) <= 300
+        assert scenes[-1].end_ms == 7000  # padded to container duration
+
+    def test_uniform_video_single_scene(self, tmp_path):
+        from eioku_tpu.ml.scenes import detect_scenes
+        path = str(tmp_path / "uniform.mp4")
+        write_video(path, [(30, (100, 100, 100))])
+        scenes = detect_scenes(path)
+        assert len(scenes) == 1
+        assert scenes[0].start_ms == 0 and scenes[0].end_ms == 3000
+
+
+class TestMetadata:
+    def test_extracts_mp4_fields(self, scene_video):
+        from eioku_tpu.ml.metadata import extract_metadata
+        meta = extract_metadata(scene_video)
+        assert meta["width"] == 64 and meta["height"] == 64
+        assert meta["duration_ms"] == 7000
+        assert meta["container"] == "mp4"
+        assert meta["fps"] == pytest.approx(10.0, abs=0.1)
+        assert meta["create_date"] is not None
+
+    def test_validates_against_schema(self, scene_video):
+        from eioku_tpu.domain.schema_registry import SchemaRegistry, register_all_schemas
+        from eioku_tpu.ml.metadata import extract_metadata
+        register_all_schemas()
+        SchemaRegistry.validate("video.metadata", 1, extract_metadata(scene_video))
+
+    def test_iso6709_gps(self):
+        from eioku_tpu.ml.metadata import _parse_iso6709
+        assert _parse_iso6709("+35.6580+139.6994/") == {
+            "latitude": 35.658, "longitude": 139.6994}
+        assert _parse_iso6709("+40.75-074.00+011.0/")["altitude"] == 11.0
+        assert _parse_iso6709("garbage") is None
+        assert _parse_iso6709("+95.0+10.0/") is None  # out of range
+
+
+class TestEndToEndPipeline:
+    def test_scene_and_metadata_tasks_e2e(self, tmp_path, scene_video):
+        from eioku_tpu.queue.worker import WorkerSettings
+        from eioku_tpu.web.testing import TestClient
+        from eioku_tpu.api.app import create_app
+        from eioku_tpu.workers.main import build_worker
+
+        config = AppConfig(
+            scan_paths=[str(tmp_path)], auto_discover=False,
+            active_task_types=["scene_detection", "metadata_extraction"])
+        db = Database(f"sqlite:///{tmp_path}/e2e.db")
+        ctx = build_context(config, db=db)
+
+        # 1. discovery creates + enqueues tasks
+        from eioku_tpu.domain.models import PathConfig
+        ctx.paths.save(PathConfig(path=str(tmp_path)))
+        report = ctx.discovery.discover()
+        assert report.videos_new == 1 and report.tasks_created == 2
+
+        # 2. worker drains the queue, running the real engine on CPU-JAX
+        worker = build_worker(app_ctx=ctx,
+                              settings=WorkerSettings(max_jobs=2, poll_delay_s=0.01))
+        asyncio.run(worker.drain())
+
+        tasks = ctx.tasks.find(limit=10)
+        assert {t.status for t in tasks} == {TaskStatus.COMPLETED}, \
+            [(t.task_type, t.status, t.error) for t in tasks]
+
+        video = ctx.videos.list()[0]
+        # metadata task updated the video row
+        assert video.duration_ms == 7000
+
+        # 3. artifacts + projections + API queries
+        scenes = ctx.artifacts.get_by_asset(video.id, artifact_type="scene")
+        assert len(scenes) == 3
+        assert db.scalar("SELECT COUNT(*) FROM scene_ranges") == 3
+
+        app = create_app(ctx=ctx, start_reconciler=False, auto_discover=False)
+        with TestClient(app) as client:
+            r = client.get(f"/api/v1/videos/{video.id}/jump",
+                           params={"kind": "scene", "from_ms": 2500,
+                                   "direction": "next"})
+            assert r.json()["found"]
+            assert abs(r.json()["jump_to"]["start_ms"] - 5000) <= 300
+            meta = client.get(f"/api/v1/videos/{video.id}/artifacts",
+                              params={"type": "video.metadata"}).json()
+            assert meta["total"] == 1
+            assert meta["artifacts"][0]["payload_json"]["width"] == 64
+
+    def test_failed_model_marks_task_failed(self, tmp_path, scene_video):
+        from eioku_tpu.queue.worker import WorkerSettings
+        from eioku_tpu.workers.main import build_worker
+        from eioku_tpu.domain.models import PathConfig
+
+        config = AppConfig(scan_paths=[], auto_discover=False,
+                           active_task_types=["scene_detection"])
+        db = Database(f"sqlite:///{tmp_path}/fail.db")
+        ctx = build_context(config, db=db)
+        ctx.paths.save(PathConfig(path=str(tmp_path)))
+        ctx.discovery.discover()
+        # corrupt the video so decode fails
+        video = ctx.videos.list()[0]
+        with open(video.path, "wb") as f:
+            f.write(b"not a video")
+        worker = build_worker(app_ctx=ctx,
+                              settings=WorkerSettings(max_jobs=1, poll_delay_s=0.01))
+        asyncio.run(worker.drain())
+        t = ctx.tasks.find(limit=1)[0]
+        assert t.status is TaskStatus.FAILED
+        assert t.error
