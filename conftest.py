@@ -17,3 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+# The image's sitecustomize registers the remote-TPU backend and pins
+# jax.config jax_platforms to it, overriding the env var — override back.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

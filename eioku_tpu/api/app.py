@@ -74,7 +74,7 @@ def build_context(config: AppConfig | None = None,
     policies = SelectionPolicyManager(db)
     producer = producer or JobProducer(SqliteJobQueue(db))
     discovery = VideoDiscoveryService(config, videos, tasks, paths, producer)
-    return AppContext(
+    ctx = AppContext(
         config=config, db=db, videos=videos, tasks=tasks, artifacts=artifacts,
         runs=runs, paths=paths, policies=policies, producer=producer,
         projection_sync=sync, discovery=discovery,
@@ -82,6 +82,10 @@ def build_context(config: AppConfig | None = None,
         jump=JumpNavigationService(artifacts, policies),
         reconciler=Reconciler(tasks, videos, producer),
     )
+    if config.semantic_search:
+        from eioku_tpu.index.semantic import SemanticIndex
+        ctx.extra["semantic_index"] = SemanticIndex(ctx)
+    return ctx
 
 
 def create_app(config: AppConfig | None = None, ctx: AppContext | None = None,

@@ -48,8 +48,10 @@ class AppConfig:
     task_settings: dict[str, dict[str, Any]] = field(default_factory=dict)
     active_task_types: list[str] | None = None
     model_cache_dir: str | None = None
+    index_dir: str | None = None
     reconcile_interval_s: float = 300.0
     auto_discover: bool = True
+    semantic_search: bool = True
 
     def settings_for(self, task_type: str) -> dict[str, Any]:
         merged = dict(DEFAULT_TASK_SETTINGS.get(task_type, {}))
@@ -88,7 +90,9 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
         cfg.task_settings = data.get("task_settings", {})
         cfg.active_task_types = data.get("active_task_types")
         cfg.model_cache_dir = data.get("model_cache_dir")
+        cfg.index_dir = data.get("index_dir")
         cfg.auto_discover = data.get("auto_discover", cfg.auto_discover)
+        cfg.semantic_search = data.get("semantic_search", cfg.semantic_search)
         log.info("loaded config", extra={"config_path": path})
     if os.environ.get("EIOKU_DATABASE_URL"):
         cfg.database_url = os.environ["EIOKU_DATABASE_URL"]

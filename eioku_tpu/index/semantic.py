@@ -1,0 +1,239 @@
+"""Semantic retrieval index: transcript chunks -> MiniLM vectors -> on-device
+cosine top-k.
+
+This is the layer the reference spec'd but never built (SURVEY.md section 0:
+"search" in the reference is SQL FTS only; the north star requires MiniLM
+embedding + top-k retrieval as the TPU path). Design:
+  - chunking: transcript segments merged into ~chunk_chars character windows
+    with overlap, each spanning [first segment start, last segment end]
+  - vectors: float16 rows appended to a flat file (dim from meta.json); row
+    index == `slot` in the embedding_chunks projection table
+  - search: query embedded on device, scores = corpus @ q (MXU), lax.top_k; the
+    corpus lives as a cached device array, re-uploaded only after appends
+  - artifacts: each chunk is also an embedding.chunk ArtifactEnvelope, so runs,
+    selection and provenance work exactly like every other artifact type
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+import uuid
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eioku_tpu.domain.artifacts import SelectionPolicy
+from eioku_tpu.models.embed.minilm import MiniLMConfig, load_minilm, minilm_embed
+from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
+from eioku_tpu.utils.hashing import compute_config_hash
+from eioku_tpu.workers.task_handler import build_envelopes
+
+log = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def _topk_cosine(corpus: jnp.ndarray, query: jnp.ndarray, top_k: int):
+    """corpus [N, D] (L2-normalized, f16/bf16), query [D] -> (scores, idx) top-k."""
+    scores = jnp.dot(corpus.astype(jnp.bfloat16), query.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, top_k)
+
+
+def chunk_segments(segments: list[dict], chunk_chars: int = 400,
+                   overlap_chars: int = 80) -> list[dict]:
+    """Merge ordered transcript segments into overlapping text chunks.
+
+    Each segment dict needs text/start_ms/end_ms. Returns chunk dicts with
+    text/start_ms/end_ms. Overlap is implemented by re-including trailing
+    segments whose combined text is <= overlap_chars.
+    """
+    chunks: list[dict] = []
+    cur: list[dict] = []
+    cur_len = 0
+    for seg in segments:
+        text = (seg.get("text") or "").strip()
+        if not text:
+            continue
+        cur.append({"text": text, "start_ms": seg["start_ms"],
+                    "end_ms": seg["end_ms"]})
+        cur_len += len(text) + 1
+        if cur_len >= chunk_chars:
+            chunks.append(_merge(cur))
+            # keep a tail for overlap
+            tail: list[dict] = []
+            tail_len = 0
+            for s in reversed(cur):
+                if tail_len + len(s["text"]) > overlap_chars:
+                    break
+                tail.insert(0, s)
+                tail_len += len(s["text"]) + 1
+            cur, cur_len = tail, tail_len
+    if cur and (not chunks or _merge(cur)["text"] != chunks[-1]["text"]):
+        chunks.append(_merge(cur))
+    return chunks
+
+
+def _merge(segs: list[dict]) -> dict:
+    return {"text": " ".join(s["text"] for s in segs),
+            "start_ms": segs[0]["start_ms"], "end_ms": segs[-1]["end_ms"]}
+
+
+class SemanticIndex:
+    MODEL_NAME = "minilm-l6"
+
+    def __init__(self, ctx, data_dir: str | None = None, batch_size: int = 32):
+        self.ctx = ctx
+        base = data_dir or getattr(ctx.config, "index_dir", None)
+        if base is None:
+            if ctx.db.path not in (":memory:", ""):
+                base = os.path.join(os.path.dirname(os.path.abspath(ctx.db.path)),
+                                    "semantic_index")
+            else:
+                import tempfile
+                base = tempfile.mkdtemp(prefix="eioku_index_")
+        os.makedirs(base, exist_ok=True)
+        self.data_dir = base
+        self.vec_path = os.path.join(base, "vectors.f16")
+        self.meta_path = os.path.join(base, "meta.json")
+        self.batch_size = batch_size
+        self._lock = threading.RLock()
+        self._params = None
+        self._cfg: MiniLMConfig | None = None
+        self._tokenizer: WordPieceTokenizer | None = None
+        self._corpus_device = None  # cached device array
+        self._corpus_rows = -1
+        self.pretrained = False
+
+    # -- model -----------------------------------------------------------------
+
+    def _ensure_model(self):
+        if self._params is None:
+            cache = self.ctx.config.model_cache_dir
+            self._params, self._cfg, self.pretrained = load_minilm(cache)
+            self._tokenizer = WordPieceTokenizer.from_cache_dir(cache, max_len=256)
+            if not self.pretrained:
+                log.warning("minilm checkpoint not found; using random weights")
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        self._ensure_model()
+        out = np.zeros((len(texts), self._cfg.dim), np.float32)
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            batch = texts[i:i + bs]
+            pad = bs - len(batch)
+            ids, mask = self._tokenizer.encode_batch(batch + [""] * pad)
+            emb = minilm_embed(self._params, jnp.asarray(ids), jnp.asarray(mask),
+                               self._cfg)
+            out[i:i + len(batch)] = np.asarray(emb[:len(batch)], np.float32)
+        return out
+
+    # -- storage ------------------------------------------------------------------
+
+    @property
+    def dim(self) -> int:
+        self._ensure_model()
+        return self._cfg.dim
+
+    def _vector_count(self) -> int:
+        if not os.path.isfile(self.vec_path):
+            return 0
+        return os.path.getsize(self.vec_path) // (2 * self.dim)
+
+    def _append_vectors(self, vecs: np.ndarray) -> int:
+        """Append rows, returns starting slot."""
+        with self._lock:
+            start = self._vector_count()
+            with open(self.vec_path, "ab") as f:
+                f.write(vecs.astype(np.float16).tobytes())
+            with open(self.meta_path, "w") as f:
+                json.dump({"dim": self.dim, "model": self.MODEL_NAME,
+                           "rows": start + len(vecs)}, f)
+            self._corpus_rows = -1  # invalidate device cache
+            return start
+
+    def _corpus(self) -> jnp.ndarray | None:
+        with self._lock:
+            n = self._vector_count()
+            if n == 0:
+                return None
+            if self._corpus_rows != n:
+                raw = np.fromfile(self.vec_path, dtype=np.float16)
+                self._corpus_device = jnp.asarray(raw.reshape(n, self.dim))
+                self._corpus_rows = n
+            return self._corpus_device
+
+    # -- indexing ---------------------------------------------------------------------
+
+    def index_video(self, video_id: str, config: dict | None = None) -> int:
+        """Embed the latest transcript run of a video into the index.
+        Returns number of chunks indexed."""
+        config = config or {}
+        segments = self.ctx.artifacts.get_by_asset(
+            video_id, artifact_type="transcript.segment",
+            selection=SelectionPolicy(mode="latest"))
+        segs = [{"text": e.payload_json.get("text", ""),
+                 "start_ms": e.span_start_ms, "end_ms": e.span_end_ms}
+                for e in segments]
+        chunks = chunk_segments(
+            segs, chunk_chars=int(config.get("chunk_chars", 400)),
+            overlap_chars=int(config.get("overlap_chars", 80)))
+        if not chunks:
+            return 0
+        vecs = self.embed_texts([c["text"] for c in chunks])
+        # drop stale slots for this asset (old runs stay in file but unmapped)
+        self.ctx.db.execute("DELETE FROM embedding_chunks WHERE asset_id=?",
+                            (video_id,))
+        start_slot = self._append_vectors(vecs)
+        run_id = str(uuid.uuid4())
+        results = [
+            {"payload": {"text": c["text"], "source": "transcript",
+                         "model": self.MODEL_NAME, "dim": self.dim,
+                         "index_slot": start_slot + i,
+                         "norm": float(np.linalg.norm(vecs[i]))},
+             "span_start_ms": c["start_ms"], "span_end_ms": c["end_ms"]}
+            for i, c in enumerate(chunks)
+        ]
+        envs = build_envelopes(
+            results, video_id=video_id, artifact_type="embedding.chunk",
+            run_id=run_id, producer="eioku-tpu-semantic",
+            producer_version="0.1.0", model_profile=self.ctx.config.model_profile,
+            config_hash=compute_config_hash(config), input_hash="transcript")
+        self.ctx.artifacts.batch_create(envs)
+        log.info("indexed video", extra={"video_id": video_id,
+                                         "chunks": len(chunks)})
+        return len(chunks)
+
+    # -- search ---------------------------------------------------------------------------
+
+    def search(self, query: str, top_k: int = 10,
+               asset_id: str | None = None) -> list[dict]:
+        corpus = self._corpus()
+        if corpus is None:
+            return []
+        q = self.embed_texts([query])[0]
+        k = min(top_k * 4 if asset_id else top_k, corpus.shape[0])
+        scores, idx = _topk_cosine(corpus, jnp.asarray(q), k)
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        out = []
+        for score, slot in zip(scores, idx):
+            row = self.ctx.db.query_one(
+                "SELECT * FROM embedding_chunks WHERE slot=?", (int(slot),))
+            if row is None:
+                continue  # stale slot from a superseded run
+            if asset_id and row["asset_id"] != asset_id:
+                continue
+            out.append({
+                "score": float(score),
+                "video_id": row["asset_id"],
+                "text": row["text"],
+                "source": row["source"],
+                "artifact_id": row["artifact_id"],
+                "jump_to": {"start_ms": row["start_ms"], "end_ms": row["end_ms"]},
+            })
+            if len(out) >= top_k:
+                break
+        return out

@@ -1,0 +1,137 @@
+"""Object + face detection pipelines over batched video frames.
+
+Capability parity: /root/reference/ml-service/src/services/model_manager.py:215-407
+(objects: yolov8n conf 0.5 interval 1 s; faces: yolov8n-face conf 0.7 interval
+3 s, label "face", cluster_id None). TPU-native redesign (SURVEY.md P6): frames
+are letterboxed on host into fixed 640x640 batches and the whole
+forward+decode+NMS graph runs on device per batch; boxes are un-letterboxed back
+to source pixel coordinates on host.
+
+Checkpoints: looks for `{model}.pt` (ultralytics format) under model_cache_dir;
+falls back to random-init weights with a warning (zero-egress environments),
+keeping the pipeline exercisable end-to-end.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from functools import lru_cache
+
+import cv2
+import numpy as np
+
+from eioku_tpu.ml import video_io
+from eioku_tpu.models.yolo.classes import COCO_CLASSES
+from eioku_tpu.models.yolo.model import YoloConfig, init_yolo_params
+from eioku_tpu.models.yolo.postprocess import detect
+from eioku_tpu.models.yolo.weights import load_yolo_checkpoint
+
+log = logging.getLogger(__name__)
+
+INPUT_SIZE = 640
+
+
+def letterbox_batch(frames: np.ndarray, valid: int, size: int = INPUT_SIZE
+                    ) -> tuple[np.ndarray, float, tuple[int, int]]:
+    """Resize a uint8 [B, H, W, 3] batch preserving aspect, pad to (size, size).
+    Returns (batch, scale, (pad_x, pad_y)) for box un-mapping."""
+    b, h, w, _ = frames.shape
+    scale = min(size / h, size / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    pad_y, pad_x = (size - nh) // 2, (size - nw) // 2
+    out = np.full((b, size, size, 3), 114, dtype=np.uint8)
+    for i in range(valid):
+        resized = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+        out[i, pad_y:pad_y + nh, pad_x:pad_x + nw] = resized
+    return out, scale, (pad_x, pad_y)
+
+
+@lru_cache(maxsize=4)
+def _load_model(model_name: str, num_classes: int, cache_dir: str | None):
+    cfg = YoloConfig(variant=model_name.replace("-face", ""),
+                     num_classes=num_classes)
+    ckpt = None
+    if cache_dir:
+        cand = os.path.join(cache_dir, f"{model_name}.pt")
+        if os.path.isfile(cand):
+            ckpt = cand
+    if ckpt:
+        params = load_yolo_checkpoint(ckpt, cfg)
+        log.info("loaded yolo checkpoint", extra={"model": model_name,
+                                                  "path": ckpt})
+    else:
+        params = init_yolo_params(cfg, seed=0)
+        log.warning("no checkpoint found; using random-init weights",
+                    extra={"model": model_name, "cache_dir": cache_dir})
+    return params, cfg
+
+
+def _run_detection(video_path: str, config: dict, *, model_name: str,
+                   num_classes: int, class_names: list[str],
+                   default_conf: float, default_interval: float,
+                   model_cache_dir: str | None,
+                   payload_builder) -> list[dict]:
+    conf = float(config.get("confidence_threshold", default_conf))
+    interval = float(config.get("frame_interval_s", default_interval))
+    batch_size = int(config.get("batch_size", 32))
+    params, cfg = _load_model(model_name, num_classes, model_cache_dir)
+    info = video_io.probe(video_path)
+    frame_duration_ms = int(round(1000.0 / info.fps)) if info.fps else 33
+
+    results: list[dict] = []
+    for batch in video_io.prefetch(video_io.iter_frame_batches(
+            video_path, batch_size=batch_size, frame_interval_s=interval)):
+        boxed, scale, (pad_x, pad_y) = letterbox_batch(batch.frames, batch.valid)
+        out = detect(params, boxed, cfg, conf_threshold=conf)
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        classes = np.asarray(out["classes"])
+        valid = np.asarray(out["valid"])
+        for i in range(batch.valid):
+            t0 = int(batch.timestamps_ms[i])
+            frame_no = int(batch.frame_indices[i])
+            for j in np.nonzero(valid[i])[0]:
+                x1, y1, x2, y2 = boxes[i, j]
+                # un-letterbox to source pixels
+                x1 = (x1 - pad_x) / scale
+                x2 = (x2 - pad_x) / scale
+                y1 = (y1 - pad_y) / scale
+                y2 = (y2 - pad_y) / scale
+                x1 = float(np.clip(x1, 0, info.width))
+                x2 = float(np.clip(x2, 0, info.width))
+                y1 = float(np.clip(y1, 0, info.height))
+                y2 = float(np.clip(y2, 0, info.height))
+                if x2 <= x1 or y2 <= y1:
+                    continue
+                payload = payload_builder(
+                    class_names[int(classes[i, j])] if class_names else "face",
+                    float(scores[i, j]),
+                    {"x": x1, "y": y1, "width": x2 - x1, "height": y2 - y1},
+                    frame_no)
+                results.append({"payload": payload, "span_start_ms": t0,
+                                "span_end_ms": t0 + frame_duration_ms})
+    return results
+
+
+def run_object_detection(video_path: str, config: dict,
+                         model_cache_dir: str | None = None) -> list[dict]:
+    model = config.get("model", "yolov8n")
+    return _run_detection(
+        video_path, config, model_name=model, num_classes=len(COCO_CLASSES),
+        class_names=COCO_CLASSES, default_conf=0.5, default_interval=1.0,
+        model_cache_dir=model_cache_dir,
+        payload_builder=lambda label, conf, box, frame: {
+            "label": label, "confidence": conf, "bounding_box": box,
+            "frame_number": frame})
+
+
+def run_face_detection(video_path: str, config: dict,
+                       model_cache_dir: str | None = None) -> list[dict]:
+    model = config.get("model", "yolov8n-face")
+    return _run_detection(
+        video_path, config, model_name=model, num_classes=1,
+        class_names=[], default_conf=0.7, default_interval=3.0,
+        model_cache_dir=model_cache_dir,
+        payload_builder=lambda label, conf, box, frame: {
+            "cluster_id": None, "confidence": conf, "bounding_box": box,
+            "frame_number": frame})

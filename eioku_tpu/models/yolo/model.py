@@ -1,0 +1,235 @@
+"""YOLOv8 architecture in functional JAX (NHWC, bf16-ready).
+
+TPU-native rebuild of the detector the reference runs through ultralytics/torch
+(/root/reference/ml-service/src/services/model_manager.py:215-407: yolov8n
+objects at conf 0.5, yolov8n-face faces at conf 0.7). The architecture is the
+public YOLOv8 design: CSP backbone with C2f blocks + SPPF, PAN feature pyramid,
+decoupled anchor-free head with distribution focal loss (DFL) box regression.
+Weights port from ultralytics checkpoints via weights.py; random init is used
+when no checkpoint is present (zero-egress environments).
+
+Layout notes (MXU-friendly): batch of frames [B, H, W, 3] uint8 -> normalize ->
+bf16 NHWC convs with fp32 accumulation; all shapes static per (H, W) so XLA
+compiles one program per input geometry.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+from eioku_tpu.models.layers import (
+    KeyGen,
+    Params,
+    batchnorm,
+    conv2d,
+    init_batchnorm,
+    kaiming,
+    max_pool,
+    silu,
+    upsample2x,
+)
+
+# depth_multiple, width_multiple, max_channels per variant (public YOLOv8 scales)
+YOLO_VARIANTS = {
+    "yolov8n": (0.34, 0.25, 1024),
+    "yolov8s": (0.34, 0.50, 1024),
+    "yolov8m": (0.67, 0.75, 768),
+    "yolov8l": (1.00, 1.00, 512),
+    "yolov8x": (1.00, 1.25, 512),
+}
+
+_BASE_CH = [64, 128, 256, 512, 1024]  # backbone stage widths before scaling
+_BASE_DEPTH = [3, 6, 6, 3]  # C2f repeats before scaling
+
+
+@dataclass(frozen=True, eq=True)  # hashable: usable as a jit static argument
+class YoloConfig:
+    variant: str = "yolov8n"
+    num_classes: int = 80
+    reg_max: int = 16
+    strides: tuple[int, ...] = (8, 16, 32)
+    depth: float = field(init=False)
+    width: float = field(init=False)
+    max_ch: int = field(init=False)
+
+    def __post_init__(self):
+        d, w, m = YOLO_VARIANTS[self.variant]
+        object.__setattr__(self, "depth", d)
+        object.__setattr__(self, "width", w)
+        object.__setattr__(self, "max_ch", m)
+
+    def ch(self, c: int) -> int:
+        return int(min(c, self.max_ch) * self.width + 0.5) // 8 * 8 or 8
+
+    def n(self, d: int) -> int:
+        return max(int(round(d * self.depth)), 1)
+
+
+# -- blocks: init -------------------------------------------------------------------
+
+
+def _init_convbn(kg: KeyGen, c_in: int, c_out: int, k: int) -> Params:
+    return {"w": kaiming(kg(), (k, k, c_in, c_out)), "bn": init_batchnorm(c_out)}
+
+
+def _init_bottleneck(kg: KeyGen, c_in: int, c_out: int) -> Params:
+    c_mid = c_out
+    return {"cv1": _init_convbn(kg, c_in, c_mid, 3),
+            "cv2": _init_convbn(kg, c_mid, c_out, 3)}
+
+
+def _init_c2f(kg: KeyGen, c_in: int, c_out: int, n: int) -> Params:
+    c = c_out // 2
+    return {
+        "cv1": _init_convbn(kg, c_in, 2 * c, 1),
+        "m": [_init_bottleneck(kg, c, c) for _ in range(n)],
+        "cv2": _init_convbn(kg, (2 + n) * c, c_out, 1),
+    }
+
+
+def _init_sppf(kg: KeyGen, c_in: int, c_out: int) -> Params:
+    c = c_in // 2
+    return {"cv1": _init_convbn(kg, c_in, c, 1),
+            "cv2": _init_convbn(kg, c * 4, c_out, 1)}
+
+
+def _init_detect_branch(kg: KeyGen, c_in: int, c_mid: int, c_out: int) -> Params:
+    return {
+        "0": _init_convbn(kg, c_in, c_mid, 3),
+        "1": _init_convbn(kg, c_mid, c_mid, 3),
+        "2": {"w": kaiming(kg(), (1, 1, c_mid, c_out)), "b": jnp.zeros(c_out)},
+    }
+
+
+def init_yolo_params(cfg: YoloConfig, seed: int = 0) -> Params:
+    kg = KeyGen(seed)
+    ch = [cfg.ch(c) for c in _BASE_CH]  # [c1..c5]
+    n = [cfg.n(d) for d in _BASE_DEPTH]
+    p: Params = {}
+    # backbone
+    p["stem"] = _init_convbn(kg, 3, ch[0], 3)
+    p["down1"] = _init_convbn(kg, ch[0], ch[1], 3)
+    p["c2f_1"] = _init_c2f(kg, ch[1], ch[1], n[0])
+    p["down2"] = _init_convbn(kg, ch[1], ch[2], 3)
+    p["c2f_2"] = _init_c2f(kg, ch[2], ch[2], n[1])  # -> P3 feature
+    p["down3"] = _init_convbn(kg, ch[2], ch[3], 3)
+    p["c2f_3"] = _init_c2f(kg, ch[3], ch[3], n[2])  # -> P4 feature
+    p["down4"] = _init_convbn(kg, ch[3], ch[4], 3)
+    p["c2f_4"] = _init_c2f(kg, ch[4], ch[4], n[0])
+    p["sppf"] = _init_sppf(kg, ch[4], ch[4])  # -> P5 feature
+    # PAN neck
+    p["neck_c2f_td1"] = _init_c2f(kg, ch[4] + ch[3], ch[3], n[0])  # P5 up + P4
+    p["neck_c2f_td2"] = _init_c2f(kg, ch[3] + ch[2], ch[2], n[0])  # -> N3
+    p["neck_down1"] = _init_convbn(kg, ch[2], ch[2], 3)
+    p["neck_c2f_bu1"] = _init_c2f(kg, ch[2] + ch[3], ch[3], n[0])  # -> N4
+    p["neck_down2"] = _init_convbn(kg, ch[3], ch[3], 3)
+    p["neck_c2f_bu2"] = _init_c2f(kg, ch[3] + ch[4], ch[4], n[0])  # -> N5
+    # decoupled head per level
+    c_box = max(16, ch[2] // 4, cfg.reg_max * 4)
+    c_cls = max(ch[2], min(cfg.num_classes, 100))
+    for i, c_in in enumerate([ch[2], ch[3], ch[4]]):
+        p[f"head_box_{i}"] = _init_detect_branch(kg, c_in, c_box,
+                                                 4 * cfg.reg_max)
+        p[f"head_cls_{i}"] = _init_detect_branch(kg, c_in, c_cls,
+                                                 cfg.num_classes)
+    return p
+
+
+# -- blocks: forward ------------------------------------------------------------------
+
+
+def _convbn(x, p: Params, stride: int = 1) -> jnp.ndarray:
+    return silu(batchnorm(conv2d(x, p["w"], stride=stride), p["bn"]))
+
+
+def _bottleneck(x, p: Params, shortcut: bool) -> jnp.ndarray:
+    y = _convbn(_convbn(x, p["cv1"]), p["cv2"])
+    return x + y if shortcut else y
+
+
+def _c2f(x, p: Params, shortcut: bool) -> jnp.ndarray:
+    y = _convbn(x, p["cv1"])
+    a, b = jnp.split(y, 2, axis=-1)
+    outs = [a, b]
+    for m in p["m"]:
+        outs.append(_bottleneck(outs[-1], m, shortcut))
+    return _convbn(jnp.concatenate(outs, axis=-1), p["cv2"])
+
+
+def _sppf(x, p: Params) -> jnp.ndarray:
+    y = _convbn(x, p["cv1"])
+    p1 = max_pool(y, 5)
+    p2 = max_pool(p1, 5)
+    p3 = max_pool(p2, 5)
+    return _convbn(jnp.concatenate([y, p1, p2, p3], axis=-1), p["cv2"])
+
+
+def _detect_branch(x, p: Params) -> jnp.ndarray:
+    x = _convbn(x, p["0"])
+    x = _convbn(x, p["1"])
+    return conv2d(x, p["2"]["w"], p["2"]["b"])
+
+
+def yolo_forward(params: Params, images: jnp.ndarray,
+                 cfg: YoloConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward pass.
+
+    images: [B, H, W, 3] float (already normalized to [0,1]); H, W divisible by 32.
+    Returns (box_logits [B, A, 4*reg_max], cls_logits [B, A, num_classes]) where
+    A = sum of H/s * W/s over strides — decode + NMS live in postprocess.py.
+    """
+    x = _convbn(images, params["stem"], stride=2)
+    x = _convbn(x, params["down1"], stride=2)
+    x = _c2f(x, params["c2f_1"], True)
+    x = _convbn(x, params["down2"], stride=2)
+    p3 = _c2f(x, params["c2f_2"], True)
+    x = _convbn(p3, params["down3"], stride=2)
+    p4 = _c2f(x, params["c2f_3"], True)
+    x = _convbn(p4, params["down4"], stride=2)
+    x = _c2f(x, params["c2f_4"], True)
+    p5 = _sppf(x, params["sppf"])
+
+    # top-down
+    t4 = _c2f(jnp.concatenate([upsample2x(p5), p4], axis=-1),
+              params["neck_c2f_td1"], False)
+    n3 = _c2f(jnp.concatenate([upsample2x(t4), p3], axis=-1),
+              params["neck_c2f_td2"], False)
+    # bottom-up
+    n4 = _c2f(jnp.concatenate([_convbn(n3, params["neck_down1"], stride=2), t4],
+                              axis=-1), params["neck_c2f_bu1"], False)
+    n5 = _c2f(jnp.concatenate([_convbn(n4, params["neck_down2"], stride=2), p5],
+                              axis=-1), params["neck_c2f_bu2"], False)
+
+    box_out, cls_out = [], []
+    for i, feat in enumerate([n3, n4, n5]):
+        b = feat.shape[0]
+        box = _detect_branch(feat, params[f"head_box_{i}"])
+        cls = _detect_branch(feat, params[f"head_cls_{i}"])
+        box_out.append(box.reshape(b, -1, 4 * cfg.reg_max))
+        cls_out.append(cls.reshape(b, -1, cfg.num_classes))
+    return jnp.concatenate(box_out, axis=1), jnp.concatenate(cls_out, axis=1)
+
+
+def anchor_points(h: int, w: int, strides: tuple[int, ...]
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cell-center anchor points and per-anchor stride for an (h, w) input."""
+    pts, strs = [], []
+    for s in strides:
+        gh, gw = h // s, w // s
+        ys = (jnp.arange(gh) + 0.5) * s
+        xs = (jnp.arange(gw) + 0.5) * s
+        grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # [gh,gw,2]
+        pts.append(grid.reshape(-1, 2))
+        strs.append(jnp.full((gh * gw,), s, jnp.float32))
+    return jnp.concatenate(pts), jnp.concatenate(strs)
+
+
+def count_anchors(h: int, w: int, strides: tuple[int, ...]) -> int:
+    return sum((h // s) * (w // s) for s in strides)
+
+
+def variant_param_summary(cfg: YoloConfig) -> str:
+    ch = [cfg.ch(c) for c in _BASE_CH]
+    return f"{cfg.variant}: channels={ch}, depths={[cfg.n(d) for d in _BASE_DEPTH]}"

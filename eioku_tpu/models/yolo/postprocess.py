@@ -1,0 +1,101 @@
+"""YOLO head decoding + XLA-friendly fixed-shape NMS.
+
+Replaces ultralytics' CUDA/torchvision NMS (used implicitly by the reference via
+`model(frame, conf=...)`, model_manager.py:215-306). TPU constraints shape the
+design (SURVEY.md hard-part 3): everything is fixed-shape — select top-K
+candidates by score, run greedy suppression as a lax.fori_loop over a K x K IoU
+matrix, and emit exactly K slots with a validity mask; the host trims.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from eioku_tpu.models.layers import Params
+from eioku_tpu.models.yolo.model import YoloConfig, anchor_points, yolo_forward
+
+
+def decode_boxes(box_logits: jnp.ndarray, anchors: jnp.ndarray,
+                 strides: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """DFL decode: box_logits [B, A, 4*reg_max] -> xyxy pixels [B, A, 4]."""
+    b, a, _ = box_logits.shape
+    dist = box_logits.reshape(b, a, 4, reg_max).astype(jnp.float32)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    ltrb = jnp.sum(jax.nn.softmax(dist, axis=-1) * bins, axis=-1)  # [B, A, 4]
+    ltrb = ltrb * strides[None, :, None]
+    x1y1 = anchors[None] - ltrb[..., :2]
+    x2y2 = anchors[None] + ltrb[..., 2:]
+    return jnp.concatenate([x1y1, x2y2], axis=-1)
+
+
+def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU for [K, 4] xyxy boxes -> [K, K]."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+        jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
+              iou_threshold: float = 0.45, max_det: int = 300) -> dict:
+    """Greedy class-aware NMS over pre-top-K candidates (single image).
+
+    boxes [K,4], scores [K] (0 for padding), classes [K]. Returns dict of
+    fixed-shape arrays: boxes [max_det,4], scores, classes, valid mask.
+    Candidates must already be sorted by descending score.
+    """
+    k = boxes.shape[0]
+    iou = _iou_matrix(boxes)
+    same_class = classes[:, None] == classes[None, :]
+    conflict = (iou > iou_threshold) & same_class
+
+    def body(i, keep):
+        # suppress j>i conflicting with i only if i itself is kept
+        suppress = conflict[i] & (jnp.arange(k) > i) & keep[i]
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, k, body, scores > 0)
+    order = jnp.argsort(~keep, stable=True)  # kept first, score order preserved
+    sel = order[:max_det]
+    return {
+        "boxes": boxes[sel],
+        "scores": jnp.where(keep[sel], scores[sel], 0.0),
+        "classes": jnp.where(keep[sel], classes[sel], -1),
+        "valid": keep[sel],
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "top_k", "max_det"))
+def detect(params: Params, images: jnp.ndarray, cfg: YoloConfig,
+           conf_threshold: float = 0.25, iou_threshold: float = 0.45,
+           top_k: int = 512, max_det: int = 300) -> dict:
+    """Full batched detection: forward -> decode -> top-K -> NMS (all on device).
+
+    images: [B, H, W, 3] uint8 or float. Returns dict of [B, max_det, ...]
+    fixed-shape outputs + validity mask.
+    """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.bfloat16) / 255.0
+    b, h, w, _ = images.shape
+    box_logits, cls_logits = yolo_forward(params, images, cfg)
+    anchors, strides = anchor_points(h, w, cfg.strides)
+    boxes = decode_boxes(box_logits, anchors, strides, cfg.reg_max)
+    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    scores_all = jnp.max(probs, axis=-1)  # [B, A]
+    classes_all = jnp.argmax(probs, axis=-1)  # [B, A]
+    scores_all = jnp.where(scores_all >= conf_threshold, scores_all, 0.0)
+
+    k = min(top_k, scores_all.shape[1])
+    top_scores, top_idx = jax.lax.top_k(scores_all, k)  # [B, K]
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    top_classes = jnp.take_along_axis(classes_all, top_idx, axis=1)
+
+    return jax.vmap(
+        lambda bx, sc, cl: nms_fixed(bx, sc, cl, iou_threshold, max_det)
+    )(top_boxes, top_scores, top_classes)

@@ -275,6 +275,17 @@ class TestTaskLifecycle:
 
 
 class TestSearchGate:
-    def test_search_unavailable_without_index(self, client):
-        assert client.get("/api/v1/search", params={"q": "fox"}).status_code == 503
+    def test_search_empty_index_returns_no_results(self, client):
+        r = client.get("/api/v1/search", params={"q": "fox"})
+        assert r.status_code == 200 and r.json()["results"] == []
         assert client.get("/api/v1/search").status_code == 422
+
+    def test_search_503_when_disabled(self, tmp_path):
+        from eioku_tpu.web.testing import TestClient
+        config = AppConfig(scan_paths=[], auto_discover=False,
+                           semantic_search=False)
+        db = Database(f"sqlite:///{tmp_path}/nosearch.db")
+        app = create_app(ctx=build_context(config, db=db), start_reconciler=False)
+        with TestClient(app) as c:
+            assert c.get("/api/v1/search", params={"q": "x"}).status_code == 503
+        db.close()
