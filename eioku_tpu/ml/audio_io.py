@@ -1,0 +1,102 @@
+"""Host-side audio loading for transcription.
+
+The reference hands whole video files to faster-whisper/CTranslate2, which uses
+its bundled ffmpeg to demux audio (/root/reference/ml-service/src/services/
+model_manager.py:409-467). This environment has no ffmpeg/torchaudio/PyAV, so
+audio enters the pipeline as PCM:
+  - .wav files load directly (stdlib wave + numpy, resampled to 16 kHz)
+  - for a video path, a sidecar audio file (same basename, .wav) is used when
+    present; otherwise the pipeline reports no audio (empty transcript) rather
+    than failing the task
+Includes a simple energy-based VAD used to skip silent windows (the reference
+relies on faster-whisper's built-in VAD filter).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import wave
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+SAMPLE_RATE = 16000
+
+
+def load_wav(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Load a wav file -> float32 mono [-1, 1] at target_sr."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported wav sample width: {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    if sr != target_sr:
+        from scipy.signal import resample_poly
+        from math import gcd
+        g = gcd(sr, target_sr)
+        x = resample_poly(x, target_sr // g, sr // g).astype(np.float32)
+    return x
+
+
+def find_audio_for_video(video_path: str) -> str | None:
+    """Locate the audio stream for a video: the file itself if .wav, else a
+    sidecar .wav with the same basename."""
+    if video_path.lower().endswith(".wav"):
+        return video_path
+    base = os.path.splitext(video_path)[0]
+    for ext in (".wav", ".WAV"):
+        cand = base + ext
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def energy_vad(audio: np.ndarray, sr: int = SAMPLE_RATE, frame_ms: int = 30,
+               threshold_db: float = -40.0) -> np.ndarray:
+    """Boolean voice-activity per frame_ms frame via log-energy threshold
+    relative to peak."""
+    frame = int(sr * frame_ms / 1000)
+    n = len(audio) // frame
+    if n == 0:
+        return np.zeros(0, bool)
+    frames = audio[:n * frame].reshape(n, frame)
+    rms = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
+    peak = rms.max()
+    if peak <= 1e-4:  # digitally silent
+        return np.zeros(n, bool)
+    db = 20 * np.log10(rms / peak + 1e-10)
+    # relative threshold plus an absolute floor so near-silence never passes
+    return (db > threshold_db) & (rms > 1e-4)
+
+
+def split_windows(audio: np.ndarray, sr: int = SAMPLE_RATE, window_s: float = 30.0,
+                  vad: bool = True) -> list[tuple[int, np.ndarray]]:
+    """Split audio into fixed windows of window_s seconds (zero-padded last).
+    Returns [(start_ms, samples[window])] — silent windows dropped when vad."""
+    win = int(sr * window_s)
+    out: list[tuple[int, np.ndarray]] = []
+    activity = energy_vad(audio, sr) if vad and len(audio) else None
+    frame = int(sr * 0.03)
+    for start in range(0, max(len(audio), 1), win):
+        chunk = audio[start:start + win]
+        if len(chunk) == 0:
+            break
+        if activity is not None:
+            f0, f1 = start // frame, min((start + win) // frame, len(activity))
+            if f1 > f0 and not activity[f0:f1].any():
+                continue  # fully silent window
+        if len(chunk) < win:
+            chunk = np.pad(chunk, (0, win - len(chunk)))
+        out.append((int(start / sr * 1000), chunk.astype(np.float32)))
+    return out

@@ -1,0 +1,120 @@
+"""Transcription pipeline: audio -> 30 s windows -> batched encode -> on-device
+greedy decode -> transcript segments.
+
+Capability parity: /root/reference/ml-service/src/services/model_manager.py:409-467
+(faster-whisper on the whole file, language or auto, vad_filter, segments ->
+ms). TPU redesign: fixed 30 s windows are batched through one jitted encoder
+call and one jitted whole-sequence greedy-decode loop (KV-cached,
+lax.while_loop), so decoding N windows costs one device program regardless of
+transcript length.
+
+Checkpoints: `{cache_dir}/whisper-{variant}.npz|.pt|.bin`. Without one, falls
+back to a random-weight `tiny` so the pipeline stays exercisable; text decoding
+uses vocab.json when available (see tokenizer.py).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from eioku_tpu.ml import audio_io
+from eioku_tpu.models.whisper.mel import log_mel_spectrogram
+from eioku_tpu.models.whisper.model import (
+    WhisperConfig,
+    init_whisper_params,
+    whisper_encode,
+    whisper_greedy_decode,
+)
+from eioku_tpu.models.whisper.tokenizer import WhisperTextDecoder, WhisperTokens
+from eioku_tpu.models.whisper.weights import load_whisper_checkpoint
+
+log = logging.getLogger(__name__)
+
+WINDOW_S = 30.0
+SAMPLES_PER_WINDOW = int(WINDOW_S * audio_io.SAMPLE_RATE)
+
+
+@lru_cache(maxsize=2)
+def _load_model(variant: str, cache_dir: str | None):
+    cfg = WhisperConfig(variant)
+    if cache_dir:
+        for ext in (".npz", ".pt", ".bin"):
+            cand = os.path.join(cache_dir, f"whisper-{variant}{ext}")
+            if os.path.isfile(cand):
+                params = load_whisper_checkpoint(cand, cfg)
+                log.info("loaded whisper checkpoint", extra={"path": cand})
+                return params, cfg, True
+    if variant != "tiny":
+        log.warning("no whisper checkpoint for %s; falling back to random tiny",
+                    variant)
+        cfg = WhisperConfig("tiny")
+    return init_whisper_params(cfg, seed=0), cfg, False
+
+
+def _normalize_variant(model: str) -> str:
+    name = model.removeprefix("whisper-")
+    return name if name in ("tiny", "base", "small", "medium", "large-v3",
+                            "large-v3-turbo") else "large-v3"
+
+
+def run_transcription(video_path: str, config: dict,
+                      model_cache_dir: str | None = None) -> list[dict]:
+    audio_path = audio_io.find_audio_for_video(video_path)
+    if audio_path is None:
+        log.warning("no audio stream available for %s (no .wav sidecar); "
+                    "emitting empty transcript", video_path)
+        return []
+    audio = audio_io.load_wav(audio_path)
+    if len(audio) == 0:
+        return []
+    language = config.get("language")
+    vad = bool(config.get("vad_filter", True))
+    windows = audio_io.split_windows(audio, window_s=WINDOW_S, vad=vad)
+    if not windows:
+        return []
+
+    variant = _normalize_variant(config.get("model", "large-v3"))
+    params, cfg, pretrained = _load_model(variant, model_cache_dir)
+    tokens = WhisperTokens(cfg.vocab_size)
+    text_decoder = WhisperTextDecoder.from_cache_dir(model_cache_dir,
+                                                     cfg.vocab_size)
+    sot = tokens.sot_sequence(language or "en", timestamps=False)
+
+    batch_size = int(config.get("batch_size", 8))
+    max_tokens = int(config.get("max_tokens", 128))
+    total_ms = int(len(audio) / audio_io.SAMPLE_RATE * 1000)
+    results: list[dict] = []
+    for i in range(0, len(windows), batch_size):
+        chunk = windows[i:i + batch_size]
+        pad = batch_size - len(chunk)
+        wav = np.stack([c[1] for c in chunk] +
+                       [np.zeros(SAMPLES_PER_WINDOW, np.float32)] * pad)
+        mel = log_mel_spectrogram(jnp.asarray(wav), n_mels=cfg.n_mels)
+        enc = whisper_encode(params, mel, cfg)
+        init = jnp.asarray([sot] * batch_size, jnp.int32)
+        out = np.asarray(whisper_greedy_decode(params, enc, init, tokens.eot,
+                                               cfg, max_len=max_tokens))
+        for j, (start_ms, _) in enumerate(chunk):
+            ids = out[j].tolist()
+            # strip prompt + everything from the first EOT after the prompt
+            gen = ids[len(sot):]
+            if tokens.eot in gen:
+                gen = gen[:gen.index(tokens.eot)]
+            if not pretrained:
+                # random weights produce arbitrary ids; emit an empty segment
+                # marker only when a vocab exists to decode meaningfully
+                text = ""
+            else:
+                text = text_decoder.decode(gen)
+            end_ms = min(start_ms + int(WINDOW_S * 1000), total_ms)
+            if text or pretrained:
+                results.append({
+                    "payload": {"text": text, "language": language,
+                                "start_ms": start_ms, "end_ms": end_ms},
+                    "span_start_ms": start_ms, "span_end_ms": end_ms,
+                })
+    return results

@@ -1,0 +1,305 @@
+"""Whisper encoder-decoder in functional JAX with KV-cache greedy decoding.
+
+TPU-native rebuild of the transcription engine the reference gets from
+faster-whisper/CTranslate2 (C++) (/root/reference/ml-service/src/services/
+model_manager.py:409-467). Public Whisper architecture: mel -> 2x conv1d (gelu,
+stride 2) -> sinusoidal positions -> pre-LN transformer encoder; decoder with
+learned positions, causal self-attention, cross-attention, tied output
+embedding. Variants tiny..large-v3 plus large-v3-turbo (4 decoder layers).
+
+Decoding (SURVEY.md hard-part 2) avoids host<->device ping-pong per token: the
+whole greedy loop is one lax.while_loop inside jit, with fixed-size KV caches
+for self-attention and precomputed cross-attention K/V.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eioku_tpu.models.layers import (
+    KeyGen,
+    Params,
+    init_layernorm,
+    init_linear,
+    layernorm,
+    linear,
+    xavier,
+)
+
+# n_mels, d_model, n_heads, n_enc_layers, n_dec_layers, vocab
+WHISPER_VARIANTS = {
+    "tiny": (80, 384, 6, 4, 4, 51865),
+    "base": (80, 512, 8, 6, 6, 51865),
+    "small": (80, 768, 12, 12, 12, 51865),
+    "medium": (80, 1024, 16, 24, 24, 51865),
+    "large-v3": (128, 1280, 20, 32, 32, 51866),
+    "large-v3-turbo": (128, 1280, 20, 32, 4, 51866),
+}
+
+N_AUDIO_CTX = 1500  # 30 s at 100 mel frames/s, conv-stride 2
+N_TEXT_CTX = 448
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    variant: str = "tiny"
+
+    @property
+    def n_mels(self):
+        return WHISPER_VARIANTS[self.variant][0]
+
+    @property
+    def dim(self):
+        return WHISPER_VARIANTS[self.variant][1]
+
+    @property
+    def n_heads(self):
+        return WHISPER_VARIANTS[self.variant][2]
+
+    @property
+    def n_enc_layers(self):
+        return WHISPER_VARIANTS[self.variant][3]
+
+    @property
+    def n_dec_layers(self):
+        return WHISPER_VARIANTS[self.variant][4]
+
+    @property
+    def vocab_size(self):
+        return WHISPER_VARIANTS[self.variant][5]
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoidal position embedding."""
+    log_timescale = math.log(10000) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(
+        np.float32)
+
+
+# -- init --------------------------------------------------------------------------
+
+
+def _init_attn(kg: KeyGen, d: int) -> Params:
+    return {
+        "q": init_linear(kg(), d, d),
+        "k": init_linear(kg(), d, d, bias=False),  # whisper: no k bias
+        "v": init_linear(kg(), d, d),
+        "o": init_linear(kg(), d, d),
+    }
+
+
+def _init_enc_layer(kg: KeyGen, d: int) -> Params:
+    return {
+        "ln1": init_layernorm(d), "attn": _init_attn(kg, d),
+        "ln2": init_layernorm(d),
+        "mlp1": init_linear(kg(), d, d * 4), "mlp2": init_linear(kg(), d * 4, d),
+    }
+
+
+def _init_dec_layer(kg: KeyGen, d: int) -> Params:
+    p = _init_enc_layer(kg, d)
+    p["cross"] = _init_attn(kg, d)
+    p["ln_cross"] = init_layernorm(d)
+    return p
+
+
+def init_whisper_params(cfg: WhisperConfig, seed: int = 0) -> Params:
+    kg = KeyGen(seed)
+    d = cfg.dim
+    return {
+        "enc": {
+            "conv1": {"w": xavier(kg(), (3, cfg.n_mels, d)), "b": jnp.zeros(d)},
+            "conv2": {"w": xavier(kg(), (3, d, d)), "b": jnp.zeros(d)},
+            "layers": [_init_enc_layer(kg, d) for _ in range(cfg.n_enc_layers)],
+            "ln_post": init_layernorm(d),
+        },
+        "dec": {
+            "tok_emb": xavier(kg(), (cfg.vocab_size, d)) * 0.02,
+            "pos_emb": xavier(kg(), (N_TEXT_CTX, d)) * 0.02,
+            "layers": [_init_dec_layer(kg, d) for _ in range(cfg.n_dec_layers)],
+            "ln": init_layernorm(d),
+        },
+    }
+
+
+# -- attention core -------------------------------------------------------------------
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+
+
+def _attend(q, k, v, n_heads: int, mask=None) -> jnp.ndarray:
+    hd = q.shape[-1] // n_heads
+    scale = hd ** -0.25  # whisper scales q and k separately
+    qh = _split_heads(q, n_heads) * scale
+    kh = _split_heads(k, n_heads) * scale
+    vh = _split_heads(v, n_heads)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    w = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+    return _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh,
+                                   preferred_element_type=jnp.float32
+                                   ).astype(vh.dtype))
+
+
+def _self_attn(x, p: Params, n_heads: int, mask=None) -> jnp.ndarray:
+    q, k, v = linear(x, p["q"]), linear(x, p["k"]), linear(x, p["v"])
+    return linear(_attend(q, k, v, n_heads, mask), p["o"])
+
+
+# -- encoder -------------------------------------------------------------------------
+
+
+def _conv1d(x, w, b, stride: int = 1) -> jnp.ndarray:
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return out + b.astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def whisper_encode(params: Params, mel: jnp.ndarray,
+                   cfg: WhisperConfig) -> jnp.ndarray:
+    """mel [B, n_mels, 3000] -> encoder states [B, 1500, d]."""
+    enc = params["enc"]
+    x = mel.transpose(0, 2, 1)  # NWC
+    x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"]))
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
+    x = x + jnp.asarray(sinusoids(x.shape[1], x.shape[2]))[None]
+    for layer in enc["layers"]:
+        x = x + _self_attn(layernorm(x, layer["ln1"], eps=1e-5), layer["attn"],
+                           cfg.n_heads)
+        h = layernorm(x, layer["ln2"], eps=1e-5)
+        x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
+    return layernorm(x, enc["ln_post"], eps=1e-5)
+
+
+# -- decoder (teacher-forced, used for tests and scoring) ------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def whisper_decode_full(params: Params, tokens: jnp.ndarray,
+                        enc_out: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """tokens [B, S] -> logits [B, S, vocab] (full recompute, causal)."""
+    dec = params["dec"]
+    b, s = tokens.shape
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][:s][None]
+    causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    for layer in dec["layers"]:
+        x = x + _self_attn(layernorm(x, layer["ln1"], eps=1e-5), layer["attn"],
+                           cfg.n_heads, mask=causal)
+        h = layernorm(x, layer["ln_cross"], eps=1e-5)
+        q = linear(h, layer["cross"]["q"])
+        k = linear(enc_out, layer["cross"]["k"])
+        v = linear(enc_out, layer["cross"]["v"])
+        x = x + linear(_attend(q, k, v, cfg.n_heads), layer["cross"]["o"])
+        h = layernorm(x, layer["ln2"], eps=1e-5)
+        x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
+    x = layernorm(x, dec["ln"], eps=1e-5)
+    return jnp.einsum("bsd,vd->bsv", x, dec["tok_emb"],
+                      preferred_element_type=jnp.float32)
+
+
+# -- greedy decode with KV cache --------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len"))
+def whisper_greedy_decode(params: Params, enc_out: jnp.ndarray,
+                          initial_tokens: jnp.ndarray, eot_id: int,
+                          cfg: WhisperConfig, max_len: int = 224) -> jnp.ndarray:
+    """Greedy decode, all on device.
+
+    enc_out [B, 1500, d]; initial_tokens [B, n_init] (SOT sequence).
+    Returns tokens [B, max_len] (prompt + generated, padded with eot).
+    """
+    dec = params["dec"]
+    b = enc_out.shape[0]
+    d = cfg.dim
+    n_layers = cfg.n_dec_layers
+    n_init = initial_tokens.shape[1]
+
+    # precompute cross-attention K/V per layer: [L, B, S_enc, d]
+    cross_k = jnp.stack([linear(enc_out, layer["cross"]["k"])
+                         for layer in dec["layers"]])
+    cross_v = jnp.stack([linear(enc_out, layer["cross"]["v"])
+                         for layer in dec["layers"]])
+
+    tokens0 = jnp.full((b, max_len), eot_id, jnp.int32)
+    tokens0 = jax.lax.dynamic_update_slice(tokens0, initial_tokens.astype(jnp.int32),
+                                           (0, 0))
+    self_k0 = jnp.zeros((n_layers, b, max_len, d), enc_out.dtype)
+    self_v0 = jnp.zeros((n_layers, b, max_len, d), enc_out.dtype)
+    finished0 = jnp.zeros((b,), bool)
+
+    def step_token(tokens, self_k, self_v, pos):
+        """Run the decoder for the token at position `pos`, updating caches.
+        Returns (logits [B, vocab], self_k, self_v)."""
+        tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))  # [B,1]
+        x = dec["tok_emb"][tok[:, 0]][:, None, :] + \
+            jax.lax.dynamic_slice(dec["pos_emb"], (pos, 0), (1, d))[None]
+        valid = (jnp.arange(max_len) <= pos)[None, None, None, :]  # key mask
+        for li, layer in enumerate(dec["layers"]):
+            h = layernorm(x, layer["ln1"], eps=1e-5)
+            q = linear(h, layer["attn"]["q"])
+            k_new = linear(h, layer["attn"]["k"])
+            v_new = linear(h, layer["attn"]["v"])
+            self_k = jax.lax.dynamic_update_slice(self_k, k_new[None],
+                                                  (li, 0, pos, 0))
+            self_v = jax.lax.dynamic_update_slice(self_v, v_new[None],
+                                                  (li, 0, pos, 0))
+            attn = _attend(q, self_k[li], self_v[li], cfg.n_heads, mask=valid)
+            x = x + linear(attn, layer["attn"]["o"])
+            h = layernorm(x, layer["ln_cross"], eps=1e-5)
+            q = linear(h, layer["cross"]["q"])
+            x = x + linear(_attend(q, cross_k[li], cross_v[li], cfg.n_heads),
+                           layer["cross"]["o"])
+            h = layernorm(x, layer["ln2"], eps=1e-5)
+            x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
+        x = layernorm(x, dec["ln"], eps=1e-5)
+        logits = jnp.einsum("bd,vd->bv", x[:, 0], dec["tok_emb"],
+                            preferred_element_type=jnp.float32)
+        return logits, self_k, self_v
+
+    def prompt_step(pos, carry):
+        tokens, self_k, self_v = carry
+        _, self_k, self_v = step_token(tokens, self_k, self_v, pos)
+        return tokens, self_k, self_v
+
+    # prefill the prompt (all but the last prompt token only fill caches)
+    tokens, self_k, self_v = jax.lax.fori_loop(
+        0, n_init - 1, prompt_step, (tokens0, self_k0, self_v0))
+
+    def cond(state):
+        pos, tokens, self_k, self_v, finished = state
+        return (pos < max_len - 1) & ~jnp.all(finished)
+
+    def body(state):
+        pos, tokens, self_k, self_v, finished = state
+        logits, self_k, self_v = step_token(tokens, self_k, self_v, pos)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, eot_id, next_tok)
+        finished = finished | (next_tok == eot_id)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_tok[:, None],
+                                              (0, pos + 1))
+        return pos + 1, tokens, self_k, self_v, finished
+
+    _, tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (n_init - 1, tokens, self_k, self_v, finished0))
+    return tokens

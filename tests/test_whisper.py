@@ -1,0 +1,274 @@
+"""Whisper family tests: mel frontend, encoder/decoder shapes, KV-cache decode
+parity against full recompute, converter round-trip, pipeline E2E."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eioku_tpu.ml import audio_io
+from eioku_tpu.models.whisper.mel import (
+    HOP,
+    N_FFT,
+    log_mel_spectrogram,
+    mel_filterbank,
+)
+from eioku_tpu.models.whisper.model import (
+    WhisperConfig,
+    init_whisper_params,
+    sinusoids,
+    whisper_decode_full,
+    whisper_encode,
+    whisper_greedy_decode,
+)
+from eioku_tpu.models.whisper.tokenizer import WhisperTextDecoder, WhisperTokens
+from eioku_tpu.models.whisper.weights import convert_whisper_state_dict
+
+TINY = WhisperConfig("tiny")
+
+
+def np_log_mel(audio: np.ndarray, n_mels: int = 80) -> np.ndarray:
+    """Independent numpy reference implementing the Whisper mel recipe."""
+    pad = N_FFT // 2
+    x = np.pad(audio, (pad, pad), mode="reflect")
+    n_frames = len(audio) // HOP
+    window = np.hanning(N_FFT + 1)[:-1]
+    frames = np.stack([x[i * HOP:i * HOP + N_FFT] * window
+                       for i in range(n_frames)])
+    spec = np.fft.rfft(frames, axis=-1)
+    power = np.abs(spec) ** 2
+    mel = power @ mel_filterbank(n_mels).T
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).T
+
+
+class TestMel:
+    def test_matches_numpy_reference(self):
+        rng = np.random.default_rng(0)
+        audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+        ours = np.asarray(log_mel_spectrogram(jnp.asarray(audio[None])))[0]
+        ref = np_log_mel(audio)
+        assert ours.shape == ref.shape == (80, 100)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_30s_window_shape(self):
+        audio = jnp.zeros((2, 30 * 16000))
+        mel = log_mel_spectrogram(audio, n_mels=128)
+        assert mel.shape == (2, 128, 3000)
+
+    def test_filterbank_rows_nonzero(self):
+        fb = mel_filterbank(80)
+        assert fb.shape == (80, 201)
+        assert (fb.sum(axis=1) > 0).all()
+
+
+class TestAudioIO:
+    def _write_wav(self, path, sr=16000, seconds=2.0, freq=440.0):
+        import wave
+        t = np.arange(int(sr * seconds)) / sr
+        x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype(np.int16)
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        return str(path)
+
+    def test_load_wav(self, tmp_path):
+        p = self._write_wav(tmp_path / "a.wav")
+        x = audio_io.load_wav(p)
+        assert x.dtype == np.float32 and abs(len(x) - 32000) < 10
+        assert np.abs(x).max() <= 1.0
+
+    def test_resample(self, tmp_path):
+        p = self._write_wav(tmp_path / "b.wav", sr=44100, seconds=1.0)
+        x = audio_io.load_wav(p)
+        assert abs(len(x) - 16000) < 50
+
+    def test_sidecar_lookup(self, tmp_path):
+        self._write_wav(tmp_path / "movie.wav")
+        (tmp_path / "movie.mp4").write_bytes(b"x")
+        assert audio_io.find_audio_for_video(
+            str(tmp_path / "movie.mp4")).endswith("movie.wav")
+        assert audio_io.find_audio_for_video(str(tmp_path / "other.mp4")) is None
+
+    def test_vad_detects_silence(self):
+        sr = 16000
+        silent = np.zeros(sr, np.float32)
+        loud = np.sin(np.arange(sr) / 10).astype(np.float32)
+        assert not audio_io.energy_vad(silent).any()
+        assert audio_io.energy_vad(loud).any()
+
+    def test_split_windows_drops_silent(self):
+        sr = 16000
+        audio = np.concatenate([np.sin(np.arange(sr * 31) / 8).astype(np.float32),
+                                np.zeros(sr * 31, np.float32)])
+        wins = audio_io.split_windows(audio, window_s=30.0, vad=True)
+        starts = [w[0] for w in wins]
+        assert 0 in starts and 30000 in starts  # window 1 straddles sound
+        assert 60000 not in starts  # fully silent window dropped
+        assert all(len(w[1]) == sr * 30 for w in wins)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_whisper_params(TINY, seed=0)
+
+
+class TestWhisperModel:
+    def test_encoder_shape(self, tiny_params):
+        mel = jnp.zeros((1, 80, 3000))
+        out = whisper_encode(tiny_params, mel, TINY)
+        assert out.shape == (1, 1500, 384)
+
+    def test_decoder_full_shape(self, tiny_params):
+        enc = jnp.zeros((1, 1500, 384))
+        toks = jnp.asarray([[50258, 50259, 50359, 50363]], jnp.int32)
+        logits = whisper_decode_full(tiny_params, toks, enc, TINY)
+        assert logits.shape == (1, 4, TINY.vocab_size)
+
+    def test_kv_cache_matches_full_recompute(self, tiny_params):
+        """Greedy decode with the cached loop must equal argmax rollout of the
+        full-recompute decoder — the canonical KV-cache correctness check."""
+        rng = np.random.default_rng(1)
+        enc = jnp.asarray(rng.standard_normal((1, 1500, 384)).astype(np.float32)
+                          * 0.1)
+        tokens = WhisperTokens(TINY.vocab_size)
+        sot = tokens.sot_sequence("en")
+        max_len = 12
+
+        fast = np.asarray(whisper_greedy_decode(
+            tiny_params, enc, jnp.asarray([sot], jnp.int32), tokens.eot, TINY,
+            max_len=max_len))[0]
+
+        # slow rollout with whisper_decode_full
+        cur = list(sot)
+        for _ in range(max_len - len(sot)):
+            logits = whisper_decode_full(
+                tiny_params, jnp.asarray([cur], jnp.int32), enc, TINY)
+            nxt = int(jnp.argmax(logits[0, -1]))
+            cur.append(nxt)
+            if nxt == tokens.eot:
+                break
+        slow = np.full(max_len, tokens.eot, np.int64)
+        slow[:len(cur)] = cur
+        np.testing.assert_array_equal(fast, slow)
+
+    def test_sinusoids(self):
+        s = sinusoids(10, 8)
+        assert s.shape == (10, 8)
+        np.testing.assert_allclose(s[0, :4], 0.0, atol=1e-7)
+        np.testing.assert_allclose(s[0, 4:], 1.0, atol=1e-7)
+
+
+class TestTokens:
+    def test_v2_layout(self):
+        t = WhisperTokens(51865)
+        assert t.transcribe == 50359 and t.no_timestamps == 50363
+
+    def test_v3_layout(self):
+        t = WhisperTokens(51866)
+        assert t.transcribe == 50360 and t.no_timestamps == 50364
+
+    def test_sot_sequence(self):
+        t = WhisperTokens(51865)
+        assert t.sot_sequence("en") == [50258, 50259, 50359, 50363]
+        ja = t.sot_sequence("ja")
+        assert ja[1] == t.lang_token("ja") != t.lang_token("en")
+
+    def test_decoder_with_vocab(self):
+        vocab = {"Hello": 1, "Ġworld": 2}  # GPT2 'Ġ' space marker
+        t = WhisperTokens(51865)
+        d = WhisperTextDecoder(vocab, t)
+        assert d.decode([1, 2, t.eot]) == "Hello world"
+
+    def test_decoder_placeholder(self):
+        t = WhisperTokens(51865)
+        d = WhisperTextDecoder(None, t)
+        assert d.decode([5, 6]) == "<5> <6>"
+        assert d.decode([t.eot]) == ""
+
+
+class TestConverter:
+    def test_hf_roundtrip_forward(self):
+        """Random HF-named state dict -> converter -> forward runs and matches a
+        manual parameter inspection."""
+        cfg = WhisperConfig("tiny")
+        rng = np.random.default_rng(0)
+        d, mels, vocab = cfg.dim, cfg.n_mels, cfg.vocab_size
+
+        def w(*s):
+            return rng.standard_normal(s).astype(np.float32) * 0.02
+
+        sd = {
+            "encoder.conv1.weight": w(d, mels, 3),
+            "encoder.conv1.bias": w(d),
+            "encoder.conv2.weight": w(d, d, 3),
+            "encoder.conv2.bias": w(d),
+            "encoder.layer_norm.weight": np.ones(d, np.float32),
+            "encoder.layer_norm.bias": np.zeros(d, np.float32),
+            "decoder.embed_tokens.weight": w(vocab, d),
+            "decoder.embed_positions.weight": w(448, d),
+            "decoder.layer_norm.weight": np.ones(d, np.float32),
+            "decoder.layer_norm.bias": np.zeros(d, np.float32),
+        }
+        for kind, n in (("encoder", cfg.n_enc_layers),
+                        ("decoder", cfg.n_dec_layers)):
+            for i in range(n):
+                base = f"{kind}.layers.{i}"
+                attns = ["self_attn"] + (["encoder_attn"] if kind == "decoder"
+                                         else [])
+                for a in attns:
+                    for proj in ("q_proj", "v_proj", "out_proj"):
+                        sd[f"{base}.{a}.{proj}.weight"] = w(d, d)
+                        sd[f"{base}.{a}.{proj}.bias"] = w(d)
+                    sd[f"{base}.{a}.k_proj.weight"] = w(d, d)
+                for lnn in (["self_attn_layer_norm", "final_layer_norm"]
+                            + (["encoder_attn_layer_norm"] if kind == "decoder"
+                               else [])):
+                    sd[f"{base}.{lnn}.weight"] = np.ones(d, np.float32)
+                    sd[f"{base}.{lnn}.bias"] = np.zeros(d, np.float32)
+                sd[f"{base}.fc1.weight"] = w(d * 4, d)
+                sd[f"{base}.fc1.bias"] = w(d * 4)
+                sd[f"{base}.fc2.weight"] = w(d, d * 4)
+                sd[f"{base}.fc2.bias"] = w(d)
+        params = convert_whisper_state_dict(sd, cfg)
+        np.testing.assert_allclose(
+            np.asarray(params["enc"]["conv1"]["w"]),
+            np.transpose(sd["encoder.conv1.weight"], (2, 1, 0)))
+        np.testing.assert_allclose(
+            np.asarray(params["dec"]["layers"][0]["attn"]["q"]["w"]),
+            sd["decoder.layers.0.self_attn.q_proj.weight"].T)
+        mel = jnp.zeros((1, mels, 3000))
+        out = whisper_encode(params, mel, cfg)
+        assert out.shape == (1, 1500, d)
+
+
+class TestTranscribePipeline:
+    def test_no_audio_returns_empty(self, tmp_path):
+        from eioku_tpu.ml.transcribe import run_transcription
+        video = tmp_path / "v.mp4"
+        video.write_bytes(b"fake")
+        assert run_transcription(str(video), {}) == []
+
+    def test_wav_pipeline_runs(self, tmp_path):
+        """Random tiny weights: pipeline must run and yield schema-valid,
+        correctly-timed windows (text empty without a pretrained checkpoint)."""
+        import wave
+        from eioku_tpu.ml.transcribe import run_transcription
+        sr = 16000
+        t = np.arange(sr * 3) / sr
+        x = (np.sin(2 * np.pi * 300 * t) * 0.4 * 32767).astype(np.int16)
+        wav = tmp_path / "clip.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        results = run_transcription(str(wav), {"model": "whisper-tiny",
+                                               "max_tokens": 8,
+                                               "batch_size": 1})
+        assert isinstance(results, list)
+        # random weights -> no text, segments suppressed
+        for r in results:
+            assert r["span_start_ms"] == 0
