@@ -1,0 +1,146 @@
+"""OCR pipeline: sampled frames -> CRAFT score maps -> host box extraction ->
+batched CRNN recognition -> ocr.text artifacts.
+
+Capability parity: /root/reference/ml-service/src/services/model_manager.py:469-558
+(easyocr per language, 2 s interval, polygons). TPU-native split (SURVEY.md
+hard-part 1): dense score maps and recognition logits on device with fixed
+shapes; the dynamic-shape stages — connected components over the score maps and
+variable-width crop handling — on host, with crops bucketed to a few fixed
+widths so the recognizer compiles once per bucket.
+"""
+from __future__ import annotations
+
+import logging
+from functools import lru_cache
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+from scipy import ndimage
+
+from eioku_tpu.ml import video_io
+from eioku_tpu.models.ocr.craft import craft_forward
+from eioku_tpu.models.ocr.crnn import LATIN_CHARSET, crnn_forward, ctc_greedy_decode
+from eioku_tpu.models.ocr.weights import load_ocr_checkpoints
+
+log = logging.getLogger(__name__)
+
+DETECT_H, DETECT_W = 384, 640  # /32-divisible CRAFT input
+CROP_WIDTHS = (32, 64, 128, 256)  # recognizer width buckets
+_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@lru_cache(maxsize=1)
+def _models(cache_dir: str | None):
+    craft, crnn, pretrained = load_ocr_checkpoints(cache_dir)
+    if not pretrained:
+        log.warning("no easyocr checkpoints; OCR runs with random-init weights")
+    return craft, crnn, pretrained
+
+
+def extract_boxes(region: np.ndarray, affinity: np.ndarray,
+                  text_threshold: float = 0.7, low_text: float = 0.4,
+                  link_threshold: float = 0.4, min_area: int = 10
+                  ) -> list[tuple[int, int, int, int]]:
+    """CRAFT-style box extraction: threshold region+affinity, connected
+    components, keep components containing a confident text pixel.
+    Returns (x0, y0, x1, y1) in score-map coordinates."""
+    text_mask = region >= low_text
+    link_mask = affinity >= link_threshold
+    combined = text_mask | link_mask
+    labels, n = ndimage.label(combined)
+    boxes = []
+    for i in range(1, n + 1):
+        ys, xs = np.nonzero(labels == i)
+        if len(ys) < min_area:
+            continue
+        if region[ys, xs].max() < text_threshold:
+            continue
+        boxes.append((int(xs.min()), int(ys.min()), int(xs.max()) + 1,
+                      int(ys.max()) + 1))
+    return boxes
+
+
+def _bucket_width(w: int) -> int:
+    for b in CROP_WIDTHS:
+        if w <= b:
+            return b
+    return CROP_WIDTHS[-1]
+
+
+def recognize_crops(crnn_params, crops: list[np.ndarray]
+                    ) -> list[tuple[str, float]]:
+    """crops: list of grayscale uint8 [32, W]. Returns (text, conf) per crop,
+    batched per width bucket (fixed shapes on device)."""
+    results: list[tuple[str, float] | None] = [None] * len(crops)
+    by_bucket: dict[int, list[int]] = {}
+    for i, c in enumerate(crops):
+        by_bucket.setdefault(_bucket_width(c.shape[1]), []).append(i)
+    for bucket, indices in by_bucket.items():
+        batch = np.full((len(indices), 32, bucket, 1), -1.0, np.float32)
+        for row, i in enumerate(indices):
+            c = crops[i]
+            w = min(c.shape[1], bucket)
+            resized = cv2.resize(c, (w, 32)) if c.shape[0] != 32 else c[:, :w]
+            batch[row, :, :w, 0] = resized[:, :w].astype(np.float32) / 127.5 - 1.0
+        logits = np.asarray(crnn_forward(crnn_params, jnp.asarray(batch)),
+                            np.float32)
+        for row, i in enumerate(indices):
+            results[i] = ctc_greedy_decode(logits[row:row + 1])[0]
+    return results  # type: ignore[return-value]
+
+
+def run_ocr(video_path: str, config: dict,
+            model_cache_dir: str | None = None) -> list[dict]:
+    interval = float(config.get("frame_interval_s", 2.0))
+    batch_size = int(config.get("batch_size", 16))
+    languages = config.get("languages") or ([config["language"]]
+                                            if config.get("language") else ["en"])
+    min_conf = float(config.get("confidence_threshold", 0.0))
+    craft_params, crnn_params, pretrained = _models(model_cache_dir)
+    info = video_io.probe(video_path)
+    frame_ms = int(round(1000.0 / info.fps)) if info.fps else 33
+    sx = info.width / DETECT_W * 2.0   # score map is half detect resolution
+    sy = info.height / DETECT_H * 2.0
+
+    results: list[dict] = []
+    for batch in video_io.prefetch(video_io.iter_frame_batches(
+            video_path, batch_size=batch_size, frame_interval_s=interval,
+            resize_hw=(DETECT_H, DETECT_W))):
+        x = (batch.frames.astype(np.float32) / 255.0 - _MEAN) / _STD
+        scores = np.asarray(craft_forward(craft_params, jnp.asarray(x)),
+                            np.float32)
+        for i in range(batch.valid):
+            boxes = extract_boxes(scores[i, :, :, 0], scores[i, :, :, 1])
+            if not boxes:
+                continue
+            gray = cv2.cvtColor(batch.frames[i], cv2.COLOR_RGB2GRAY)
+            crops, metas = [], []
+            for (x0, y0, x1, y1) in boxes:
+                # score map coords -> detector-input coords (x2)
+                fx0, fy0, fx1, fy1 = x0 * 2, y0 * 2, x1 * 2, y1 * 2
+                crop = gray[fy0:fy1, fx0:fx1]
+                if crop.size == 0:
+                    continue
+                h, w = crop.shape
+                new_w = max(int(w * 32.0 / h), 8)
+                crops.append(cv2.resize(crop, (new_w, 32)))
+                metas.append((fx0, fy0, fx1, fy1))
+            if not crops:
+                continue
+            texts = recognize_crops(crnn_params, crops)
+            t0 = int(batch.timestamps_ms[i])
+            for (fx0, fy0, fx1, fy1), (text, conf) in zip(metas, texts):
+                if not text or conf < min_conf:
+                    continue
+                # detector-input coords -> source pixel coords
+                poly = [[fx0 * sx / 2, fy0 * sy / 2], [fx1 * sx / 2, fy0 * sy / 2],
+                        [fx1 * sx / 2, fy1 * sy / 2], [fx0 * sx / 2, fy1 * sy / 2]]
+                results.append({
+                    "payload": {"text": text, "confidence": min(conf, 1.0),
+                                "polygon": poly, "languages": languages,
+                                "frame_index": int(batch.frame_indices[i])},
+                    "span_start_ms": t0, "span_end_ms": t0 + frame_ms,
+                })
+    return results

@@ -1,0 +1,178 @@
+"""OCR family tests: CRAFT shapes, box extraction, CRNN + CTC, converters,
+pipeline E2E."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eioku_tpu.ml.ocr_task import extract_boxes, recognize_crops
+from eioku_tpu.models.ocr.craft import craft_forward, init_craft_params
+from eioku_tpu.models.ocr.crnn import (
+    LATIN_CHARSET,
+    charset_size,
+    convert_easyocr_recognizer,
+    crnn_forward,
+    ctc_greedy_decode,
+    init_crnn_params,
+)
+
+
+class TestCraft:
+    @pytest.fixture(scope="class")
+    def params(self):
+        return init_craft_params(seed=0)
+
+    def test_forward_shape(self, params):
+        x = jnp.zeros((1, 96, 160, 3))
+        out = craft_forward(params, x)
+        assert out.shape == (1, 48, 80, 2)
+
+    def test_param_count(self, params):
+        from eioku_tpu.models.layers import param_count
+        n = param_count(params)
+        # public CRAFT is ~20.8M params
+        assert 19e6 < n < 22e6, n
+
+
+class TestBoxExtraction:
+    def test_finds_separate_regions(self):
+        region = np.zeros((48, 80), np.float32)
+        affinity = np.zeros_like(region)
+        region[10:14, 5:25] = 0.9
+        region[30:34, 40:60] = 0.8
+        boxes = extract_boxes(region, affinity)
+        assert len(boxes) == 2
+        assert (5, 10, 25, 14) in boxes
+
+    def test_affinity_links_regions(self):
+        region = np.zeros((48, 80), np.float32)
+        affinity = np.zeros_like(region)
+        region[10:14, 5:15] = 0.9
+        region[10:14, 20:30] = 0.9
+        affinity[10:14, 14:21] = 0.6  # link between the two words
+        boxes = extract_boxes(region, affinity)
+        assert len(boxes) == 1
+        assert boxes[0] == (5, 10, 30, 14)
+
+    def test_low_confidence_dropped(self):
+        region = np.full((48, 80), 0.0, np.float32)
+        region[10:20, 10:20] = 0.5  # above low_text, below text_threshold
+        assert extract_boxes(region, np.zeros_like(region)) == []
+
+    def test_tiny_blobs_dropped(self):
+        region = np.zeros((48, 80), np.float32)
+        region[5, 5] = 0.99
+        assert extract_boxes(region, np.zeros_like(region)) == []
+
+
+class TestCrnn:
+    @pytest.fixture(scope="class")
+    def params(self):
+        return init_crnn_params(seed=0)
+
+    def test_forward_shape(self, params):
+        x = jnp.zeros((2, 32, 128, 1))
+        logits = crnn_forward(params, x)
+        assert logits.shape[0] == 2
+        assert logits.shape[2] == charset_size()
+        assert logits.shape[1] >= 128 // 4 - 2  # ~W/4 time steps
+
+    def test_ctc_greedy_collapse(self):
+        # sequence: blank, 'a', 'a', blank, 'b' -> "ab"
+        n = charset_size()
+        a = LATIN_CHARSET.index("a") + 1
+        b = LATIN_CHARSET.index("b") + 1
+        logits = np.full((1, 5, n), -10.0, np.float32)
+        for t, cls in enumerate([0, a, a, 0, b]):
+            logits[0, t, cls] = 10.0
+        [(text, conf)] = ctc_greedy_decode(logits)
+        assert text == "ab"
+        assert conf > 0.9
+
+    def test_ctc_all_blank(self):
+        logits = np.full((1, 5, charset_size()), -10.0, np.float32)
+        logits[:, :, 0] = 10.0
+        [(text, conf)] = ctc_greedy_decode(logits)
+        assert text == "" and conf == 0.0
+
+    def test_recognize_crops_buckets(self, params):
+        crops = [np.random.default_rng(0).integers(0, 255, (32, w), np.uint8)
+                 for w in (20, 100, 500)]
+        out = recognize_crops(params, crops)
+        assert len(out) == 3
+        assert all(isinstance(t, str) for t, _ in out)
+
+    def test_easyocr_converter_structural(self):
+        rng = np.random.default_rng(0)
+
+        def w(*s):
+            return rng.standard_normal(s).astype(np.float32) * 0.05
+
+        n_cls = charset_size()
+        sd = {}
+        conv_plan = [("0", 64, 1, 3), ("3", 128, 64, 3), ("6", 256, 128, 3),
+                     ("8", 256, 256, 3), ("11", 512, 256, 3),
+                     ("14", 512, 512, 3), ("18", 512, 512, 2)]
+        for idx, c_out, c_in, k in conv_plan:
+            sd[f"FeatureExtraction.ConvNet.{idx}.weight"] = w(c_out, c_in, k, k)
+            if idx not in ("11", "14"):
+                sd[f"FeatureExtraction.ConvNet.{idx}.bias"] = w(c_out)
+        for idx, ch in (("12", 512), ("15", 512)):
+            sd[f"FeatureExtraction.ConvNet.{idx}.weight"] = np.ones(ch, np.float32)
+            sd[f"FeatureExtraction.ConvNet.{idx}.bias"] = np.zeros(ch, np.float32)
+            sd[f"FeatureExtraction.ConvNet.{idx}.running_mean"] = np.zeros(
+                ch, np.float32)
+            sd[f"FeatureExtraction.ConvNet.{idx}.running_var"] = np.ones(
+                ch, np.float32)
+        for li, d_in in ((0, 512), (1, 256)):
+            for sfx in ("", "_reverse"):
+                sd[f"SequenceModeling.{li}.rnn.weight_ih_l0{sfx}"] = w(1024, d_in)
+                sd[f"SequenceModeling.{li}.rnn.weight_hh_l0{sfx}"] = w(1024, 256)
+                sd[f"SequenceModeling.{li}.rnn.bias_ih_l0{sfx}"] = w(1024)
+                sd[f"SequenceModeling.{li}.rnn.bias_hh_l0{sfx}"] = w(1024)
+            sd[f"SequenceModeling.{li}.linear.weight"] = w(256, 512)
+            sd[f"SequenceModeling.{li}.linear.bias"] = w(256)
+        sd["Prediction.weight"] = w(n_cls, 256)
+        sd["Prediction.bias"] = w(n_cls)
+        params = convert_easyocr_recognizer(sd)
+        np.testing.assert_allclose(
+            np.asarray(params["lstm1_fw"]["wi"]),
+            sd["SequenceModeling.0.rnn.weight_ih_l0"].T)
+        logits = crnn_forward(params, jnp.zeros((1, 32, 64, 1)))
+        assert logits.shape[-1] == n_cls
+
+    def test_lstm_matches_torch(self):
+        """Our lax.scan LSTM vs torch.nn.LSTM, same weights."""
+        torch = pytest.importorskip("torch")
+        from eioku_tpu.models.ocr.crnn import _lstm_scan
+
+        torch.manual_seed(0)
+        d_in, d_h, t, b = 8, 6, 5, 2
+        ref = torch.nn.LSTM(d_in, d_h, batch_first=True)
+        x = torch.randn(b, t, d_in)
+        with torch.no_grad():
+            out_t, _ = ref(x)
+        p = {"wi": jnp.asarray(ref.weight_ih_l0.detach().numpy().T),
+             "wh": jnp.asarray(ref.weight_hh_l0.detach().numpy().T),
+             "bi": jnp.asarray(ref.bias_ih_l0.detach().numpy()),
+             "bh": jnp.asarray(ref.bias_hh_l0.detach().numpy())}
+        ours = np.asarray(_lstm_scan(jnp.asarray(x.numpy()), p))
+        np.testing.assert_allclose(ours, out_t.numpy(), atol=1e-5)
+
+
+class TestOcrPipelineE2E:
+    def test_runs_on_video(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_ml_pipeline import write_video
+        from eioku_tpu.ml.ocr_task import run_ocr
+        from eioku_tpu.domain.schema_registry import SchemaRegistry, register_all_schemas
+
+        register_all_schemas()
+        path = str(tmp_path / "o.mp4")
+        write_video(path, [(6, (255, 255, 255))], fps=3, size=(128, 96))
+        results = run_ocr(path, {"frame_interval_s": 1.0, "batch_size": 2})
+        # random weights: results may be empty; payloads must validate if present
+        for r in results[:10]:
+            SchemaRegistry.validate("ocr.text", 1, r["payload"])
+        assert isinstance(results, list)
