@@ -73,13 +73,43 @@ def _selection_from_query(request: Request, ctx, asset_id: str,
 def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
     # -- root/health -----------------------------------------------------------
 
-    @app.get("/")
-    async def root(request: Request):
+    import os
+
+    frontend_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "frontend")
+    if os.path.isdir(frontend_dir):
+        # Serve the bundled SPA (the reference fronts its React build with
+        # nginx, dev/nginx.conf; this framework serves its no-build SPA itself).
+        app.mount_static("/static", frontend_dir)
+
+        @app.get("/")
+        async def root(request: Request):
+            return FileResponse(os.path.join(frontend_dir, "index.html"),
+                                media_type="text/html; charset=utf-8")
+    else:
+        @app.get("/")
+        async def root(request: Request):
+            return {"name": "eioku-tpu", "version": "0.1.0"}
+
+    @app.get(PREFIX)
+    async def api_root(request: Request):
         return {"name": "eioku-tpu", "version": "0.1.0"}
 
     @app.get("/health")
     async def health(request: Request):
         return {"status": "ok", "database": ctx.db.url}
+
+    @app.get(PREFIX + "/metrics")
+    async def metrics(request: Request):
+        from eioku_tpu.utils.metrics import METRICS
+        snap = METRICS.snapshot()
+        snap["queue"] = ctx.producer.queue.counts()
+        return snap
+
+    @app.get(PREFIX + "/device")
+    async def device(request: Request):
+        from eioku_tpu.ml.engine import device_info
+        return device_info()
 
     # -- videos ------------------------------------------------------------------
 

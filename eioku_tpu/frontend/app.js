@@ -1,0 +1,288 @@
+/* Eioku SPA — no-build vanilla JS client for the eioku-tpu API.
+ * Capability parity with the reference React frontend
+ * (/root/reference/frontend/src/: VideoGallery, VideoPlayer with canvas
+ * overlays and 7 artifact tabs, JumpNavigationControl, TranscriptViewer with
+ * run selector and synced highlight, TaskStatusViewer with retry,
+ * MetadataViewer with location) plus the semantic search the reference never
+ * shipped. */
+"use strict";
+const API = "/api/v1";
+const $ = (id) => document.getElementById(id);
+const state = {
+  video: null, tab: "transcript", artifacts: {}, runs: [], run: null,
+  overlays: { objects: false, faces: false, ocr: false }, tasksTimer: null,
+};
+
+async function api(path, opts) {
+  const r = await fetch(API + path, opts);
+  if (!r.ok) throw new Error(`${r.status} ${await r.text()}`);
+  return r.json();
+}
+const fmtMs = (ms) => {
+  const s = Math.floor(ms / 1000);
+  return `${Math.floor(s / 60)}:${String(s % 60).padStart(2, "0")}`;
+};
+const esc = (t) => { const d = document.createElement("div"); d.textContent = t ?? ""; return d.innerHTML; };
+
+/* ---------- gallery ---------- */
+async function loadGallery() {
+  const { videos } = await api("/videos");
+  $("gallery").innerHTML = videos.map(v => `
+    <div class="card" data-id="${v.id}">
+      <div class="path">${esc(v.path.split("/").pop())}</div>
+      <div class="meta">${v.duration_ms ? fmtMs(v.duration_ms) : "—"} ·
+        ${esc(v.status)} · ${(v.size_bytes / 1e6).toFixed(1)} MB</div>
+    </div>`).join("") || "<p>No videos discovered yet.</p>";
+  for (const card of document.querySelectorAll("#gallery .card"))
+    card.onclick = () => openVideo(card.dataset.id);
+}
+
+/* ---------- semantic search ---------- */
+async function doSearch() {
+  const q = $("search-input").value.trim();
+  if (!q) return;
+  const box = $("search-results");
+  box.classList.remove("hidden");
+  box.innerHTML = "<em>Searching…</em>";
+  try {
+    const { results } = await api(`/search?q=${encodeURIComponent(q)}&top_k=10`);
+    box.innerHTML = `<h3>Results for “${esc(q)}”</h3>` + (results.map(r => `
+      <div class="seg" data-vid="${r.video_id}" data-ms="${r.jump_to.start_ms}">
+        <span class="t">${fmtMs(r.jump_to.start_ms)}</span>
+        ${esc(r.text.slice(0, 140))}
+        <span class="chip">${r.score.toFixed(3)}</span>
+      </div>`).join("") || "<p>No matches.</p>");
+    for (const el of box.querySelectorAll(".seg"))
+      el.onclick = () => openVideo(el.dataset.vid, +el.dataset.ms);
+  } catch (e) { box.innerHTML = `<p>Search unavailable: ${esc(e.message)}</p>`; }
+}
+
+/* ---------- player ---------- */
+async function openVideo(id, seekMs) {
+  state.video = await api(`/videos/${id}`);
+  state.artifacts = {}; state.runs = []; state.run = null;
+  $("gallery-view").classList.add("hidden");
+  $("player-view").classList.remove("hidden");
+  const video = $("video");
+  video.src = `${API}/videos/${id}/stream`;
+  if (seekMs != null) video.currentTime = seekMs / 1000;
+  history.pushState({ video: id }, "", `#v=${id}`);
+  selectTab(state.tab);
+  startTaskPolling();
+}
+function closeVideo() {
+  $("video").pause();
+  $("player-view").classList.add("hidden");
+  $("gallery-view").classList.remove("hidden");
+  clearInterval(state.tasksTimer);
+  history.pushState({}, "", "#");
+  loadGallery();
+}
+const seek = (ms) => { $("video").currentTime = ms / 1000; $("video").play(); };
+
+/* ---------- artifacts ---------- */
+const TAB_TYPE = { transcript: "transcript.segment", scenes: "scene",
+  objects: "object.detection", ocr: "ocr.text", places: "place.classification",
+  faces: "face.detection", metadata: "video.metadata" };
+
+async function fetchArtifacts(type, runId) {
+  const key = `${type}:${runId || ""}`;
+  if (!state.artifacts[key]) {
+    const q = runId ? `&run_id=${runId}` : "";
+    state.artifacts[key] = (await api(
+      `/videos/${state.video.id}/artifacts?type=${type}${q}`)).artifacts;
+  }
+  return state.artifacts[key];
+}
+
+async function selectTab(tab) {
+  state.tab = tab;
+  for (const b of document.querySelectorAll("#tabs button"))
+    b.classList.toggle("active", b.dataset.tab === tab);
+  const content = $("tab-content");
+  content.innerHTML = "<em>Loading…</em>";
+  if (tab === "tasks") { $("run-selector-wrap").classList.add("hidden"); return renderTasks(); }
+  const type = TAB_TYPE[tab];
+  const { runs } = await api(`/videos/${state.video.id}/runs?artifact_type=${type}`);
+  state.runs = runs;
+  const wrap = $("run-selector-wrap");
+  if (runs.length > 1) {
+    wrap.classList.remove("hidden");
+    $("run-selector").innerHTML = runs.map(r =>
+      `<option value="${r.run_id}">${r.run_id.slice(0, 8)} · ${r.model_profile}` +
+      `${r.language ? " · " + r.language : ""} · ${r.artifact_count}</option>`).join("");
+    state.run = $("run-selector").value;
+  } else { wrap.classList.add("hidden"); state.run = null; }
+  renderTab();
+}
+
+async function renderTab() {
+  const tab = state.tab, content = $("tab-content");
+  const type = TAB_TYPE[tab];
+  const arts = await fetchArtifacts(type, state.run);
+  if (tab === "metadata") return renderMetadata(arts);
+  if (!arts.length) { content.innerHTML = "<p>No artifacts.</p>"; return; }
+  content.innerHTML = arts.map((a, i) => {
+    const p = a.payload_json;
+    let body;
+    if (tab === "transcript") body = esc(p.text);
+    else if (tab === "scenes") body = `Scene ${p.scene_index} · ${fmtMs(p.duration_ms)}`
+      + (p.score ? ` · score ${p.score}` : "");
+    else if (tab === "objects") body = `${esc(p.label)} <span class="chip">${(p.confidence * 100).toFixed(0)}%</span>`;
+    else if (tab === "ocr") body = `${esc(p.text)} <span class="chip">${((p.confidence || 0) * 100).toFixed(0)}%</span>`;
+    else if (tab === "places") body = p.predictions.slice(0, 3).map(x =>
+      `${esc(x.label)} <span class="chip">${(x.confidence * 100).toFixed(0)}%</span>`).join(" ");
+    else if (tab === "faces") body = `face${p.cluster_id ? " · " + esc(p.cluster_id) : ""}`
+      + ` <span class="chip">${(p.confidence * 100).toFixed(0)}%</span>`;
+    return `<div class="seg" data-ms="${a.span_start_ms}" data-i="${i}">
+      <span class="t">${fmtMs(a.span_start_ms)}</span>${body}</div>`;
+  }).join("");
+  for (const el of content.querySelectorAll(".seg"))
+    el.onclick = () => seek(+el.dataset.ms);
+}
+
+function renderMetadata(arts) {
+  const content = $("tab-content");
+  if (!arts.length) { content.innerHTML = "<p>No metadata.</p>"; return; }
+  const p = arts[0].payload_json;
+  const rows = [["Duration", p.duration_ms ? fmtMs(p.duration_ms) : null],
+    ["Resolution", p.width ? `${p.width}×${p.height}` : null], ["FPS", p.fps],
+    ["Codec", p.codec], ["Audio", p.audio_codec], ["Container", p.container],
+    ["Created", p.create_date],
+    ["GPS", p.gps ? `${p.gps.latitude.toFixed(4)}, ${p.gps.longitude.toFixed(4)}` : null]]
+    .filter(([, v]) => v != null);
+  content.innerHTML = `<table class="kv">${rows.map(([k, v]) =>
+    `<tr><td>${k}</td><td>${esc(String(v))}</td></tr>`).join("")}</table>
+    <div id="location-info"></div>`;
+  api(`/videos/${state.video.id}/location`).then(loc => {
+    $("location-info").innerHTML =
+      `<p>📍 ${[loc.city, loc.state, loc.country].filter(Boolean).join(", ") || "unknown"}</p>`;
+  }).catch(() => {});
+}
+
+/* ---------- tasks ---------- */
+async function renderTasks() {
+  const { tasks } = await api(`/videos/${state.video.id}/tasks`);
+  $("tab-content").innerHTML = tasks.map(t => `
+    <div class="seg">
+      ${esc(t.task_type)}${t.language ? " (" + t.language + ")" : ""}
+      <span class="chip ${t.status}">${t.status}</span>
+      ${t.running_time_s != null ? `<span class="chip">${t.running_time_s.toFixed(1)}s</span>` : ""}
+      ${["failed", "cancelled"].includes(t.status)
+        ? `<button data-retry="${t.id}">Retry</button>` : ""}
+      ${t.error ? `<div class="t">${esc(t.error.slice(0, 120))}</div>` : ""}
+    </div>`).join("") || "<p>No tasks.</p>";
+  for (const b of document.querySelectorAll("[data-retry]"))
+    b.onclick = async (e) => { e.stopPropagation();
+      await api(`/tasks/${b.dataset.retry}/retry`, { method: "POST" }); renderTasks(); };
+}
+function startTaskPolling() {
+  clearInterval(state.tasksTimer);
+  state.tasksTimer = setInterval(() => {
+    if (state.tab === "tasks") renderTasks();
+  }, 5000);
+}
+
+/* ---------- jump ---------- */
+async function jump(direction) {
+  const kind = $("jump-kind").value;
+  const params = new URLSearchParams({ kind, direction,
+    from_ms: String(Math.round($("video").currentTime * 1000)) });
+  const label = $("jump-label").value.trim();
+  if (label) params.set("label", label);
+  const conf = $("jump-conf").value;
+  if (conf) params.set("min_confidence", conf);
+  const res = await api(`/videos/${state.video.id}/jump?${params}`);
+  if (res.found) seek(res.jump_to.start_ms);
+}
+
+/* ---------- find ---------- */
+async function findInVideo() {
+  const q = $("find-input").value.trim();
+  if (!q) return;
+  const from = Math.round($("video").currentTime * 1000);
+  const { matches } = await api(
+    `/videos/${state.video.id}/find?q=${encodeURIComponent(q)}&from_ms=0`);
+  $("find-results").innerHTML = matches.map(m => `
+    <div class="seg" data-ms="${m.jump_to.start_ms}">
+      <span class="t">${fmtMs(m.jump_to.start_ms)}</span>
+      <span class="chip">${m.source}</span> ${m.snippet}
+    </div>`).join("") || "<p>No matches.</p>";
+  for (const el of $("find-results").querySelectorAll(".seg"))
+    el.onclick = () => seek(+el.dataset.ms);
+  const next = matches.find(m => m.jump_to.start_ms >= from);
+  if (next) seek(next.jump_to.start_ms);
+}
+
+/* ---------- overlays ---------- */
+function drawOverlays() {
+  const video = $("video"), canvas = $("overlay");
+  if (!state.video || video.videoWidth === 0) return;
+  canvas.width = video.videoWidth; canvas.height = video.videoHeight;
+  const ctx = canvas.getContext("2d");
+  ctx.clearRect(0, 0, canvas.width, canvas.height);
+  const nowMs = video.currentTime * 1000;
+  const draw = (arts, color, getBox, getTag) => {
+    for (const a of arts) {
+      if (nowMs < a.span_start_ms - 250 || nowMs > a.span_end_ms + 250) continue;
+      ctx.strokeStyle = color; ctx.fillStyle = color; ctx.lineWidth = 2;
+      const box = getBox(a.payload_json);
+      if (!box) continue;
+      ctx.strokeRect(box.x, box.y, box.width, box.height);
+      const tag = getTag(a.payload_json);
+      if (tag) { ctx.font = "13px sans-serif"; ctx.fillText(tag, box.x + 2, box.y - 4); }
+    }
+  };
+  const cached = (t) => state.artifacts[`${t}:`] || [];
+  if (state.overlays.objects)
+    draw(cached("object.detection"), "#4f8cff", p => p.bounding_box, p => p.label);
+  if (state.overlays.faces)
+    draw(cached("face.detection"), "#6ad18b", p => p.bounding_box, () => "face");
+  if (state.overlays.ocr)
+    draw(cached("ocr.text"), "#ffc86a", p => {
+      const xs = p.polygon.map(q => q[0]), ys = p.polygon.map(q => q[1]);
+      return { x: Math.min(...xs), y: Math.min(...ys),
+        width: Math.max(...xs) - Math.min(...xs),
+        height: Math.max(...ys) - Math.min(...ys) };
+    }, p => p.text.slice(0, 20));
+  requestAnimationFrame(drawOverlays);
+}
+async function toggleOverlay(name, type) {
+  state.overlays[name] = $(`toggle-${name}`).checked;
+  if (state.overlays[name]) { await fetchArtifacts(type); drawOverlays(); }
+}
+
+/* ---------- transcript sync highlight ---------- */
+setInterval(() => {
+  if (state.tab !== "transcript" || $("player-view").classList.contains("hidden")) return;
+  const nowMs = $("video").currentTime * 1000;
+  for (const el of document.querySelectorAll("#tab-content .seg")) {
+    const start = +el.dataset.ms;
+    const next = el.nextElementSibling ? +el.nextElementSibling.dataset.ms : Infinity;
+    el.classList.toggle("current", nowMs >= start && nowMs < next);
+  }
+}, 500);
+
+/* ---------- wiring ---------- */
+window.addEventListener("DOMContentLoaded", () => {
+  loadGallery();
+  $("search-btn").onclick = doSearch;
+  $("search-input").onkeydown = (e) => { if (e.key === "Enter") doSearch(); };
+  $("back-btn").onclick = closeVideo;
+  window.onpopstate = () => {
+    const m = location.hash.match(/#v=(.+)/);
+    if (m) openVideo(m[1]); else if (state.video) closeVideo();
+  };
+  for (const b of document.querySelectorAll("#tabs button"))
+    b.onclick = () => selectTab(b.dataset.tab);
+  $("run-selector").onchange = () => { state.run = $("run-selector").value; renderTab(); };
+  $("jump-next").onclick = () => jump("next");
+  $("jump-prev").onclick = () => jump("prev");
+  $("find-btn").onclick = findInVideo;
+  $("find-input").onkeydown = (e) => { if (e.key === "Enter") findInVideo(); };
+  $("toggle-objects").onchange = () => toggleOverlay("objects", "object.detection");
+  $("toggle-faces").onchange = () => toggleOverlay("faces", "face.detection");
+  $("toggle-ocr").onchange = () => toggleOverlay("ocr", "ocr.text");
+  const m = location.hash.match(/#v=(.+)/);
+  if (m) openVideo(m[1]);
+});

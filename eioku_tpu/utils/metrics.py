@@ -1,0 +1,115 @@
+"""In-process metrics: counters + latency histograms + stage timers.
+
+The reference has no metrics/tracing at all — observability is JSON logs only
+(SURVEY.md section 5). This framework treats per-stage timing as first-class:
+the task handler and engine record stage durations here, the API exposes a
+snapshot at /api/v1/metrics, and TPU profiling traces can be captured via
+EIOKU_PROFILE_DIR (jax.profiler) around any task execution.
+"""
+from __future__ import annotations
+
+import math
+import os
+import threading
+import time
+from contextlib import contextmanager
+
+_BUCKETS = [0.001, 0.005, 0.01, 0.05, 0.1, 0.5, 1, 5, 10, 50, 100, 500]
+
+
+class _Histogram:
+    __slots__ = ("counts", "total", "count", "min", "max")
+
+    def __init__(self):
+        self.counts = [0] * (len(_BUCKETS) + 1)
+        self.total = 0.0
+        self.count = 0
+        self.min = math.inf
+        self.max = 0.0
+
+    def observe(self, v: float) -> None:
+        i = 0
+        while i < len(_BUCKETS) and v > _BUCKETS[i]:
+            i += 1
+        self.counts[i] += 1
+        self.total += v
+        self.count += 1
+        self.min = min(self.min, v)
+        self.max = max(self.max, v)
+
+    def snapshot(self) -> dict:
+        return {
+            "count": self.count,
+            "mean": self.total / self.count if self.count else 0.0,
+            "min": self.min if self.count else 0.0,
+            "max": self.max,
+            "buckets": {f"le_{b}": c for b, c in zip(_BUCKETS, self.counts)},
+        }
+
+
+class MetricsRegistry:
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counters: dict[str, float] = {}
+        self._histograms: dict[str, _Histogram] = {}
+
+    def inc(self, name: str, value: float = 1.0, **labels) -> None:
+        key = _key(name, labels)
+        with self._lock:
+            self._counters[key] = self._counters.get(key, 0.0) + value
+
+    def observe(self, name: str, seconds: float, **labels) -> None:
+        key = _key(name, labels)
+        with self._lock:
+            h = self._histograms.get(key)
+            if h is None:
+                h = self._histograms[key] = _Histogram()
+            h.observe(seconds)
+
+    @contextmanager
+    def timer(self, name: str, **labels):
+        start = time.monotonic()
+        try:
+            yield
+        finally:
+            self.observe(name, time.monotonic() - start, **labels)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {
+                "counters": dict(self._counters),
+                "timings": {k: h.snapshot() for k, h in self._histograms.items()},
+            }
+
+    def reset(self) -> None:
+        with self._lock:
+            self._counters.clear()
+            self._histograms.clear()
+
+
+def _key(name: str, labels: dict) -> str:
+    if not labels:
+        return name
+    lab = ",".join(f"{k}={v}" for k, v in sorted(labels.items()))
+    return f"{name}{{{lab}}}"
+
+
+METRICS = MetricsRegistry()
+
+
+@contextmanager
+def maybe_profile(tag: str):
+    """Capture a jax.profiler trace for this block when EIOKU_PROFILE_DIR is set.
+    Traces land in $EIOKU_PROFILE_DIR/<tag>-<ts>/ and open in TensorBoard/xprof."""
+    profile_dir = os.environ.get("EIOKU_PROFILE_DIR")
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    path = os.path.join(profile_dir, f"{tag}-{int(time.time())}")
+    jax.profiler.start_trace(path)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

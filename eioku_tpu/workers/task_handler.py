@@ -24,6 +24,7 @@ from eioku_tpu.domain.artifacts import ArtifactEnvelope, Run, utcnow
 from eioku_tpu.domain.models import Task, TaskStatus
 from eioku_tpu.domain.task_registry import TASK_REGISTRY
 from eioku_tpu.utils.hashing import compute_config_hash, compute_input_hash
+from eioku_tpu.utils.metrics import METRICS, maybe_profile
 
 log = logging.getLogger(__name__)
 
@@ -66,12 +67,16 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
         app.tasks.update_status(task_id, TaskStatus.RUNNING)
     try:
         if task_type == "semantic_indexing":
-            n = await asyncio.to_thread(_run_semantic_indexing, app, ctx,
-                                        video_id, config)
+            with METRICS.timer("task_seconds", task_type=task_type):
+                n = await asyncio.to_thread(_run_semantic_indexing, app, ctx,
+                                            video_id, config)
             app.tasks.update_status(task_id, TaskStatus.COMPLETED)
+            METRICS.inc("tasks_completed", task_type=task_type)
             return {"artifacts": n}
-        results = await asyncio.to_thread(engine.run_task, task_type, video_path,
-                                          config)
+        with METRICS.timer("task_seconds", task_type=task_type), \
+                maybe_profile(task_type):
+            results = await asyncio.to_thread(engine.run_task, task_type,
+                                              video_path, config)
         artifact_type = TASK_REGISTRY[task_type].artifact_types[0]
         run_id = str(uuid.uuid4())
         config_hash = compute_config_hash(config or {})
@@ -95,6 +100,8 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
         if task_type == "transcription":
             _enqueue_semantic_indexing(app, video_id, video_path)
         app.tasks.update_status(task_id, TaskStatus.COMPLETED)
+        METRICS.inc("tasks_completed", task_type=task_type)
+        METRICS.inc("artifacts_created", len(envs), task_type=task_type)
         log.info("task completed", extra={"task_id": task_id, "task_type": task_type,
                                           "artifacts": len(envs), "run_id": run_id})
         return {"artifacts": len(envs), "run_id": run_id}
@@ -104,6 +111,7 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
             app.tasks.update_status(task_id, TaskStatus.CANCELLED)
         raise
     except Exception as e:
+        METRICS.inc("tasks_failed", task_type=task_type)
         t = app.tasks.get(task_id)
         if t is not None and t.status is TaskStatus.RUNNING:
             app.tasks.update_status(task_id, TaskStatus.FAILED,

@@ -53,9 +53,26 @@ def seed_transcript(ctx, video_id, run="r1"):
 
 
 class TestRootAndHealth:
-    def test_root(self, client):
+    def test_root_serves_spa(self, client):
         r = client.get("/")
+        assert r.status_code == 200
+        assert "text/html" in r.headers["content-type"]
+        assert "Eioku" in r.text
+
+    def test_static_assets(self, client):
+        assert client.get("/static/app.js").status_code == 200
+        assert client.get("/static/style.css").status_code == 200
+        assert client.get("/static/../api/app.py").status_code in (404, 400)
+
+    def test_api_root(self, client):
+        r = client.get("/api/v1")
         assert r.status_code == 200 and r.json()["name"] == "eioku-tpu"
+
+    def test_metrics_and_device(self, client):
+        m = client.get("/api/v1/metrics")
+        assert m.status_code == 200 and "queue" in m.json()
+        d = client.get("/api/v1/device")
+        assert d.status_code == 200 and d.json()["device_count"] >= 1
 
     def test_health(self, client):
         assert client.get("/health").json()["status"] == "ok"
