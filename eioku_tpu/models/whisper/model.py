@@ -163,6 +163,19 @@ def _self_attn(x, p: Params, n_heads: int, mask=None) -> jnp.ndarray:
     return linear(_attend(q, k, v, n_heads, mask), p["o"])
 
 
+def _self_attn_flash(x, p: Params, n_heads: int) -> jnp.ndarray:
+    """Encoder self-attention via the Pallas flash kernel (1500-position
+    sequences; falls back to the identical-math reference path on CPU)."""
+    from eioku_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = linear(x, p["q"]), linear(x, p["k"]), linear(x, p["v"])
+    b, s, d = q.shape
+    hd = d // n_heads
+    to_heads = lambda t: t.reshape(b, s, n_heads, hd).transpose(0, 2, 1, 3)
+    o = flash_attention(to_heads(q), to_heads(k), to_heads(v))
+    return linear(o.transpose(0, 2, 1, 3).reshape(b, s, d), p["o"])
+
+
 # -- encoder -------------------------------------------------------------------------
 
 
@@ -184,8 +197,8 @@ def whisper_encode(params: Params, mel: jnp.ndarray,
     x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
     x = x + jnp.asarray(sinusoids(x.shape[1], x.shape[2]))[None]
     for layer in enc["layers"]:
-        x = x + _self_attn(layernorm(x, layer["ln1"], eps=1e-5), layer["attn"],
-                           cfg.n_heads)
+        x = x + _self_attn_flash(layernorm(x, layer["ln1"], eps=1e-5),
+                                 layer["attn"], cfg.n_heads)
         h = layernorm(x, layer["ln2"], eps=1e-5)
         x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
     return layernorm(x, enc["ln_post"], eps=1e-5)
