@@ -147,6 +147,11 @@ def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
 def main() -> None:
     import jax
 
+    try:  # persistent compile cache: warm re-runs skip the slow remote compile
+        jax.config.update("jax_compilation_cache_dir", "/tmp/eioku_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     fps = bench_detect()
     chunks_per_s = bench_embed()

@@ -19,11 +19,18 @@ from eioku_tpu.models.yolo.model import YoloConfig, anchor_points, yolo_forward
 
 def decode_boxes(box_logits: jnp.ndarray, anchors: jnp.ndarray,
                  strides: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
-    """DFL decode: box_logits [B, A, 4*reg_max] -> xyxy pixels [B, A, 4]."""
+    """DFL decode: box_logits [B, A, 4*reg_max] -> xyxy pixels [B, A, 4].
+
+    The softmax expectation is written as explicit max/exp + einsum: on the TPU
+    backend jax.nn.softmax over the trailing (4, reg_max) layout compiles ~200x
+    slower (162 s vs 0.7 s measured) than this formulation.
+    """
     b, a, _ = box_logits.shape
     dist = box_logits.reshape(b, a, 4, reg_max).astype(jnp.float32)
     bins = jnp.arange(reg_max, dtype=jnp.float32)
-    ltrb = jnp.sum(jax.nn.softmax(dist, axis=-1) * bins, axis=-1)  # [B, A, 4]
+    m = jnp.max(dist, axis=-1, keepdims=True)
+    e = jnp.exp(dist - m)
+    ltrb = jnp.einsum("bafr,r->baf", e, bins) / jnp.sum(e, axis=-1)  # [B, A, 4]
     ltrb = ltrb * strides[None, :, None]
     x1y1 = anchors[None] - ltrb[..., :2]
     x2y2 = anchors[None] + ltrb[..., 2:]
