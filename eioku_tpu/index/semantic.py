@@ -26,13 +26,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eioku_tpu.domain.artifacts import SelectionPolicy
+from eioku_tpu.domain.artifacts import SelectionPolicy, utcnow
 from eioku_tpu.models.embed.minilm import MiniLMConfig, load_minilm, minilm_embed
 from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
 from eioku_tpu.utils.hashing import compute_config_hash
 from eioku_tpu.workers.task_handler import build_envelopes
 
 log = logging.getLogger(__name__)
+
+_STOPWORDS = frozenset(
+    "the a an and or but if then else for while of to in on at by with from as "
+    "is are was were be been being has have had do does did will would can "
+    "could should may might must this that these those it its they them their "
+    "he she his her you your we our i me my not no yes so than too very just "
+    "about into over under again there here when where why how all any both "
+    "each few more most other some such only own same s t don now what which "
+    "who whom because until against between through during before after above "
+    "below up down out off further once also like get got one two".split())
 
 
 @partial(jax.jit, static_argnames=("top_k",))
@@ -203,9 +213,44 @@ class SemanticIndex:
             producer_version="0.1.0", model_profile=self.ctx.config.model_profile,
             config_hash=compute_config_hash(config), input_hash="transcript")
         self.ctx.artifacts.batch_create(envs)
+        self._extract_topics(video_id, [c["text"] for c in chunks],
+                             top_k=int(config.get("topics_top_k", 10)))
         log.info("indexed video", extra={"video_id": video_id,
                                          "chunks": len(chunks)})
         return len(chunks)
+
+    def _extract_topics(self, video_id: str, texts: list[str],
+                        top_k: int = 10) -> None:
+        """TF-IDF-style topic terms into the topics table (the reference shipped
+        only the table + spec Req 9; SURVEY.md section 0)."""
+        import math
+        import re
+
+        tf: dict[str, int] = {}
+        df: dict[str, int] = {}
+        for text in texts:
+            words = set()
+            for w in re.findall(r"[a-zA-Z][a-zA-Z'-]{2,}", text.lower()):
+                if w in _STOPWORDS:
+                    continue
+                tf[w] = tf.get(w, 0) + 1
+                words.add(w)
+            for w in words:
+                df[w] = df.get(w, 0) + 1
+        n_docs = max(len(texts), 1)
+        scored = sorted(
+            ((w, tf[w] * math.log(1.0 + n_docs / df[w])) for w in tf),
+            key=lambda kv: kv[1], reverse=True)[:top_k]
+        if not scored:
+            return
+        top = scored[0][1] or 1.0
+        with self.ctx.db.transaction() as conn:
+            conn.execute("DELETE FROM topics WHERE asset_id=?", (video_id,))
+            conn.executemany(
+                "INSERT INTO topics (id, asset_id, label, score, created_at)"
+                " VALUES (?,?,?,?,?)",
+                [(str(uuid.uuid4()), video_id, w, round(s / top, 4),
+                  utcnow().isoformat()) for w, s in scored])
 
     # -- search ---------------------------------------------------------------------------
 

@@ -128,10 +128,28 @@ def run_object_detection(video_path: str, config: dict,
 def run_face_detection(video_path: str, config: dict,
                        model_cache_dir: str | None = None) -> list[dict]:
     model = config.get("model", "yolov8n-face")
-    return _run_detection(
+    results = _run_detection(
         video_path, config, model_name=model, num_classes=1,
         class_names=[], default_conf=0.7, default_interval=3.0,
         model_cache_dir=model_cache_dir,
         payload_builder=lambda label, conf, box, frame: {
             "cluster_id": None, "confidence": conf, "bounding_box": box,
             "frame_number": frame})
+    _assign_face_clusters(results)
+    return results
+
+
+def _assign_face_clusters(results: list[dict]) -> None:
+    """Cross-frame IoU tracking -> cluster ids (the capability the reference
+    declared but never implemented; see ml/face_tracking.py)."""
+    from eioku_tpu.ml.face_tracking import FaceTracker
+
+    tracker = FaceTracker()
+    by_frame: dict[int, list[dict]] = {}
+    for r in results:
+        by_frame.setdefault(r["payload"]["frame_number"], []).append(r)
+    for frame in sorted(by_frame):
+        group = by_frame[frame]
+        ids = tracker.assign([r["payload"]["bounding_box"] for r in group])
+        for r, cid in zip(group, ids):
+            r["payload"]["cluster_id"] = cid

@@ -1,0 +1,170 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eioku_tpu.parallel.mesh import make_mesh, shard_minilm_params
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, model_parallel=2)
+
+
+class TestMesh:
+    def test_shape(self, mesh8):
+        assert dict(mesh8.shape) == {"data": 4, "model": 2}
+
+    def test_invalid_model_parallel(self):
+        with pytest.raises(ValueError):
+            make_mesh(8, model_parallel=3)
+
+    def test_minilm_tp_sharding(self, mesh8):
+        from eioku_tpu.models.embed.minilm import MiniLMConfig, init_minilm_params
+        cfg = MiniLMConfig(vocab_size=256, dim=64, n_layers=1, n_heads=4,
+                           ffn_dim=128, max_position=32)
+        params = shard_minilm_params(init_minilm_params(cfg, 0), mesh8)
+        # column-parallel q: output dim split over "model"
+        q_sharding = params["layers"][0]["q"]["w"].sharding
+        assert q_sharding.spec == jax.sharding.PartitionSpec(None, "model")
+        # row-parallel o: input dim split
+        o_sharding = params["layers"][0]["o"]["w"].sharding
+        assert o_sharding.spec == jax.sharding.PartitionSpec("model", None)
+        # layernorm replicated
+        ln = params["layers"][0]["attn_ln"]["gamma"].sharding
+        assert ln.spec == jax.sharding.PartitionSpec()
+
+
+class TestDataParallelInference:
+    def test_dp_embedder_matches_single_device(self, mesh8):
+        from eioku_tpu.models.embed.minilm import (
+            MiniLMConfig,
+            init_minilm_params,
+            minilm_embed,
+        )
+        from eioku_tpu.parallel.inference import DataParallelEmbedder
+
+        cfg = MiniLMConfig(vocab_size=128, dim=32, n_layers=1, n_heads=2,
+                           ffn_dim=64, max_position=16)
+        params = init_minilm_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 128, (6, 16), dtype=np.int32)  # 6 not mult of 4
+        mask = np.ones((6, 16), np.int32)
+        single = np.asarray(minilm_embed(params, jnp.asarray(ids),
+                                         jnp.asarray(mask), cfg))
+        dp = DataParallelEmbedder(params, cfg, mesh8)
+        sharded = np.asarray(dp(ids, mask))
+        assert sharded.shape == (6, 32)
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_dp_detector_runs(self, mesh8):
+        from eioku_tpu.models.yolo.model import YoloConfig, init_yolo_params
+        from eioku_tpu.parallel.inference import DataParallelDetector
+
+        cfg = YoloConfig("yolov8n", num_classes=4)
+        params = init_yolo_params(cfg, seed=0)
+        det = DataParallelDetector(params, cfg, mesh8)
+        frames = np.zeros((5, 64, 64, 3), np.uint8)  # pads to 8
+        out = det(frames, conf_threshold=0.0)
+        assert out["boxes"].shape[0] == 5
+        assert out["valid"].shape[0] == 5
+
+    def test_train_step_on_mesh(self, mesh8):
+        """The dryrun path: sharded contrastive training step converges a hair."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from eioku_tpu.models.embed.minilm import MiniLMConfig, init_minilm_params
+        from eioku_tpu.parallel.train import make_train_step
+
+        cfg = MiniLMConfig(vocab_size=64, dim=32, n_layers=1, n_heads=2,
+                           ffn_dim=64, max_position=16)
+        params = shard_minilm_params(init_minilm_params(cfg, 0), mesh8)
+        step, opt = make_train_step(cfg, optax.sgd(0.001))
+        opt_state = opt.init(params)
+        rng = np.random.default_rng(0)
+        sh = NamedSharding(mesh8, P("data"))
+        ids = jax.device_put(jnp.asarray(
+            rng.integers(0, 64, (8, 8), dtype=np.int32)), sh)
+        mask = jax.device_put(jnp.ones((8, 8), jnp.int32), sh)
+        with mesh8:
+            params, opt_state, loss1 = step(params, opt_state, ids, mask, ids, mask)
+            params, opt_state, loss2 = step(params, opt_state, ids, mask, ids, mask)
+        assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+        assert float(loss2) < float(loss1)  # anchors==positives: easy to improve
+
+
+class TestFaceTracking:
+    def test_stable_track(self):
+        from eioku_tpu.ml.face_tracking import FaceTracker
+        t = FaceTracker()
+        box = {"x": 10, "y": 10, "width": 40, "height": 40}
+        ids1 = t.assign([box])
+        moved = {"x": 14, "y": 12, "width": 40, "height": 40}
+        ids2 = t.assign([moved])
+        assert ids1 == ids2 == ["face_0"]
+
+    def test_two_faces_two_tracks(self):
+        from eioku_tpu.ml.face_tracking import FaceTracker
+        t = FaceTracker()
+        a = {"x": 0, "y": 0, "width": 30, "height": 30}
+        b = {"x": 200, "y": 0, "width": 30, "height": 30}
+        assert t.assign([a, b]) == ["face_0", "face_1"]
+        assert t.assign([b, a]) == ["face_1", "face_0"]  # order-independent
+
+    def test_track_expires_after_gap(self):
+        from eioku_tpu.ml.face_tracking import FaceTracker
+        t = FaceTracker(max_gap_frames=1)
+        box = {"x": 0, "y": 0, "width": 30, "height": 30}
+        assert t.assign([box]) == ["face_0"]
+        t.assign([])
+        t.assign([])
+        assert t.assign([box]) == ["face_1"]  # old track expired
+
+    def test_cluster_assignment_in_results(self):
+        from eioku_tpu.ml.detection import _assign_face_clusters
+        box = {"x": 5, "y": 5, "width": 50, "height": 50}
+        results = [
+            {"payload": {"cluster_id": None, "confidence": 0.9,
+                         "bounding_box": dict(box), "frame_number": 0},
+             "span_start_ms": 0, "span_end_ms": 33},
+            {"payload": {"cluster_id": None, "confidence": 0.9,
+                         "bounding_box": dict(box), "frame_number": 30},
+             "span_start_ms": 1000, "span_end_ms": 1033},
+        ]
+        _assign_face_clusters(results)
+        assert results[0]["payload"]["cluster_id"] == \
+            results[1]["payload"]["cluster_id"] == "face_0"
+
+
+class TestTopics:
+    def test_topics_written(self, tmp_path):
+        from eioku_tpu.api.app import build_context
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.domain.models import Video
+        import sys
+        sys.path.insert(0, "tests")
+        from test_semantic import seed_transcript
+
+        config = AppConfig(scan_paths=[], auto_discover=False,
+                           index_dir=str(tmp_path / "idx"))
+        db = Database(f"sqlite:///{tmp_path}/topics.db")
+        ctx = build_context(config, db=db)
+        v = Video(path="/t.mp4")
+        ctx.videos.save(v)
+        seed_transcript(ctx, v.id, [
+            "quantum computing and quantum error correction",
+            "the quantum hardware requires cryogenic cooling systems",
+        ])
+        ctx.extra["semantic_index"].index_video(v.id, {"chunk_chars": 40})
+        rows = db.query("SELECT label, score FROM topics WHERE asset_id=?"
+                        " ORDER BY score DESC", (v.id,))
+        labels = [r["label"] for r in rows]
+        assert "quantum" in labels
+        assert "the" not in labels  # stopwords filtered
+        assert rows[0]["score"] == 1.0  # normalized
+        db.close()
