@@ -61,6 +61,48 @@ def _normalize_variant(model: str) -> str:
                             "large-v3-turbo") else "large-v3"
 
 
+def parse_timestamped_tokens(gen: list[int], tokens, text_decoder,
+                             window_start_ms: int, window_end_ms: int
+                             ) -> list[dict]:
+    """Split a decoded token stream at Whisper timestamp tokens into segments.
+
+    Timestamp tokens encode 0.02 s steps from the window start; text between a
+    pair of timestamps becomes one segment (faster-whisper's segment shape,
+    reference model_manager.py:437-460). Text outside any timestamp pair falls
+    back to the window span.
+    """
+    segments: list[dict] = []
+    seg_start_s: float | None = None
+    buf: list[int] = []
+
+    def flush(end_s: float | None) -> None:
+        nonlocal buf, seg_start_s
+        if not buf:
+            seg_start_s = None
+            return
+        text = text_decoder.decode(buf)
+        if text:
+            s_ms = window_start_ms + int((seg_start_s or 0.0) * 1000)
+            e_ms = window_start_ms + int(end_s * 1000) if end_s is not None \
+                else window_end_ms
+            e_ms = max(min(e_ms, window_end_ms), s_ms)
+            segments.append({"text": text, "start_ms": s_ms, "end_ms": e_ms})
+        buf = []
+        seg_start_s = None
+
+    for tok in gen:
+        ts = tokens.timestamp_seconds(tok)
+        if ts is not None:
+            if buf:
+                flush(ts)
+            else:
+                seg_start_s = ts
+        elif not tokens.is_special(tok):
+            buf.append(tok)
+    flush(None)
+    return segments
+
+
 def run_transcription(video_path: str, config: dict,
                       model_cache_dir: str | None = None) -> list[dict]:
     audio_path = audio_io.find_audio_for_video(video_path)
@@ -82,7 +124,10 @@ def run_transcription(video_path: str, config: dict,
     tokens = WhisperTokens(cfg.vocab_size)
     text_decoder = WhisperTextDecoder.from_cache_dir(model_cache_dir,
                                                      cfg.vocab_size)
-    sot = tokens.sot_sequence(language or "en", timestamps=False)
+    # segment-level timestamps need a real model; random weights use plain mode
+    want_ts = config.get("timestamps", "auto")
+    use_timestamps = pretrained if want_ts == "auto" else bool(want_ts)
+    sot = tokens.sot_sequence(language or "en", timestamps=use_timestamps)
 
     batch_size = int(config.get("batch_size", 8))
     max_tokens = int(config.get("max_tokens", 128))
@@ -104,17 +149,25 @@ def run_transcription(video_path: str, config: dict,
             gen = ids[len(sot):]
             if tokens.eot in gen:
                 gen = gen[:gen.index(tokens.eot)]
-            if not pretrained:
-                # random weights produce arbitrary ids; emit an empty segment
-                # marker only when a vocab exists to decode meaningfully
-                text = ""
-            else:
-                text = text_decoder.decode(gen)
             end_ms = min(start_ms + int(WINDOW_S * 1000), total_ms)
-            if text or pretrained:
+            if not pretrained:
+                # random weights produce arbitrary ids; suppress text
+                continue
+            segs = []
+            if use_timestamps:
+                segs = parse_timestamped_tokens(gen, tokens, text_decoder,
+                                                start_ms, end_ms)
+            if not segs:
+                text = text_decoder.decode(gen)
+                if text:
+                    segs = [{"text": text, "start_ms": start_ms,
+                             "end_ms": end_ms}]
+            for seg in segs:
                 results.append({
-                    "payload": {"text": text, "language": language,
-                                "start_ms": start_ms, "end_ms": end_ms},
-                    "span_start_ms": start_ms, "span_end_ms": end_ms,
+                    "payload": {"text": seg["text"], "language": language,
+                                "start_ms": seg["start_ms"],
+                                "end_ms": seg["end_ms"]},
+                    "span_start_ms": seg["start_ms"],
+                    "span_end_ms": seg["end_ms"],
                 })
     return results

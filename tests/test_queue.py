@@ -274,3 +274,30 @@ class TestReconciler:
         assert report.statuses_synced == 1
         got = tasks.get(t.id)
         assert got.status is TaskStatus.FAILED and "exploded" in got.error
+
+
+class TestConcurrentClaims:
+    def test_claim_once_under_threads(self, db):
+        """N threads racing to claim must never double-claim a job."""
+        import threading
+        q = SqliteJobQueue(db)
+        for i in range(40):
+            q.enqueue(Job(job_id=f"j{i}", function="f"))
+        claimed: list[str] = []
+        lock = threading.Lock()
+
+        def worker(wid):
+            while True:
+                job = q.claim(f"w{wid}")
+                if job is None:
+                    return
+                with lock:
+                    claimed.append(job.job_id)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert sorted(claimed) == sorted({f"j{i}" for i in range(40)})
+        assert len(claimed) == len(set(claimed)) == 40

@@ -272,3 +272,46 @@ class TestTranscribePipeline:
         # random weights -> no text, segments suppressed
         for r in results:
             assert r["span_start_ms"] == 0
+
+
+class TestTimestampParsing:
+    def _setup(self):
+        tokens = WhisperTokens(51865)
+        vocab = {"Hello": 1, "Ġworld": 2, "Ġbye": 3}
+        decoder = WhisperTextDecoder(vocab, tokens)
+        return tokens, decoder
+
+    def _ts(self, tokens, seconds):
+        return tokens.timestamp_begin + int(seconds / 0.02)
+
+    def test_two_segments(self):
+        from eioku_tpu.ml.transcribe import parse_timestamped_tokens
+        tokens, decoder = self._setup()
+        gen = [self._ts(tokens, 0.0), 1, 2, self._ts(tokens, 2.0),
+               self._ts(tokens, 2.0), 3, self._ts(tokens, 4.5)]
+        segs = parse_timestamped_tokens(gen, tokens, decoder, 30000, 60000)
+        assert len(segs) == 2
+        assert segs[0] == {"text": "Hello world", "start_ms": 30000,
+                           "end_ms": 32000}
+        assert segs[1]["start_ms"] == 32000 and segs[1]["end_ms"] == 34500
+        assert segs[1]["text"] == "bye"
+
+    def test_unterminated_segment_falls_to_window_end(self):
+        from eioku_tpu.ml.transcribe import parse_timestamped_tokens
+        tokens, decoder = self._setup()
+        gen = [self._ts(tokens, 1.0), 1]
+        segs = parse_timestamped_tokens(gen, tokens, decoder, 0, 30000)
+        assert segs == [{"text": "Hello", "start_ms": 1000, "end_ms": 30000}]
+
+    def test_no_timestamps_in_stream(self):
+        from eioku_tpu.ml.transcribe import parse_timestamped_tokens
+        tokens, decoder = self._setup()
+        segs = parse_timestamped_tokens([1, 2], tokens, decoder, 0, 30000)
+        assert segs == [{"text": "Hello world", "start_ms": 0, "end_ms": 30000}]
+
+    def test_end_clamped_to_window(self):
+        from eioku_tpu.ml.transcribe import parse_timestamped_tokens
+        tokens, decoder = self._setup()
+        gen = [self._ts(tokens, 0.0), 1, self._ts(tokens, 29.0)]
+        segs = parse_timestamped_tokens(gen, tokens, decoder, 0, 5000)
+        assert segs[0]["end_ms"] == 5000
