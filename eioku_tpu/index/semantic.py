@@ -254,6 +254,22 @@ class SemanticIndex:
 
     # -- search ---------------------------------------------------------------------------
 
+    IVF_THRESHOLD = 4096  # brute force is faster below this corpus size
+
+    def _ivf(self, corpus) -> "object | None":
+        n = corpus.shape[0]
+        if n < self.IVF_THRESHOLD:
+            return None
+        cached = getattr(self, "_ivf_cache", None)
+        if cached is not None and cached.n_vectors == n:
+            return cached
+        from eioku_tpu.index.ivf import IvfIndex
+
+        self._ivf_cache = IvfIndex.build(np.asarray(corpus, np.float32))
+        log.info("built IVF index", extra={"vectors": n,
+                                           "clusters": self._ivf_cache.k})
+        return self._ivf_cache
+
     def search(self, query: str, top_k: int = 10,
                asset_id: str | None = None) -> list[dict]:
         corpus = self._corpus()
@@ -261,8 +277,14 @@ class SemanticIndex:
             return []
         q = self.embed_texts([query])[0]
         k = min(top_k * 4 if asset_id else top_k, corpus.shape[0])
-        scores, idx = _topk_cosine(corpus, jnp.asarray(q), k)
-        scores, idx = np.asarray(scores), np.asarray(idx)
+        ivf = self._ivf(corpus)
+        if ivf is not None:
+            scores, idx = ivf.search(q, top_k=k)
+            keep = idx >= 0
+            scores, idx = scores[keep], idx[keep]
+        else:
+            scores, idx = _topk_cosine(corpus, jnp.asarray(q), k)
+            scores, idx = np.asarray(scores), np.asarray(idx)
         out = []
         for score, slot in zip(scores, idx):
             row = self.ctx.db.query_one(
