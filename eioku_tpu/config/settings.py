@@ -38,6 +38,25 @@ DEFAULT_TASK_SETTINGS: dict[str, dict[str, Any]] = {
 }
 
 
+# Workload profiles -> per-task-type queue priorities (1 = highest). The
+# reference's profile `workers:` sections were dead config
+# (video_discovery_service.py loads only task_settings); here profiles actually
+# shape scheduling: search-first drains transcription/semantic work before
+# visual tasks, visual-first the reverse (BASELINE.json
+# "Balanced/Search-First/Visual-First").
+WORKLOAD_PROFILES: dict[str, dict[str, int]] = {
+    "balanced": {},
+    "search_first": {"metadata_extraction": 1, "transcription": 2,
+                     "semantic_indexing": 3, "ocr": 4, "scene_detection": 5,
+                     "object_detection": 7, "face_detection": 7,
+                     "place_classification": 8},
+    "visual_first": {"metadata_extraction": 1, "scene_detection": 2,
+                     "object_detection": 3, "face_detection": 3,
+                     "place_classification": 4, "ocr": 5, "transcription": 7,
+                     "semantic_indexing": 8},
+}
+
+
 @dataclass
 class AppConfig:
     scan_paths: list[str] = field(default_factory=lambda: list(DEFAULT_SCAN_PATHS))
@@ -53,10 +72,16 @@ class AppConfig:
     auto_discover: bool = True
     semantic_search: bool = True
 
+    workload_profile: str = "balanced"
+
     def settings_for(self, task_type: str) -> dict[str, Any]:
         merged = dict(DEFAULT_TASK_SETTINGS.get(task_type, {}))
         merged.update(self.task_settings.get(task_type, {}))
         return merged
+
+    def priority_for(self, task_type: str, default: int) -> int:
+        return WORKLOAD_PROFILES.get(self.workload_profile, {}).get(
+            task_type, default)
 
 
 def _search_config_path(explicit: str | None) -> str | None:
@@ -93,6 +118,7 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
         cfg.index_dir = data.get("index_dir")
         cfg.auto_discover = data.get("auto_discover", cfg.auto_discover)
         cfg.semantic_search = data.get("semantic_search", cfg.semantic_search)
+        cfg.workload_profile = data.get("workload_profile", cfg.workload_profile)
         log.info("loaded config", extra={"config_path": path})
     if os.environ.get("EIOKU_DATABASE_URL"):
         cfg.database_url = os.environ["EIOKU_DATABASE_URL"]

@@ -18,6 +18,7 @@ import os
 from functools import lru_cache
 
 import cv2
+import jax.numpy as jnp
 import numpy as np
 
 from eioku_tpu.ml import video_io
@@ -74,6 +75,10 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
     conf = float(config.get("confidence_threshold", default_conf))
     interval = float(config.get("frame_interval_s", default_interval))
     batch_size = int(config.get("batch_size", 32))
+    # "device" letterboxes+normalizes on TPU (fused matmul resize, ops/resize.py);
+    # "host" uses cv2 in the decode thread. Host wins when the PCIe/host link is
+    # the bottleneck for full-resolution frames, device when host CPU is.
+    preprocess = config.get("preprocess", "host")
     params, cfg = _load_model(model_name, num_classes, model_cache_dir)
     info = video_io.probe(video_path)
     frame_duration_ms = int(round(1000.0 / info.fps)) if info.fps else 33
@@ -81,7 +86,18 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
     results: list[dict] = []
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval)):
-        boxed, scale, (pad_x, pad_y) = letterbox_batch(batch.frames, batch.valid)
+        if preprocess == "device":
+            from eioku_tpu.ops.resize import (
+                letterbox_geometry,
+                letterbox_resize_normalize,
+            )
+            scale, pad_x, pad_y = letterbox_geometry(
+                batch.frames.shape[1], batch.frames.shape[2], INPUT_SIZE)
+            boxed = letterbox_resize_normalize(
+                jnp.asarray(batch.frames), INPUT_SIZE, INPUT_SIZE)
+        else:
+            boxed, scale, (pad_x, pad_y) = letterbox_batch(batch.frames,
+                                                           batch.valid)
         out = detect(params, boxed, cfg, conf_threshold=conf)
         boxes = np.asarray(out["boxes"])
         scores = np.asarray(out["scores"])

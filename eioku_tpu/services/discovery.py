@@ -147,7 +147,9 @@ class VideoDiscoveryService:
                 config = {**config, "language": language}
             task = Task(
                 video_id=video.id, task_type=task_type, language=language,
-                config=config, priority=TASK_REGISTRY[task_type].default_priority,
+                config=config,
+                priority=self.config.priority_for(
+                    task_type, TASK_REGISTRY[task_type].default_priority),
             )
             self.tasks.save(task)
             created += 1

@@ -1,0 +1,115 @@
+"""Device resize kernel + workload-profile priority tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eioku_tpu.ops.resize import (
+    letterbox_geometry,
+    letterbox_resize_normalize,
+    resize_bilinear,
+)
+
+
+class TestResize:
+    def test_matches_jax_image_linear(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 48, 80, 3), dtype=np.float32))
+        ours = np.asarray(resize_bilinear(x, 96, 160))
+        ref = np.asarray(jax.image.resize(x, (2, 96, 160, 3), "linear"))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_downscale_matches_cv2_linear(self):
+        # downscale: 2-tap bilinear (cv2 INTER_LINEAR semantics), no antialias
+        import cv2
+        rng = np.random.default_rng(1)
+        x = rng.random((96, 128, 3)).astype(np.float32)
+        ours = np.asarray(resize_bilinear(jnp.asarray(x[None]), 48, 64))[0]
+        ref = cv2.resize(x, (64, 48), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_identity(self):
+        x = jnp.asarray(np.random.default_rng(2).random((1, 32, 32, 3),
+                                                        dtype=np.float32))
+        np.testing.assert_allclose(np.asarray(resize_bilinear(x, 32, 32)),
+                                   np.asarray(x), atol=1e-5)
+
+    def test_letterbox_geometry_matches_host(self):
+        from eioku_tpu.ml.detection import letterbox_batch
+        frames = np.random.default_rng(3).integers(
+            0, 255, (2, 90, 160, 3), dtype=np.uint8)
+        _, scale_h, (px_h, py_h) = letterbox_batch(frames, 2, size=640)
+        scale_d, px_d, py_d = letterbox_geometry(90, 160, 640)
+        assert scale_d == pytest.approx(scale_h)
+        assert (px_d, py_d) == (px_h, py_h)
+
+    def test_letterbox_device_close_to_host(self):
+        from eioku_tpu.ml.detection import letterbox_batch
+        # smooth gradient image: INTER_LINEAR (host) vs matmul bilinear agree
+        g = np.linspace(0, 255, 160, dtype=np.float32)
+        frame = np.broadcast_to(g[None, :, None], (90, 160, 3)).astype(np.uint8)
+        frames = frame[None]
+        host, _, _ = letterbox_batch(frames, 1, size=320)
+        dev = np.asarray(letterbox_resize_normalize(jnp.asarray(frames),
+                                                    320, 320)) * 255.0
+        # compare interiors (borders differ by at most one interpolation cell)
+        h = host[0, 60:260, 4:316].astype(np.float32)
+        d = dev[0, 60:260, 4:316]
+        assert np.abs(h - d).mean() < 2.0
+
+    def test_detection_pipeline_device_preprocess(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_ml_pipeline import write_video
+        from eioku_tpu.ml.detection import run_object_detection
+
+        path = str(tmp_path / "v.mp4")
+        write_video(path, [(6, (128, 90, 60))], fps=3, size=(96, 96))
+        results = run_object_detection(
+            path, {"confidence_threshold": 0.0, "frame_interval_s": 1.0,
+                   "batch_size": 4, "preprocess": "device"})
+        assert isinstance(results, list)
+
+
+class TestWorkloadProfiles:
+    def test_priorities(self):
+        from eioku_tpu.config.settings import AppConfig
+        c = AppConfig(workload_profile="search_first")
+        assert c.priority_for("transcription", 5) == 2
+        assert c.priority_for("object_detection", 5) == 7
+        balanced = AppConfig()
+        assert balanced.priority_for("transcription", 5) == 5
+
+    def test_discovery_applies_profile(self, db, tmp_path):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_ml_pipeline import write_video
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.domain.models import PathConfig
+        from eioku_tpu.queue import JobProducer, MemoryJobQueue
+        from eioku_tpu.repositories import (
+            PathConfigRepository,
+            TaskRepository,
+            VideoRepository,
+        )
+        from eioku_tpu.services.discovery import VideoDiscoveryService
+
+        write_video(str(tmp_path / "v.mp4"), [(4, (10, 10, 10))], fps=2,
+                    size=(48, 48))
+        config = AppConfig(scan_paths=[], workload_profile="visual_first")
+        videos, tasks = VideoRepository(db), TaskRepository(db)
+        paths = PathConfigRepository(db)
+        paths.save(PathConfig(path=str(tmp_path)))
+        svc = VideoDiscoveryService(config, videos, tasks, paths,
+                                    JobProducer(MemoryJobQueue()))
+        svc.discover()
+        by_type = {t.task_type: t.priority for t in tasks.find(limit=20)}
+        assert by_type["scene_detection"] == 2
+        assert by_type["transcription"] == 7
+        # queue serves visual tasks first
+        q = svc.producer.queue
+        first = q.claim("w")
+        assert first.args[1] == "metadata_extraction"
+        second = q.claim("w")
+        assert second.args[1] == "scene_detection"
