@@ -162,6 +162,12 @@ def main() -> None:
     # one detection and (amortized) ~1/30 of an embedding chunk (one ~400-char
     # chunk per ~30 s of transcript at 1 fps sampling).
     combined = 1.0 / (1.0 / fps + (1.0 / 30.0) / chunks_per_s)
+    # Estimated full-pipeline video-hours/hour from component throughputs:
+    # per video-hour = 3600 detected frames (1 fps) + the scene/decode pass
+    # (3600/vh_per_h seconds) + ~120 embedded chunks.
+    t_per_vh = 3600.0 / fps + 3600.0 / max(vh_per_h, 1e-9) \
+        + 120.0 / chunks_per_s
+    est_pipeline_vh_per_h = 3600.0 / t_per_vh
     result = {
         "metric": "frames/sec/chip (detect+embed)",
         "value": round(combined, 1),
@@ -172,6 +178,7 @@ def main() -> None:
             "detect_fps_640": round(fps, 1),
             "embed_chunks_per_s": round(chunks_per_s, 1),
             "scene_video_hours_per_hour": round(vh_per_h, 1),
+            "est_pipeline_video_hours_per_hour": round(est_pipeline_vh_per_h, 1),
             "query_p50_ms_10k": round(p50_ms, 2),
             "backend": jax.default_backend(),
         },
