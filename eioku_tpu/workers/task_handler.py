@@ -73,6 +73,20 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
             app.tasks.update_status(task_id, TaskStatus.COMPLETED)
             METRICS.inc("tasks_completed", task_type=task_type)
             return {"artifacts": n}
+        # Guard against the file changing between discovery and processing
+        # (reference: ml-service/src/utils/input_validation.py:17-70).
+        video = app.videos.get(video_id)
+        if video is not None and video.file_hash:
+            from eioku_tpu.utils.hashing import hash_file
+            try:
+                current = hash_file(video_path)
+            except OSError:
+                current = None
+            if current is not None and current != video.file_hash:
+                raise RuntimeError(
+                    f"input file changed since discovery (hash "
+                    f"{current[:12]} != {video.file_hash[:12]}); re-run "
+                    "discovery to refresh the video record")
         with METRICS.timer("task_seconds", task_type=task_type), \
                 maybe_profile(task_type):
             results = await asyncio.to_thread(engine.run_task, task_type,

@@ -211,3 +211,23 @@ class TestEndToEndPipeline:
         t = ctx.tasks.find(limit=1)[0]
         assert t.status is TaskStatus.FAILED
         assert t.error
+
+    def test_changed_file_fails_with_hash_mismatch(self, tmp_path, scene_video):
+        from eioku_tpu.queue.worker import WorkerSettings
+        from eioku_tpu.workers.main import build_worker
+        from eioku_tpu.domain.models import PathConfig
+
+        config = AppConfig(scan_paths=[], auto_discover=False,
+                           active_task_types=["scene_detection"])
+        db = Database(f"sqlite:///{tmp_path}/hash.db")
+        ctx = build_context(config, db=db)
+        ctx.paths.save(PathConfig(path=str(tmp_path)))
+        ctx.discovery.discover()
+        # rewrite the video with different content AFTER discovery
+        write_video(ctx.videos.list()[0].path, [(25, (9, 9, 9))])
+        worker = build_worker(app_ctx=ctx,
+                              settings=WorkerSettings(max_jobs=1, poll_delay_s=0.01))
+        asyncio.run(worker.drain())
+        t = ctx.tasks.find(limit=1)[0]
+        assert t.status is TaskStatus.FAILED
+        assert "changed since discovery" in t.error
