@@ -67,6 +67,20 @@ def _load_model(model_name: str, num_classes: int, cache_dir: str | None):
     return params, cfg
 
 
+@lru_cache(maxsize=4)
+def _dp_detector(model_name: str, num_classes: int, cache_dir: str | None):
+    """DataParallelDetector over all devices (frame batch sharded on the mesh
+    data axis; SURVEY.md P6's multi-chip answer)."""
+    import jax
+
+    from eioku_tpu.parallel.inference import DataParallelDetector
+    from eioku_tpu.parallel.mesh import make_mesh
+
+    params, cfg = _load_model(model_name, num_classes, cache_dir)
+    mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    return DataParallelDetector(params, cfg, mesh)
+
+
 def _run_detection(video_path: str, config: dict, *, model_name: str,
                    num_classes: int, class_names: list[str],
                    default_conf: float, default_interval: float,
@@ -80,6 +94,13 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
     # the bottleneck for full-resolution frames, device when host CPU is.
     preprocess = config.get("preprocess", "host")
     params, cfg = _load_model(model_name, num_classes, model_cache_dir)
+    # multi-device: shard the frame batch over the mesh ("auto" = when >1
+    # device is visible); single device uses the plain jitted path
+    import jax as _jax
+    dp_mode = config.get("data_parallel", "auto")
+    use_dp = (len(_jax.devices()) > 1) if dp_mode == "auto" else bool(dp_mode)
+    dp = _dp_detector(model_name, num_classes, model_cache_dir) if use_dp \
+        else None
     info = video_io.probe(video_path)
     frame_duration_ms = int(round(1000.0 / info.fps)) if info.fps else 33
 
@@ -98,7 +119,10 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
         else:
             boxed, scale, (pad_x, pad_y) = letterbox_batch(batch.frames,
                                                            batch.valid)
-        out = detect(params, boxed, cfg, conf_threshold=conf)
+        if dp is not None:
+            out = dp(boxed, conf_threshold=conf)
+        else:
+            out = detect(params, boxed, cfg, conf_threshold=conf)
         boxes = np.asarray(out["boxes"])
         scores = np.asarray(out["scores"])
         classes = np.asarray(out["classes"])
