@@ -72,6 +72,7 @@ class InferenceEngine:
             min_scene_len_s=float(config.get("min_scene_len_s", 0.5)),
             sample_fps=float(config.get("sample_fps", 4.0)),
             batch_size=int(config.get("batch_size", 64)),
+            decode_threads=int(config.get("decode_threads", 4)),
         )
         return [
             {"payload": {"scene_index": s.scene_index, "start_ms": s.start_ms,

@@ -78,22 +78,39 @@ def iter_frame_batches(
     frame_interval_s: float = 1.0,
     resize_hw: tuple[int, int] | None = None,
     max_frames: int | None = None,
+    decode_threads: int = 1,
 ) -> Iterator[FrameBatch]:
     """Yield fixed-shape batches of frames sampled every `frame_interval_s`.
 
     Frames between samples are skipped with cap.grab() (no decode), matching the
     reference's skip strategy but emitting batches instead of single frames.
+    decode_threads > 1 stripes the video across segment decoders (each with its
+    own capture) — decode is the host-side bottleneck of the indexing pipeline.
     """
     info = probe(path)
     step = max(int(round(info.fps * frame_interval_s)), 1)
+    if decode_threads > 1 and info.frame_count >= decode_threads * step * 2 \
+            and max_frames is None:
+        yield from _iter_batches_striped(path, info, step, batch_size,
+                                         resize_hw, decode_threads)
+        return
+    yield from _iter_batches_serial(path, info, step, batch_size, resize_hw,
+                                    max_frames, start_frame=0, end_frame=None)
+
+
+def _iter_batches_serial(path, info, step, batch_size, resize_hw, max_frames,
+                         start_frame: int, end_frame: int | None
+                         ) -> Iterator[FrameBatch]:
     cap = cv2.VideoCapture(path)
     try:
+        if start_frame:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
         frames: list[np.ndarray] = []
         indices: list[int] = []
         stamps: list[int] = []
         emitted = 0
-        frame_idx = 0
-        while True:
+        frame_idx = start_frame
+        while end_frame is None or frame_idx < end_frame:
             if max_frames is not None and emitted + len(frames) >= max_frames:
                 break
             if frame_idx % step == 0:
@@ -119,6 +136,53 @@ def iter_frame_batches(
             yield _make_batch(frames, indices, stamps, batch_size)
     finally:
         cap.release()
+
+
+def _iter_batches_striped(path, info, step, batch_size, resize_hw,
+                          n_threads: int) -> Iterator[FrameBatch]:
+    """Decode disjoint frame ranges on worker threads, re-emit in time order.
+
+    Range boundaries are aligned to the sampling step so the sampled frame set
+    is identical to the serial path; each worker seeks once to its range start.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    total = info.frame_count
+    per = max(total // n_threads, 1)
+    ranges = []
+    start = 0
+    for i in range(n_threads):
+        end = total if i == n_threads - 1 else min((i + 1) * per, total)
+        # align the next start up to a sampling-step boundary
+        end_aligned = ((end + step - 1) // step) * step if i < n_threads - 1 \
+            else total
+        if end_aligned > start:
+            ranges.append((start, end_aligned))
+        start = end_aligned
+
+    def run_range(rng):
+        s, e = rng
+        return list(_iter_batches_serial(path, info, step, batch_size,
+                                         resize_hw, None, s, e))
+
+    with ThreadPoolExecutor(max_workers=len(ranges)) as pool:
+        results = list(pool.map(run_range, ranges))
+
+    # restitch into full batches in time order
+    frames: list[np.ndarray] = []
+    indices: list[int] = []
+    stamps: list[int] = []
+    for batches in results:
+        for b in batches:
+            for j in range(b.valid):
+                frames.append(b.frames[j])
+                indices.append(int(b.frame_indices[j]))
+                stamps.append(int(b.timestamps_ms[j]))
+                if len(frames) == batch_size:
+                    yield _make_batch(frames, indices, stamps, batch_size)
+                    frames, indices, stamps = [], [], []
+    if frames:
+        yield _make_batch(frames, indices, stamps, batch_size)
 
 
 def _make_batch(frames: list[np.ndarray], indices: list[int], stamps: list[int],

@@ -231,3 +231,30 @@ class TestEndToEndPipeline:
         t = ctx.tasks.find(limit=1)[0]
         assert t.status is TaskStatus.FAILED
         assert "changed since discovery" in t.error
+
+
+class TestStripedDecode:
+    def test_striped_matches_serial(self, tmp_path):
+        from eioku_tpu.ml.video_io import iter_frame_batches
+        path = str(tmp_path / "long.mp4")
+        write_video(path, [(60, (10, 200, 40)), (60, (220, 10, 10))], fps=12)
+        serial = list(iter_frame_batches(path, batch_size=8,
+                                         frame_interval_s=0.25))
+        striped = list(iter_frame_batches(path, batch_size=8,
+                                          frame_interval_s=0.25,
+                                          decode_threads=4))
+        s_idx = np.concatenate([b.frame_indices[:b.valid] for b in serial])
+        p_idx = np.concatenate([b.frame_indices[:b.valid] for b in striped])
+        np.testing.assert_array_equal(s_idx, p_idx)
+        s_frames = np.concatenate([b.frames[:b.valid] for b in serial])
+        p_frames = np.concatenate([b.frames[:b.valid] for b in striped])
+        np.testing.assert_array_equal(s_frames, p_frames)
+
+    def test_striped_falls_back_on_short_video(self, scene_video):
+        from eioku_tpu.ml.video_io import iter_frame_batches
+        serial = list(iter_frame_batches(scene_video, batch_size=8,
+                                         frame_interval_s=2.0))
+        striped = list(iter_frame_batches(scene_video, batch_size=8,
+                                          frame_interval_s=2.0,
+                                          decode_threads=8))
+        assert sum(b.valid for b in serial) == sum(b.valid for b in striped)
