@@ -120,6 +120,59 @@ def bench_scene_pipeline() -> float:
     return video_hours_per_hour
 
 
+def bench_whisper(variant: str = "large-v3-turbo", batch: int = 4,
+                  decode_tokens: int = 64) -> float:
+    """Audio-seconds transcribed per wall second: batched 30 s windows through
+    encoder + KV-cached greedy decode (fixed token budget; random weights —
+    measures architecture cost, not content-dependent decode length).
+    Run with EIOKU_BENCH_WHISPER=1 (adds minutes of compile time)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eioku_tpu.models.whisper.mel import log_mel_spectrogram
+    from eioku_tpu.models.whisper.model import (
+        WhisperConfig,
+        init_whisper_params,
+        whisper_encode,
+        whisper_greedy_decode,
+    )
+    from eioku_tpu.models.whisper.tokenizer import WhisperTokens
+
+    cfg = WhisperConfig(variant)
+    params = init_whisper_params(cfg, seed=0)
+    tokens = WhisperTokens(cfg.vocab_size)
+    sot = jnp.asarray([tokens.sot_sequence("en")] * batch, jnp.int32)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, 30 * 16000))
+                      .astype(np.float32) * 0.1)
+
+    def run(w):
+        mel = log_mel_spectrogram(w, n_mels=cfg.n_mels)
+        enc = whisper_encode(params, mel, cfg)
+        # eot can't appear with random weights; the budget bounds the loop
+        return whisper_greedy_decode(params, enc, sot, -1, cfg,
+                                     max_len=decode_tokens)
+
+    t0 = time.time()
+    out = run(wav)
+    jax.block_until_ready(out)
+    int(out[0, -1])
+    _log(f"whisper {variant} compile: {time.time() - t0:.1f}s")
+    n = 3
+    inputs = [jnp.asarray(rng.standard_normal(wav.shape).astype(np.float32) * 0.1)
+              for _ in range(n)]
+    t0 = time.time()
+    outs = [run(w) for w in inputs]
+    jax.block_until_ready(outs)
+    int(outs[-1][0, -1])
+    dt = time.time() - t0
+    audio_per_s = n * batch * 30.0 / dt
+    _log(f"whisper {variant}: {audio_per_s:.1f} audio-seconds/s "
+         f"({decode_tokens} tokens/window)")
+    return audio_per_s
+
+
 def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
                     n_queries: int = 50) -> float:
     import jax
@@ -153,10 +206,15 @@ def main() -> None:
     except Exception:
         pass
     _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    import os
+
     fps = bench_detect()
     chunks_per_s = bench_embed()
     vh_per_h = bench_scene_pipeline()
     p50_ms = bench_query_p50()
+    whisper_audio_per_s = None
+    if os.environ.get("EIOKU_BENCH_WHISPER"):
+        whisper_audio_per_s = bench_whisper()
 
     # Combined detect+embed frames/s/chip: per indexed frame the pipeline runs
     # one detection and (amortized) ~1/30 of an embedding chunk (one ~400-char
@@ -183,6 +241,9 @@ def main() -> None:
             "backend": jax.default_backend(),
         },
     }
+    if whisper_audio_per_s is not None:
+        result["extra"]["whisper_audio_seconds_per_s"] = round(
+            whisper_audio_per_s, 1)
     print(json.dumps(result))
 
 
