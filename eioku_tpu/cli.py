@@ -92,6 +92,17 @@ def cmd_discover(args) -> int:
     return 0
 
 
+def cmd_finetune(args) -> int:
+    from eioku_tpu.parallel.finetune import finetune_embedder
+
+    ctx = _ctx(args)
+    stats = finetune_embedder(ctx, steps=args.steps, batch_size=args.batch_size,
+                              lr=args.lr, model_parallel=args.model_parallel,
+                              save_to=args.save_to)
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(prog="eioku", description="eioku-tpu ops CLI")
     parser.add_argument("--db", default=None, help="database URL")
@@ -119,6 +130,15 @@ def main() -> int:
 
     p = sub.add_parser("discover", help="scan configured paths now")
     p.set_defaults(fn=cmd_discover)
+
+    p = sub.add_parser("finetune",
+                       help="fine-tune the embedder on indexed transcripts")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--save-to", default=None)
+    p.set_defaults(fn=cmd_finetune)
 
     args = parser.parse_args()
     return args.fn(args)

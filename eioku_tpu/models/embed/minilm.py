@@ -158,6 +158,13 @@ def load_minilm(cache_dir: str | None, cfg: MiniLMConfig | None = None,
     import os
     cfg = cfg or MiniLMConfig()
     if cache_dir:
+        # native checkpoints (e.g. from fine-tuning) take precedence
+        for name in ("minilm-l6/native.npz", "minilm-native.npz"):
+            path = os.path.join(cache_dir, name)
+            if os.path.isfile(path):
+                from eioku_tpu.models.checkpoint import load_params
+                params = load_params(init_minilm_params(cfg, seed), path)
+                return params, cfg, True
         for name in ("minilm-l6/pytorch_model.bin", "pytorch_model.bin"):
             path = os.path.join(cache_dir, name)
             if os.path.isfile(path):

@@ -1,4 +1,5 @@
 """Mesh/sharding tests on the virtual 8-device CPU mesh."""
+import os
 import numpy as np
 import pytest
 
@@ -167,4 +168,78 @@ class TestTopics:
         assert "quantum" in labels
         assert "the" not in labels  # stopwords filtered
         assert rows[0]["score"] == 1.0  # normalized
+        db.close()
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from eioku_tpu.models.checkpoint import load_params, save_params
+        from eioku_tpu.models.embed.minilm import MiniLMConfig, init_minilm_params
+
+        cfg = MiniLMConfig(vocab_size=64, dim=32, n_layers=1, n_heads=2,
+                           ffn_dim=64, max_position=16)
+        params = init_minilm_params(cfg, seed=7)
+        path = str(tmp_path / "ck" / "m.npz")
+        save_params(params, path)
+        loaded = load_params(init_minilm_params(cfg, seed=0), path)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        from eioku_tpu.models.checkpoint import load_params, save_params
+        from eioku_tpu.models.embed.minilm import MiniLMConfig, init_minilm_params
+
+        small = MiniLMConfig(vocab_size=64, dim=32, n_layers=1, n_heads=2,
+                             ffn_dim=64, max_position=16)
+        big = MiniLMConfig(vocab_size=64, dim=64, n_layers=1, n_heads=2,
+                           ffn_dim=128, max_position=16)
+        path = str(tmp_path / "m.npz")
+        save_params(init_minilm_params(small, 0), path)
+        with pytest.raises(ValueError):
+            load_params(init_minilm_params(big, 0), path)
+
+
+class TestFinetune:
+    def test_crop_pair(self):
+        import random
+        from eioku_tpu.parallel.finetune import crop_pair
+        rng = random.Random(0)
+        text = " ".join(f"w{i}" for i in range(20))
+        a, b = crop_pair(text, rng)
+        assert set(a.split()) <= set(text.split())
+        assert len(a.split()) >= 2
+        short = "one two"
+        assert crop_pair(short, rng) == (short, short)
+
+    def test_finetune_end_to_end(self, tmp_path):
+        """Fine-tune on indexed chunks, save, and verify load_minilm picks the
+        native checkpoint up."""
+        from eioku_tpu.api.app import build_context
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.domain.models import Video
+        from eioku_tpu.models.embed.minilm import load_minilm
+        from eioku_tpu.parallel.finetune import finetune_embedder
+        import sys
+        sys.path.insert(0, "tests")
+        from test_semantic import seed_transcript
+
+        cache = tmp_path / "cache"
+        config = AppConfig(scan_paths=[], auto_discover=False,
+                           index_dir=str(tmp_path / "idx"),
+                           model_cache_dir=str(cache))
+        db = Database(f"sqlite:///{tmp_path}/ft.db")
+        ctx = build_context(config, db=db)
+        v = Video(path="/v.mp4")
+        ctx.videos.save(v)
+        texts = [f"sentence number {i} about topic {i % 3} with more words here"
+                 for i in range(12)]
+        seed_transcript(ctx, v.id, texts)
+        ctx.extra["semantic_index"].index_video(v.id, {"chunk_chars": 30,
+                                                       "overlap_chars": 0})
+        stats = finetune_embedder(ctx, steps=3, batch_size=4, lr=1e-4)
+        assert stats["steps"] == 3
+        assert os.path.isfile(stats["checkpoint"])
+        _, _, pretrained = load_minilm(str(cache))
+        assert pretrained  # native checkpoint found
         db.close()
