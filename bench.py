@@ -189,15 +189,28 @@ def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
     times = []
     for i in range(n_queries):
         t0 = time.time()
-        out = _topk_cosine(corpus, jnp.asarray(queries[i]), 10)
-        jax.block_until_ready(out)
+        scores, idx = _topk_cosine(corpus, jnp.asarray(queries[i]), 10)
+        float(scores.sum()) + int(idx[0])  # force completion + transfer
         times.append(time.time() - t0)
     p50 = sorted(times)[len(times) // 2] * 1000
     _log(f"query p50: {p50:.2f} ms over {n_vectors} vectors")
     return p50
 
 
-def main() -> None:
+STAGES = {
+    "detect": bench_detect,
+    "embed": bench_embed,
+    "scenes": bench_scene_pipeline,
+    "query": bench_query_p50,
+    "whisper": bench_whisper,
+}
+
+# generous per-stage wall-clock budgets (remote compile can be slow)
+STAGE_TIMEOUT_S = {"detect": 480, "embed": 300, "scenes": 300, "query": 240,
+                   "whisper": 560}
+
+
+def _setup_jax():
     import jax
 
     try:  # persistent compile cache: warm re-runs skip the slow remote compile
@@ -205,45 +218,86 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
-    _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    return jax
+
+
+def _run_stage_subprocess(stage: str) -> float | None:
+    """Run one stage in a subprocess with a timeout so a hung TPU tunnel can't
+    take down the whole benchmark."""
+    import os
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", stage],
+            capture_output=True, text=True, timeout=STAGE_TIMEOUT_S[stage],
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        _log(f"stage {stage}: TIMED OUT after {STAGE_TIMEOUT_S[stage]}s")
+        return None
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        _log(f"stage {stage}: FAILED rc={proc.returncode}")
+        return None
+    try:
+        return float(json.loads(proc.stdout.strip().splitlines()[-1])["value"])
+    except (ValueError, KeyError, IndexError) as e:
+        _log(f"stage {stage}: unparseable output ({e})")
+        return None
+
+
+def main() -> None:
     import os
 
-    fps = bench_detect()
-    chunks_per_s = bench_embed()
-    vh_per_h = bench_scene_pipeline()
-    p50_ms = bench_query_p50()
+    if "--stage" in sys.argv:
+        stage = sys.argv[sys.argv.index("--stage") + 1]
+        _setup_jax()
+        value = STAGES[stage]()
+        print(json.dumps({"stage": stage, "value": value}))
+        return
+
+    jax = _setup_jax()
+    _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    fps = _run_stage_subprocess("detect")
+    chunks_per_s = _run_stage_subprocess("embed")
+    vh_per_h = _run_stage_subprocess("scenes")
+    p50_ms = _run_stage_subprocess("query")
     whisper_audio_per_s = None
     if os.environ.get("EIOKU_BENCH_WHISPER"):
-        whisper_audio_per_s = bench_whisper()
+        whisper_audio_per_s = _run_stage_subprocess("whisper")
 
-    # Combined detect+embed frames/s/chip: per indexed frame the pipeline runs
-    # one detection and (amortized) ~1/30 of an embedding chunk (one ~400-char
-    # chunk per ~30 s of transcript at 1 fps sampling).
-    combined = 1.0 / (1.0 / fps + (1.0 / 30.0) / chunks_per_s)
-    # Estimated full-pipeline video-hours/hour from component throughputs:
-    # per video-hour = 3600 detected frames (1 fps) + the scene/decode pass
-    # (3600/vh_per_h seconds) + ~120 embedded chunks.
-    t_per_vh = 3600.0 / fps + 3600.0 / max(vh_per_h, 1e-9) \
-        + 120.0 / chunks_per_s
-    est_pipeline_vh_per_h = 3600.0 / t_per_vh
+    extra = {"backend": jax.default_backend()}
+    if fps is not None:
+        extra["detect_fps_640"] = round(fps, 1)
+    if chunks_per_s is not None:
+        extra["embed_chunks_per_s"] = round(chunks_per_s, 1)
+    if vh_per_h is not None:
+        extra["scene_video_hours_per_hour"] = round(vh_per_h, 1)
+    if p50_ms is not None:
+        extra["query_p50_ms_10k"] = round(p50_ms, 2)
+    if whisper_audio_per_s is not None:
+        extra["whisper_audio_seconds_per_s"] = round(whisper_audio_per_s, 1)
+
+    if fps and chunks_per_s:
+        # Combined detect+embed frames/s/chip: per indexed frame the pipeline
+        # runs one detection and (amortized) ~1/30 of an embedding chunk.
+        combined = 1.0 / (1.0 / fps + (1.0 / 30.0) / chunks_per_s)
+    else:
+        combined = fps or 0.0
+    if fps and chunks_per_s and vh_per_h:
+        # per video-hour = 3600 detected frames (1 fps) + the scene/decode
+        # pass + ~120 embedded chunks
+        t_per_vh = 3600.0 / fps + 3600.0 / vh_per_h + 120.0 / chunks_per_s
+        extra["est_pipeline_video_hours_per_hour"] = round(3600.0 / t_per_vh, 1)
+
     result = {
         "metric": "frames/sec/chip (detect+embed)",
         "value": round(combined, 1),
         "unit": "frames/s/chip",
         # reference's only published detection cadence: 30 fps on its dev GPU
         "vs_baseline": round(combined / 30.0, 2),
-        "extra": {
-            "detect_fps_640": round(fps, 1),
-            "embed_chunks_per_s": round(chunks_per_s, 1),
-            "scene_video_hours_per_hour": round(vh_per_h, 1),
-            "est_pipeline_video_hours_per_hour": round(est_pipeline_vh_per_h, 1),
-            "query_p50_ms_10k": round(p50_ms, 2),
-            "backend": jax.default_backend(),
-        },
+        "extra": extra,
     }
-    if whisper_audio_per_s is not None:
-        result["extra"]["whisper_audio_seconds_per_s"] = round(
-            whisper_audio_per_s, 1)
     print(json.dumps(result))
 
 
