@@ -1,7 +1,7 @@
 """Benchmark: prints ONE JSON line with the headline metric.
 
 Primary metric: frames/sec/chip through the detection path (YOLOv8n forward +
-DFL decode + NMS, batch 32 @ 640x640) — the first metric named in
+DFL decode + NMS, batch 128 @ 640x640) — the first metric named in
 BASELINE.json. vs_baseline compares against the reference's only published
 detection figure: frames at 30 fps on its dev GPU (BASELINE.md, DEVLOG
 anecdote).
@@ -21,7 +21,7 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_detect(n_batches: int = 10, batch: int = 32, size: int = 640) -> float:
+def bench_detect(n_batches: int = 6, batch: int = 128, size: int = 640) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -24,9 +24,9 @@ DEFAULT_SCAN_PATHS = ["~/Videos", "/media", "/mnt"]
 # model_manager.py:230-232,324-326,423,499,645,732).
 DEFAULT_TASK_SETTINGS: dict[str, dict[str, Any]] = {
     "object_detection": {"model": "yolov8n", "confidence_threshold": 0.5,
-                         "frame_interval_s": 1.0, "batch_size": 32},
+                         "frame_interval_s": 1.0, "batch_size": 64},
     "face_detection": {"model": "yolov8n-face", "confidence_threshold": 0.7,
-                       "frame_interval_s": 3.0, "batch_size": 32},
+                       "frame_interval_s": 3.0, "batch_size": 64},
     "transcription": {"model": "whisper-large-v3", "languages": [],
                       "vad_filter": True, "chunk_s": 30.0},
     "ocr": {"languages": ["en"], "frame_interval_s": 2.0, "batch_size": 16},
