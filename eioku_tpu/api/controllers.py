@@ -95,6 +95,10 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
     async def api_root(request: Request):
         return {"name": "eioku-tpu", "version": "0.1.0"}
 
+    @app.get(PREFIX + "/routes")
+    async def list_routes(request: Request):
+        return {"routes": sorted({f"{r.method} {r.path}" for r in app.routes})}
+
     @app.get("/health")
     async def health(request: Request):
         return {"status": "ok", "database": ctx.db.url}

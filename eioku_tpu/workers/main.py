@@ -61,10 +61,22 @@ def main() -> None:
     if args.max_jobs is not None:
         settings.max_jobs = args.max_jobs
     worker = build_worker(config=config, settings=settings)
-    if args.once:
-        asyncio.run(worker.drain())
-    else:
-        asyncio.run(worker.run())
+
+    async def _serve() -> None:
+        import signal
+
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, worker.stop)
+            except (NotImplementedError, RuntimeError):
+                pass
+        if args.once:
+            await worker.drain()
+        else:
+            await worker.run()
+
+    asyncio.run(_serve())
 
 
 if __name__ == "__main__":

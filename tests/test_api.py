@@ -306,3 +306,11 @@ class TestSearchGate:
         with TestClient(app) as c:
             assert c.get("/api/v1/search", params={"q": "x"}).status_code == 503
         db.close()
+
+
+class TestRoutesListing:
+    def test_routes_endpoint(self, client):
+        routes = client.get("/api/v1/routes").json()["routes"]
+        assert "GET /api/v1/videos/{video_id}/jump" in routes
+        assert "POST /api/v1/tasks/{task_id}/retry" in routes
+        assert len(routes) > 20
