@@ -233,14 +233,19 @@ def whisper_decode_full(params: Params, tokens: jnp.ndarray,
 # -- greedy decode with KV cache --------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_len"))
+@partial(jax.jit, static_argnames=("cfg", "max_len", "suppress_specials"))
 def whisper_greedy_decode(params: Params, enc_out: jnp.ndarray,
                           initial_tokens: jnp.ndarray, eot_id: int,
-                          cfg: WhisperConfig, max_len: int = 224) -> jnp.ndarray:
+                          cfg: WhisperConfig, max_len: int = 224,
+                          suppress_specials: bool = True) -> jnp.ndarray:
     """Greedy decode, all on device.
 
     enc_out [B, 1500, d]; initial_tokens [B, n_init] (SOT sequence).
     Returns tokens [B, max_len] (prompt + generated, padded with eot).
+
+    suppress_specials masks control tokens (sot, language, task markers,
+    sot_prev/sot_lm, no_speech, no_timestamps) from generation — the standard
+    Whisper decoding constraint; eot and timestamp tokens stay allowed.
     """
     dec = params["dec"]
     b = enc_out.shape[0]
@@ -257,6 +262,16 @@ def whisper_greedy_decode(params: Params, enc_out: jnp.ndarray,
     tokens0 = jnp.full((b, max_len), eot_id, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(tokens0, initial_tokens.astype(jnp.int32),
                                            (0, 0))
+    # specials span (eot, timestamp_begin); eot itself stays allowed.
+    # vocab layout: eot, sot, languages..., translate, transcribe, sot_lm,
+    # sot_prev, no_speech, no_timestamps, then timestamps (tokenizer.py).
+    # eot_id is traced (it may be -1 to disable eot stopping), so the mask is
+    # built with array ops rather than Python branching.
+    n_langs = 100 if cfg.vocab_size >= 51866 else 99
+    ts_begin = eot_id + 1 + 1 + n_langs + 6  # == WhisperTokens.timestamp_begin
+    vocab_ids = jnp.arange(cfg.vocab_size)
+    suppress_mask = (suppress_specials & (eot_id >= 0)
+                     & (vocab_ids > eot_id) & (vocab_ids < ts_begin))
     self_k0 = jnp.zeros((n_layers, b, max_len, d), enc_out.dtype)
     self_v0 = jnp.zeros((n_layers, b, max_len, d), enc_out.dtype)
     finished0 = jnp.zeros((b,), bool)
@@ -306,6 +321,7 @@ def whisper_greedy_decode(params: Params, enc_out: jnp.ndarray,
     def body(state):
         pos, tokens, self_k, self_v, finished = state
         logits, self_k, self_v = step_token(tokens, self_k, self_v, pos)
+        logits = jnp.where(suppress_mask[None, :], -jnp.inf, logits)
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, eot_id, next_tok)
         finished = finished | (next_tok == eot_id)

@@ -139,7 +139,7 @@ class TestWhisperModel:
 
         fast = np.asarray(whisper_greedy_decode(
             tiny_params, enc, jnp.asarray([sot], jnp.int32), tokens.eot, TINY,
-            max_len=max_len))[0]
+            max_len=max_len, suppress_specials=False))[0]
 
         # slow rollout with whisper_decode_full
         cur = list(sot)
@@ -153,6 +153,20 @@ class TestWhisperModel:
         slow = np.full(max_len, tokens.eot, np.int64)
         slow[:len(cur)] = cur
         np.testing.assert_array_equal(fast, slow)
+
+    def test_suppression_blocks_special_tokens(self):
+        rng = np.random.default_rng(5)
+        params = init_whisper_params(TINY, seed=2)
+        enc = jnp.asarray(rng.standard_normal((1, 1500, 384)).astype(np.float32)
+                          * 0.1)
+        tokens = WhisperTokens(TINY.vocab_size)
+        sot = tokens.sot_sequence("en")
+        out = np.asarray(whisper_greedy_decode(
+            params, enc, jnp.asarray([sot], jnp.int32), tokens.eot, TINY,
+            max_len=24))[0]
+        gen = out[len(sot):]
+        specials = (gen > tokens.eot) & (gen < tokens.timestamp_begin)
+        assert not specials.any(), gen[specials]
 
     def test_sinusoids(self):
         s = sinusoids(10, 8)
