@@ -243,3 +243,21 @@ class TestFinetune:
         _, _, pretrained = load_minilm(str(cache))
         assert pretrained  # native checkpoint found
         db.close()
+
+
+class TestRingAttention:
+    def test_matches_reference_on_mesh(self, mesh8):
+        """Context-parallel ring attention == single-device full attention."""
+        from eioku_tpu.ops.flash_attention import _reference_attention
+        from eioku_tpu.ops.ring_attention import ring_attention
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        b, h, s, d = 1, 2, 64, 16  # s divisible by the 4-wide data axis
+        q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32) * 0.3)
+        out = np.asarray(ring_attention(q, k, v, mesh8, axis_name="data"))
+        ref = np.asarray(_reference_attention(
+            q, k, v, jnp.full((b,), s, jnp.int32), False, d ** -0.5))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
