@@ -265,6 +265,13 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         ctx.policies.set_policy(v.id, request.path_params["artifact_type"], policy)
         return policy.to_dict()
 
+    @app.delete(PREFIX + "/videos/{video_id}/selection/{artifact_type}")
+    async def clear_selection(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        cleared = ctx.policies.clear_policy(v.id,
+                                            request.path_params["artifact_type"])
+        return {"cleared": cleared}
+
     # -- paths -------------------------------------------------------------------------
 
     @app.get(PREFIX + "/paths")
@@ -308,6 +315,7 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             video_id=q.get("video_id"),
             status=TaskStatus(status) if status else None,
             task_type=q.get("task_type"),
+            language=q.get("language"),
             sort_by=q.get("sort_by", "created_at"),
             descending=not request.query_bool("ascending"),
             limit=limit, offset=request.query_int("offset", 0))

@@ -174,6 +174,11 @@ class TestArtifactsEndpoints:
         r = client.put(f"/api/v1/videos/{v.id}/selection/transcript.segment",
                        json={"mode": "pinned"})
         assert r.status_code == 422
+        # clear resets to default
+        r = client.delete(f"/api/v1/videos/{v.id}/selection/transcript.segment")
+        assert r.json()["cleared"] is True
+        r = client.get(f"/api/v1/videos/{v.id}/selection/transcript.segment")
+        assert r.json()["mode"] == "latest"
 
     def test_selection_applied_to_artifacts(self, client, ctx):
         v = seed_video(ctx)
