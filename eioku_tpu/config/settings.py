@@ -73,6 +73,9 @@ class AppConfig:
     semantic_search: bool = True
 
     workload_profile: str = "balanced"
+    # one visual_analysis task (single decode pass) instead of the four
+    # frame-based visual tasks
+    combined_visual: bool = False
 
     def settings_for(self, task_type: str) -> dict[str, Any]:
         merged = dict(DEFAULT_TASK_SETTINGS.get(task_type, {}))
@@ -119,6 +122,7 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
         cfg.auto_discover = data.get("auto_discover", cfg.auto_discover)
         cfg.semantic_search = data.get("semantic_search", cfg.semantic_search)
         cfg.workload_profile = data.get("workload_profile", cfg.workload_profile)
+        cfg.combined_visual = data.get("combined_visual", cfg.combined_visual)
         log.info("loaded config", extra={"config_path": path})
     if os.environ.get("EIOKU_DATABASE_URL"):
         cfg.database_url = os.environ["EIOKU_DATABASE_URL"]

@@ -38,6 +38,11 @@ TASK_REGISTRY: dict[str, TaskTypeSpec] = {
         TaskTypeSpec("metadata_extraction", LanguageMode.NONE, ("video.metadata",), False,
                      2),  # cheap + others benefit from duration: run early
         TaskTypeSpec("semantic_indexing", LanguageMode.NONE, ("embedding.chunk",), True, 7),
+        # one-decode-pass replacement for the four frame-based visual tasks
+        # (enable with combined_visual: true; see eioku_tpu/ml/combined.py)
+        TaskTypeSpec("visual_analysis", LanguageMode.NONE,
+                     ("scene", "object.detection", "face.detection",
+                      "place.classification"), True, 3),
     ]
 }
 

@@ -1,0 +1,224 @@
+"""Combined visual analysis: one decode pass feeds every frame-based task.
+
+A timed 5-minute end-to-end run showed the separate-task design decoding the
+video once per visual task (scene 4 fps + objects 1 fps + faces 1/3 fps +
+places 1 fps = ~4 decode passes); host decode is the pipeline bottleneck once
+compute is on device. This pipeline decodes ONCE at the finest sampling rate
+and routes frames to each consumer:
+
+  - scene scoring consumes every sampled frame (device resize -> HSV -> diff)
+  - detection/faces/places consume the subset matching their intervals,
+    accumulated into fixed-size batches and flushed to their device programs
+
+Results are returned per task type; the task handler emits one run per type so
+the artifact/run/selection model is unchanged (enable with
+`combined_visual: true` in config — discovery then creates one visual_analysis
+task instead of four).
+"""
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from eioku_tpu.ml import video_io
+from eioku_tpu.ml.detection import _load_model, letterbox_batch
+from eioku_tpu.ml.face_tracking import FaceTracker
+from eioku_tpu.models.yolo.classes import COCO_CLASSES
+from eioku_tpu.models.yolo.postprocess import detect
+from eioku_tpu.ops.colorspace import frames_to_hsv_planes
+from eioku_tpu.ops.resize import resize_bilinear
+from eioku_tpu.ops.scene_diff import scene_scores
+
+log = logging.getLogger(__name__)
+
+SCENE_H, SCENE_W = 96, 160
+
+
+class _DetectionConsumer:
+    """Accumulates sampled frames into fixed batches for one detector."""
+
+    def __init__(self, model_name: str, num_classes: int, class_names,
+                 conf: float, step: int, batch_size: int, cache_dir,
+                 payload_builder, frame_ms: int, src_wh: tuple[int, int]):
+        self.params, self.cfg = _load_model(model_name, num_classes, cache_dir)
+        self.class_names = class_names
+        self.conf = conf
+        self.step = max(step, 1)
+        self.batch_size = batch_size
+        self.payload_builder = payload_builder
+        self.frame_ms = frame_ms
+        self.src_w, self.src_h = src_wh
+        self._frames: list[np.ndarray] = []
+        self._meta: list[tuple[int, int]] = []  # (frame_idx, t_ms)
+        self.results: list[dict] = []
+
+    def offer(self, frame: np.ndarray, frame_idx: int, t_ms: int) -> None:
+        if frame_idx % self.step != 0:
+            return
+        self._frames.append(frame)
+        self._meta.append((frame_idx, t_ms))
+        if len(self._frames) == self.batch_size:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._frames:
+            return
+        valid = len(self._frames)
+        stack = np.stack(self._frames + [np.zeros_like(self._frames[0])]
+                         * (self.batch_size - valid))
+        boxed, scale, (pad_x, pad_y) = letterbox_batch(stack, valid)
+        out = detect(self.params, boxed, self.cfg, conf_threshold=self.conf)
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        classes = np.asarray(out["classes"])
+        ok = np.asarray(out["valid"])
+        for i in range(valid):
+            frame_idx, t_ms = self._meta[i]
+            for j in np.nonzero(ok[i])[0]:
+                x1, y1, x2, y2 = boxes[i, j]
+                x1 = float(np.clip((x1 - pad_x) / scale, 0, self.src_w))
+                x2 = float(np.clip((x2 - pad_x) / scale, 0, self.src_w))
+                y1 = float(np.clip((y1 - pad_y) / scale, 0, self.src_h))
+                y2 = float(np.clip((y2 - pad_y) / scale, 0, self.src_h))
+                if x2 <= x1 or y2 <= y1:
+                    continue
+                label = self.class_names[int(classes[i, j])] \
+                    if self.class_names else "face"
+                self.results.append({
+                    "payload": self.payload_builder(
+                        label, float(scores[i, j]),
+                        {"x": x1, "y": y1, "width": x2 - x1, "height": y2 - y1},
+                        frame_idx),
+                    "span_start_ms": t_ms,
+                    "span_end_ms": t_ms + self.frame_ms,
+                })
+        self._frames, self._meta = [], []
+
+
+def run_visual_analysis(video_path: str, config: dict,
+                        model_cache_dir: str | None = None
+                        ) -> dict[str, list[dict]]:
+    """Returns {task_type: results} for scene_detection, object_detection,
+    face_detection, place_classification — from ONE decode pass."""
+    from eioku_tpu.ml.scenes import assemble_scenes
+    from eioku_tpu.models.resnet.model import preprocess, resnet18_forward
+    from eioku_tpu.ml.places import _model as load_places
+    import jax
+
+    info = video_io.probe(video_path)
+    fps = info.fps or 30.0
+    frame_ms = int(round(1000.0 / fps))
+    scfg = config.get("scene_detection", {})
+    ocfg = config.get("object_detection", {})
+    fcfg = config.get("face_detection", {})
+    pcfg = config.get("place_classification", {})
+
+    sample_fps = float(scfg.get("sample_fps", 4.0))
+    interval_s = 1.0 / max(sample_fps, 1e-6)
+    base_step = max(int(round(fps * interval_s)), 1)
+
+    def substep(seconds: float) -> int:
+        # consumer steps are in source-frame units, aligned to the base grid
+        return max(int(round(fps * seconds / base_step)), 1) * base_step
+
+    objects = _DetectionConsumer(
+        ocfg.get("model", "yolov8n"), len(COCO_CLASSES), COCO_CLASSES,
+        float(ocfg.get("confidence_threshold", 0.5)),
+        substep(float(ocfg.get("frame_interval_s", 1.0))),
+        int(ocfg.get("batch_size", 64)), model_cache_dir,
+        lambda label, conf, box, fi: {"label": label, "confidence": conf,
+                                      "bounding_box": box, "frame_number": fi},
+        frame_ms, (info.width, info.height))
+    faces = _DetectionConsumer(
+        fcfg.get("model", "yolov8n-face"), 1, [],
+        float(fcfg.get("confidence_threshold", 0.7)),
+        substep(float(fcfg.get("frame_interval_s", 3.0))),
+        int(fcfg.get("batch_size", 64)), model_cache_dir,
+        lambda label, conf, box, fi: {"cluster_id": None, "confidence": conf,
+                                      "bounding_box": box, "frame_number": fi},
+        frame_ms, (info.width, info.height))
+
+    place_params, place_labels = load_places(model_cache_dir)
+    place_step = substep(float(pcfg.get("frame_interval_s", 1.0)))
+    place_topk = int(pcfg.get("top_k", 5))
+    place_batch: list[np.ndarray] = []
+    place_meta: list[tuple[int, int]] = []
+    place_results: list[dict] = []
+    place_bs = int(pcfg.get("batch_size", 64))
+
+    def flush_places():
+        if not place_batch:
+            return
+        valid = len(place_batch)
+        stack = np.stack(place_batch + [np.zeros_like(place_batch[0])]
+                         * (place_bs - valid))
+        small = resize_bilinear(jnp.asarray(stack), 224, 224).astype(jnp.uint8)
+        logits = resnet18_forward(place_params, preprocess(small))
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        sc, idx = jax.lax.top_k(probs, place_topk)
+        sc, idx = np.asarray(sc), np.asarray(idx)
+        for i in range(valid):
+            fi, t_ms = place_meta[i]
+            preds = [{"label": place_labels[int(idx[i, j])],
+                      "confidence": float(sc[i, j])} for j in range(place_topk)]
+            place_results.append({
+                "payload": {"predictions": preds, "frame_number": fi},
+                "span_start_ms": t_ms, "span_end_ms": t_ms + frame_ms})
+        place_batch.clear()
+        place_meta.clear()
+
+    # scene state
+    threshold = float(scfg.get("threshold", 0.1))
+    prev_plane = jnp.zeros((SCENE_H * SCENE_W * 3,), jnp.float32)
+    boundaries: list[tuple[int, float]] = []
+    first = True
+
+    batch_size = int(config.get("batch_size", 32))
+    decode_threads = int(config.get("decode_threads", 4))
+    for batch in video_io.prefetch(video_io.iter_frame_batches(
+            video_path, batch_size=batch_size, frame_interval_s=interval_s,
+            decode_threads=decode_threads)):
+        frames_dev = jnp.asarray(batch.frames)
+        small = resize_bilinear(frames_dev, SCENE_H, SCENE_W)  # float32 0..255
+        planes = frames_to_hsv_planes(small)  # divides by 255 for any dtype
+        scores = np.asarray(scene_scores(prev_plane, planes))
+        prev_plane = planes[max(batch.valid - 1, 0)]
+        for slot in range(batch.valid):
+            fi = int(batch.frame_indices[slot])
+            t_ms = int(batch.timestamps_ms[slot])
+            if first and slot == 0:
+                first = False
+            elif scores[slot] > threshold:
+                boundaries.append((t_ms, float(scores[slot])))
+            objects.offer(batch.frames[slot], fi, t_ms)
+            faces.offer(batch.frames[slot], fi, t_ms)
+            if fi % place_step == 0:
+                place_batch.append(batch.frames[slot])
+                place_meta.append((fi, t_ms))
+                if len(place_batch) == place_bs:
+                    flush_places()
+    objects.flush()
+    faces.flush()
+    flush_places()
+
+    scenes = assemble_scenes(boundaries, info.duration_ms,
+                             float(scfg.get("min_scene_len_s", 0.5)))
+    scene_results = [
+        {"payload": {"scene_index": s.scene_index, "start_ms": s.start_ms,
+                     "end_ms": s.end_ms, "duration_ms": s.duration_ms,
+                     "score": round(s.score, 4)},
+         "span_start_ms": s.start_ms, "span_end_ms": s.end_ms}
+        for s in scenes
+    ]
+    # face clustering over the merged face results
+    from eioku_tpu.ml.detection import _assign_face_clusters
+    _assign_face_clusters(faces.results)
+
+    return {
+        "scene_detection": scene_results,
+        "object_detection": objects.results,
+        "face_detection": faces.results,
+        "place_classification": place_results,
+    }

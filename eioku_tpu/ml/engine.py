@@ -51,6 +51,7 @@ class InferenceEngine:
             "ocr": self._ocr,
             "place_classification": self._place_classification,
             "semantic_indexing": self._semantic_indexing,
+            "visual_analysis": self._visual_analysis,
         }
         self.producer_name = "eioku-tpu-engine"
         self.producer_version = "0.1.0"
@@ -111,6 +112,13 @@ class InferenceEngine:
         from eioku_tpu.ml.places import run_place_classification
         return run_place_classification(video_path, config,
                                         model_cache_dir=self.model_cache_dir)
+
+    def _visual_analysis(self, video_path: str, config: dict) -> dict:
+        """Combined one-decode-pass pipeline; returns {sub_task_type: results}
+        (the task handler emits one run per sub type)."""
+        from eioku_tpu.ml.combined import run_visual_analysis
+        return run_visual_analysis(video_path, config,
+                                   model_cache_dir=self.model_cache_dir)
 
     def _semantic_indexing(self, video_path: str, config: dict) -> list[dict]:
         # Semantic indexing consumes transcript artifacts, not the video file;

@@ -117,6 +117,12 @@ class VideoDiscoveryService:
         """(task_type, language) pairs, with per-language fan-out
         (reference: video_discovery_service.py:176-275)."""
         active = tuple(self.config.active_task_types or ACTIVE_TASK_TYPES)
+        if getattr(self.config, "combined_visual", False):
+            visual = {"scene_detection", "object_detection", "face_detection",
+                      "place_classification"}
+            if visual & set(active):
+                active = tuple(t for t in active if t not in visual) + (
+                    "visual_analysis",)
         specs: list[tuple[str, str | None]] = []
         for task_type in active:
             if task_type not in TASK_REGISTRY:
@@ -142,7 +148,13 @@ class VideoDiscoveryService:
         for task_type, language in self._task_specs_for_video():
             if self.tasks.exists(video.id, task_type, language):
                 continue
-            config = self.config.settings_for(task_type)
+            if task_type == "visual_analysis":
+                # carries one sub-config per visual consumer (ml/combined.py)
+                config = {sub: self.config.settings_for(sub)
+                          for sub in ("scene_detection", "object_detection",
+                                      "face_detection", "place_classification")}
+            else:
+                config = self.config.settings_for(task_type)
             if language is not None:
                 config = {**config, "language": language}
             task = Task(

@@ -91,24 +91,34 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
                 maybe_profile(task_type):
             results = await asyncio.to_thread(engine.run_task, task_type,
                                               video_path, config)
-        artifact_type = TASK_REGISTRY[task_type].artifact_types[0]
-        run_id = str(uuid.uuid4())
         config_hash = compute_config_hash(config or {})
         try:
             input_hash = compute_input_hash(video_path)
         except OSError:
             input_hash = "missing"
-        envs = build_envelopes(
-            results, video_id=video_id, artifact_type=artifact_type, run_id=run_id,
-            producer=engine.producer_name, producer_version=engine.producer_version,
-            model_profile=engine.model_profile, config_hash=config_hash,
-            input_hash=input_hash)
-        app.runs.save(Run(
-            run_id=run_id, asset_id=video_id, task_type=task_type,
-            producer=engine.producer_name, producer_version=engine.producer_version,
-            model_profile=engine.model_profile, config_hash=config_hash,
-            input_hash=input_hash, config_json=config or {}))
-        app.artifacts.batch_create(envs)
+        # combined tasks return {sub_task_type: results}; emit one run per sub
+        # type so the artifact/run/selection model is unchanged
+        result_sets = results if isinstance(results, dict) else \
+            {task_type: results}
+        envs = []
+        run_id = None
+        for sub_type, sub_results in result_sets.items():
+            artifact_type = TASK_REGISTRY[sub_type].artifact_types[0]
+            run_id = str(uuid.uuid4())
+            sub_envs = build_envelopes(
+                sub_results, video_id=video_id, artifact_type=artifact_type,
+                run_id=run_id, producer=engine.producer_name,
+                producer_version=engine.producer_version,
+                model_profile=engine.model_profile, config_hash=config_hash,
+                input_hash=input_hash)
+            app.runs.save(Run(
+                run_id=run_id, asset_id=video_id, task_type=sub_type,
+                producer=engine.producer_name,
+                producer_version=engine.producer_version,
+                model_profile=engine.model_profile, config_hash=config_hash,
+                input_hash=input_hash, config_json=config or {}))
+            app.artifacts.batch_create(sub_envs)
+            envs.extend(sub_envs)
         if task_type == "metadata_extraction" and envs:
             _update_video_from_metadata(app, video_id, envs[0].payload_json)
         if task_type == "transcription":

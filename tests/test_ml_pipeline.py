@@ -258,3 +258,60 @@ class TestStripedDecode:
                                           frame_interval_s=2.0,
                                           decode_threads=8))
         assert sum(b.valid for b in serial) == sum(b.valid for b in striped)
+
+
+class TestCombinedVisual:
+    def test_combined_matches_separate_artifact_types(self, scene_video):
+        from eioku_tpu.ml.combined import run_visual_analysis
+        results = run_visual_analysis(scene_video, {
+            "scene_detection": {"sample_fps": 4.0},
+            "object_detection": {"batch_size": 4, "confidence_threshold": 0.0},
+            "face_detection": {"batch_size": 4},
+            "place_classification": {"batch_size": 4, "top_k": 3},
+        })
+        assert set(results) == {"scene_detection", "object_detection",
+                                "face_detection", "place_classification"}
+        scenes = results["scene_detection"]
+        assert len(scenes) == 3  # same 3 scenes the separate pipeline finds
+        assert scenes[-1]["span_end_ms"] == 7000
+        # places sampled at 1 fps over 7 s -> 7 frames
+        assert len(results["place_classification"]) == 7
+        from eioku_tpu.domain.schema_registry import SchemaRegistry, register_all_schemas
+        register_all_schemas()
+        for r in results["place_classification"]:
+            SchemaRegistry.validate("place.classification", 1, r["payload"])
+        for r in results["object_detection"][:10]:
+            SchemaRegistry.validate("object.detection", 1, r["payload"])
+
+    def test_combined_e2e_through_worker(self, tmp_path, scene_video):
+        from eioku_tpu.queue.worker import WorkerSettings
+        from eioku_tpu.workers.main import build_worker
+        from eioku_tpu.domain.models import PathConfig
+
+        config = AppConfig(
+            scan_paths=[], auto_discover=False, combined_visual=True,
+            active_task_types=["metadata_extraction", "scene_detection",
+                               "object_detection", "face_detection",
+                               "place_classification"],
+            task_settings={"object_detection": {"batch_size": 4},
+                           "face_detection": {"batch_size": 4},
+                           "place_classification": {"batch_size": 4}})
+        db = Database(f"sqlite:///{tmp_path}/cv.db")
+        ctx = build_context(config, db=db)
+        ctx.paths.save(PathConfig(path=str(tmp_path)))
+        report = ctx.discovery.discover()
+        # 4 visual tasks collapsed into one visual_analysis + metadata
+        assert report.tasks_created == 2
+        worker = build_worker(app_ctx=ctx,
+                              settings=WorkerSettings(max_jobs=1,
+                                                      poll_delay_s=0.01))
+        asyncio.run(worker.drain())
+        tasks = ctx.tasks.find(limit=10)
+        assert {t.status for t in tasks} == {TaskStatus.COMPLETED}, \
+            [(t.task_type, t.error) for t in tasks]
+        v = ctx.videos.list()[0]
+        types = set(ctx.artifacts.list_types_for_asset(v.id))
+        assert {"scene", "place.classification", "video.metadata"} <= types
+        # one run per sub task type
+        runs = {r["run_id"] for r in ctx.artifacts.list_runs(v.id)}
+        assert len(runs) >= 3

@@ -211,7 +211,7 @@ class TestFinetune:
         short = "one two"
         assert crop_pair(short, rng) == (short, short)
 
-    def test_finetune_end_to_end(self, tmp_path):
+    def test_finetune_end_to_end(self, tmp_path, monkeypatch):
         """Fine-tune on indexed chunks, save, and verify load_minilm picks the
         native checkpoint up."""
         from eioku_tpu.api.app import build_context
@@ -237,10 +237,18 @@ class TestFinetune:
         seed_transcript(ctx, v.id, texts)
         ctx.extra["semantic_index"].index_video(v.id, {"chunk_chars": 30,
                                                        "overlap_chars": 0})
+        # patch a tiny model in so the test doesn't compile full MiniLM on CPU
+        from eioku_tpu.models.embed.minilm import MiniLMConfig, init_minilm_params
+        import eioku_tpu.parallel.finetune as ft
+        tiny = MiniLMConfig(vocab_size=512, dim=32, n_layers=1, n_heads=2,
+                            ffn_dim=64, max_position=128)
+        monkeypatch.setattr(ft, "load_minilm",
+                            lambda cache: (init_minilm_params(tiny, 0), tiny,
+                                           False))
         stats = finetune_embedder(ctx, steps=3, batch_size=4, lr=1e-4)
         assert stats["steps"] == 3
         assert os.path.isfile(stats["checkpoint"])
-        _, _, pretrained = load_minilm(str(cache))
+        _, _, pretrained = load_minilm(str(cache), cfg=tiny)
         assert pretrained  # native checkpoint found
         db.close()
 
