@@ -28,7 +28,6 @@ from eioku_tpu.ml.face_tracking import FaceTracker
 from eioku_tpu.models.yolo.classes import COCO_CLASSES
 from eioku_tpu.models.yolo.postprocess import detect
 from eioku_tpu.ops.colorspace import frames_to_hsv_planes
-from eioku_tpu.ops.resize import resize_bilinear
 from eioku_tpu.ops.scene_diff import scene_scores
 
 log = logging.getLogger(__name__)
@@ -149,13 +148,16 @@ def run_visual_analysis(video_path: str, config: dict,
     place_bs = int(pcfg.get("batch_size", 64))
 
     def flush_places():
+        import cv2
         if not place_batch:
             return
         valid = len(place_batch)
-        stack = np.stack(place_batch + [np.zeros_like(place_batch[0])]
+        # host resize to 224 keeps the device upload small (see scene note)
+        resized = [cv2.resize(f, (224, 224), interpolation=cv2.INTER_AREA)
+                   for f in place_batch]
+        stack = np.stack(resized + [np.zeros_like(resized[0])]
                          * (place_bs - valid))
-        small = resize_bilinear(jnp.asarray(stack), 224, 224).astype(jnp.uint8)
-        logits = resnet18_forward(place_params, preprocess(small))
+        logits = resnet18_forward(place_params, preprocess(jnp.asarray(stack)))
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         sc, idx = jax.lax.top_k(probs, place_topk)
         sc, idx = np.asarray(sc), np.asarray(idx)
@@ -180,9 +182,15 @@ def run_visual_analysis(video_path: str, config: dict,
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval_s,
             decode_threads=decode_threads)):
-        frames_dev = jnp.asarray(batch.frames)
-        small = resize_bilinear(frames_dev, SCENE_H, SCENE_W)  # float32 0..255
-        planes = frames_to_hsv_planes(small)  # divides by 255 for any dtype
+        # Scene scoring needs only 96x160: resize on host so the device upload
+        # is ~40x smaller than shipping full-resolution frames (host->device
+        # bandwidth is the scarce resource; measured 3x regression otherwise).
+        import cv2
+        small_np = np.stack([
+            cv2.resize(batch.frames[i], (SCENE_W, SCENE_H),
+                       interpolation=cv2.INTER_AREA)
+            for i in range(batch.frames.shape[0])])
+        planes = frames_to_hsv_planes(jnp.asarray(small_np))
         scores = np.asarray(scene_scores(prev_plane, planes))
         prev_plane = planes[max(batch.valid - 1, 0)]
         for slot in range(batch.valid):
