@@ -301,3 +301,30 @@ class TestConcurrentClaims:
             t.join(timeout=30)
         assert sorted(claimed) == sorted({f"j{i}" for i in range(40)})
         assert len(claimed) == len(set(claimed)) == 40
+
+
+class TestCli:
+    def test_cli_commands(self, db, tmp_path, monkeypatch, capsys):
+        """Exercise the ops CLI command functions against a seeded context."""
+        import argparse
+        import eioku_tpu.cli as cli
+        from eioku_tpu.api.app import build_context
+        from eioku_tpu.config.settings import AppConfig
+
+        config = AppConfig(scan_paths=[], auto_discover=False,
+                           index_dir=str(tmp_path / "idx"))
+        ctx = build_context(config, db=db)
+        v = VideoRepository(db).save(Video(path="/v.mp4"))
+        t = TaskRepository(db).save(Task(video_id=v.id, task_type="ocr",
+                                         language="en"))
+        ctx.producer.enqueue_task(t.id, "ocr", v.id, v.path)
+        monkeypatch.setattr(cli, "_ctx", lambda args: ctx)
+        args = argparse.Namespace(db=None, config=None, limit=50)
+        assert cli.cmd_tasks(args) == 0
+        out = capsys.readouterr().out
+        assert "ocr" in out and "pending" in out
+        assert cli.cmd_videos(argparse.Namespace(db=None, limit=10)) == 0
+        assert "/v.mp4" in capsys.readouterr().out
+        assert cli.cmd_resync(argparse.Namespace(db=None)) == 0
+        assert cli.cmd_reconcile(argparse.Namespace(db=None)) == 0
+        assert "pending_reenqueued" in capsys.readouterr().out
