@@ -1,0 +1,139 @@
+"""Property-based tests (Hypothesis) for the pure logic layers.
+
+The reference's specs call for property-based tests but none were implemented
+(SURVEY.md section 4, README.md:139-144 of the reference). These cover the
+invariants unit examples can miss.
+"""
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+import jax.numpy as jnp
+
+from eioku_tpu.domain.artifacts import ArtifactEnvelope, new_id
+from eioku_tpu.index.semantic import chunk_segments
+from eioku_tpu.ml.scenes import assemble_scenes
+from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
+from eioku_tpu.models.yolo.postprocess import _iou_matrix, nms_fixed
+from eioku_tpu.services.find_service import _fts_query
+
+spans = st.tuples(st.integers(0, 10_000), st.integers(0, 10_000)).map(
+    lambda t: (min(t), max(t) + 1))
+
+
+class TestEnvelopeProperties:
+    @given(a=spans, b=spans)
+    @settings(max_examples=200, deadline=None)
+    def test_overlap_matches_interval_math(self, a, b):
+        env = ArtifactEnvelope(
+            artifact_id=new_id(), asset_id="x", artifact_type="scene",
+            schema_version=1, span_start_ms=a[0], span_end_ms=a[1],
+            payload_json={"scene_index": 0, "start_ms": a[0], "end_ms": a[1],
+                          "duration_ms": a[1] - a[0]},
+            producer="p", producer_version="1", model_profile="fast",
+            config_hash="c", input_hash="i", run_id="r")
+        expected = max(a[0], b[0]) < min(a[1], b[1])
+        assert env.overlaps(b[0], b[1]) == expected
+
+
+class TestSceneAssemblyProperties:
+    @given(
+        duration=st.integers(1000, 100_000),
+        cuts=st.lists(st.tuples(st.integers(1, 99_999),
+                                st.floats(0.1, 1.0)), max_size=20),
+        min_len=st.floats(0.1, 5.0),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_scenes_partition_the_video(self, duration, cuts, min_len):
+        scenes = assemble_scenes(cuts, duration, min_scene_len_s=min_len)
+        assert scenes[0].start_ms == 0
+        assert scenes[-1].end_ms >= duration
+        for prev, cur in zip(scenes, scenes[1:]):
+            assert prev.end_ms == cur.start_ms  # contiguous, no gaps/overlap
+            assert cur.start_ms - prev.start_ms >= int(min_len * 1000)
+
+
+class TestChunkingProperties:
+    texts = st.lists(st.text(alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters=" "),
+        min_size=0, max_size=60), min_size=0, max_size=30)
+
+    @given(texts=texts, chunk_chars=st.integers(10, 200),
+           overlap=st.integers(0, 50))
+    @settings(max_examples=100, deadline=None)
+    def test_every_word_lands_in_a_chunk(self, texts, chunk_chars, overlap):
+        segs = [{"text": t, "start_ms": i * 100, "end_ms": i * 100 + 100}
+                for i, t in enumerate(texts)]
+        chunks = chunk_segments(segs, chunk_chars=chunk_chars,
+                                overlap_chars=min(overlap, chunk_chars - 1))
+        joined = " ".join(c["text"] for c in chunks)
+        for t in texts:
+            for word in t.split():
+                assert word in joined
+        for c in chunks:
+            assert c["start_ms"] <= c["end_ms"]
+
+
+class TestNmsProperties:
+    boxes_strategy = st.lists(
+        st.tuples(st.floats(0, 500), st.floats(0, 500),
+                  st.floats(1, 100), st.floats(1, 100),
+                  st.floats(0.01, 1.0), st.integers(0, 3)),
+        min_size=1, max_size=24)
+
+    @given(data=boxes_strategy, thr=st.floats(0.1, 0.9))
+    @settings(max_examples=60, deadline=None)
+    def test_kept_boxes_are_nms_consistent(self, data, thr):
+        data.sort(key=lambda d: -d[4])  # NMS expects score-sorted input
+        boxes = jnp.asarray([[x, y, x + w, y + h] for x, y, w, h, _, _ in data],
+                            jnp.float32)
+        scores = jnp.asarray([s for *_, s, _ in data], jnp.float32)
+        classes = jnp.asarray([c for *_, c in data], jnp.int32)
+        out = nms_fixed(boxes, scores, classes, iou_threshold=thr,
+                        max_det=len(data))
+        valid = np.asarray(out["valid"])
+        kept_boxes = np.asarray(out["boxes"])[valid]
+        kept_classes = np.asarray(out["classes"])[valid]
+        iou = np.asarray(_iou_matrix(jnp.asarray(kept_boxes)))
+        for i in range(len(kept_boxes)):
+            for j in range(i + 1, len(kept_boxes)):
+                if kept_classes[i] == kept_classes[j]:
+                    assert iou[i, j] <= thr + 1e-5
+
+    @given(data=boxes_strategy)
+    @settings(max_examples=30, deadline=None)
+    def test_highest_score_always_kept(self, data):
+        data.sort(key=lambda d: -d[4])
+        boxes = jnp.asarray([[x, y, x + w, y + h] for x, y, w, h, _, _ in data],
+                            jnp.float32)
+        scores = jnp.asarray([s for *_, s, _ in data], jnp.float32)
+        classes = jnp.asarray([c for *_, c in data], jnp.int32)
+        out = nms_fixed(boxes, scores, classes, max_det=len(data))
+        assert bool(np.asarray(out["valid"])[0])
+
+
+class TestFtsQueryProperties:
+    @given(q=st.text(max_size=80))
+    @settings(max_examples=200, deadline=None)
+    def test_sanitizer_output_is_safe(self, q):
+        out = _fts_query(q)
+        # either empty or strictly AND-of-quoted-word-tokens
+        if out:
+            parts = out.split(" AND ")
+            for p in parts:
+                assert p.startswith('"') and p.endswith('"')
+                inner = p[1:-1]
+                assert '"' not in inner
+
+
+class TestTokenizerProperties:
+    @given(text=st.text(max_size=200), max_len=st.integers(8, 64))
+    @settings(max_examples=100, deadline=None)
+    def test_fixed_shape_and_mask(self, text, max_len):
+        tok = WordPieceTokenizer(max_len=max_len)
+        ids, mask = tok.encode(text)
+        assert len(ids) == len(mask) == max_len
+        n = sum(mask)
+        assert mask == [1] * n + [0] * (max_len - n)  # contiguous padding
+        assert ids[0] == tok.cls_id
+        assert tok.sep_id in ids
+        assert all(0 <= i < tok.vocab_size for i in ids)
