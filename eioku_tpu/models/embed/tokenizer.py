@@ -25,8 +25,20 @@ def _is_punctuation(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+_ASCII_SPLIT = None
+
+
 def basic_tokenize(text: str) -> list[str]:
     text = text.lower()
+    if text.isascii():
+        # fast path: regex split, no per-char unicodedata calls (the dominant
+        # host cost of tokenization for English transcripts)
+        global _ASCII_SPLIT
+        if _ASCII_SPLIT is None:
+            import re
+            _ASCII_SPLIT = re.compile(
+                r"[a-z0-9]+|[!-/:-@\[-`{-~]").findall
+        return _ASCII_SPLIT(text)
     out: list[str] = []
     word = []
     for ch in unicodedata.normalize("NFD", text):
@@ -61,6 +73,13 @@ class WordPieceTokenizer:
             self.sep_id = vocab.get(SEP, 102)
         else:
             self.pad_id, self.unk_id, self.cls_id, self.sep_id = 0, 100, 101, 102
+        self._native = None
+        if vocab:
+            try:
+                from eioku_tpu.models.embed.native_tokenizer import NativeWordPiece
+                self._native = NativeWordPiece(vocab, self.unk_id)
+            except Exception:
+                self._native = None  # pure-Python fallback
 
     @classmethod
     def from_cache_dir(cls, cache_dir: str | None, max_len: int = 256
@@ -102,12 +121,17 @@ class WordPieceTokenizer:
 
     def encode(self, text: str) -> tuple[list[int], list[int]]:
         """Returns (token_ids, attention_mask), fixed max_len with CLS/SEP."""
-        ids = [self.cls_id]
-        for word in basic_tokenize(text):
-            ids.extend(self._wordpiece(word))
-            if len(ids) >= self.max_len - 1:
-                ids = ids[:self.max_len - 1]
-                break
+        words = basic_tokenize(text)
+        if self._native is not None:
+            body = self._native.encode_words(words, max_out=self.max_len)
+            ids = [self.cls_id] + body[:self.max_len - 2]
+        else:
+            ids = [self.cls_id]
+            for word in words:
+                ids.extend(self._wordpiece(word))
+                if len(ids) >= self.max_len - 1:
+                    ids = ids[:self.max_len - 1]
+                    break
         ids.append(self.sep_id)
         mask = [1] * len(ids)
         while len(ids) < self.max_len:

@@ -281,3 +281,45 @@ class TestSemanticIndex:
             body = r.json()
             assert body["total"] >= 1
             assert body["results"][0]["jump_to"]["start_ms"] == 0
+
+
+class TestNativeWordPiece:
+    def _vocab(self):
+        # dense ids as in a real vocab.txt
+        toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "un", "##happy", "dog",
+                "play", "##ing", "the", "##s"]
+        return {t: i for i, t in enumerate(toks)}
+
+    def test_native_matches_python(self):
+        from eioku_tpu.models.embed.native_tokenizer import NativeWordPiece
+        vocab = self._vocab()
+        tok = WordPieceTokenizer(vocab=vocab, max_len=32)
+        if tok._native is None:
+            pytest.skip("native tokenizer unavailable")
+        py = WordPieceTokenizer(vocab=vocab, max_len=32)
+        py._native = None
+        texts = ["unhappy dogs playing", "the dog plays", "zebra unknown!",
+                 "", "un un un", "playing " * 40]
+        for t in texts:
+            assert tok.encode(t) == py.encode(t), t
+
+    def test_native_throughput_advantage(self):
+        import time
+        vocab = self._vocab()
+        tok = WordPieceTokenizer(vocab=vocab, max_len=128)
+        if tok._native is None:
+            pytest.skip("native tokenizer unavailable")
+        py = WordPieceTokenizer(vocab=vocab, max_len=128)
+        py._native = None
+        text = "unhappy dogs playing the dog plays " * 10
+        n = 300
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tok.encode(text)
+        t_native = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            py.encode(text)
+        t_py = time.perf_counter() - t0
+        # native must not be slower; typically it's several times faster
+        assert t_native <= t_py * 1.2, (t_native, t_py)
