@@ -179,8 +179,8 @@ class SemanticIndex:
     # -- indexing ---------------------------------------------------------------------
 
     def index_video(self, video_id: str, config: dict | None = None) -> int:
-        """Embed the latest transcript run of a video into the index.
-        Returns number of chunks indexed."""
+        """Embed the latest transcript run (and on-screen OCR text) of a video
+        into the index. Returns number of chunks indexed."""
         config = config or {}
         segments = self.ctx.artifacts.get_by_asset(
             video_id, artifact_type="transcript.segment",
@@ -191,6 +191,18 @@ class SemanticIndex:
         chunks = chunk_segments(
             segs, chunk_chars=int(config.get("chunk_chars", 400)),
             overlap_chars=int(config.get("overlap_chars", 80)))
+        chunks = [dict(c, source="transcript") for c in chunks]
+        if config.get("index_ocr", True):
+            ocr = self.ctx.artifacts.get_by_asset(
+                video_id, artifact_type="ocr.text",
+                selection=SelectionPolicy(mode="latest"))
+            ocr_segs = [{"text": e.payload_json.get("text", ""),
+                         "start_ms": e.span_start_ms, "end_ms": e.span_end_ms}
+                        for e in ocr]
+            ocr_chunks = chunk_segments(
+                ocr_segs, chunk_chars=int(config.get("chunk_chars", 400)),
+                overlap_chars=0)
+            chunks.extend(dict(c, source="ocr") for c in ocr_chunks)
         if not chunks:
             return 0
         vecs = self.embed_texts([c["text"] for c in chunks])
@@ -200,7 +212,7 @@ class SemanticIndex:
         start_slot = self._append_vectors(vecs)
         run_id = str(uuid.uuid4())
         results = [
-            {"payload": {"text": c["text"], "source": "transcript",
+            {"payload": {"text": c["text"], "source": c["source"],
                          "model": self.MODEL_NAME, "dim": self.dim,
                          "index_slot": start_slot + i,
                          "norm": float(np.linalg.norm(vecs[i]))},

@@ -323,3 +323,29 @@ class TestNativeWordPiece:
         t_py = time.perf_counter() - t0
         # native must not be slower; typically it's several times faster
         assert t_native <= t_py * 1.2, (t_native, t_py)
+
+
+class TestOcrIndexing:
+    def test_ocr_text_indexed_with_source(self, sctx):
+        from eioku_tpu.domain.models import Video
+        v = Video(path="/ocr.mp4")
+        sctx.videos.save(v)
+        seed_transcript(sctx, v.id, ["spoken words about sailing boats"])
+        ocr_env = ArtifactEnvelope(
+            artifact_id=new_id(), asset_id=v.id, artifact_type="ocr.text",
+            schema_version=1, span_start_ms=500, span_end_ms=533,
+            payload_json={"text": "BREAKING NEWS banner text",
+                          "polygon": [[0, 0], [10, 0], [10, 5]],
+                          "languages": ["en"], "frame_index": 15},
+            producer="p", producer_version="1", model_profile="balanced",
+            config_hash="c", input_hash="i", run_id="ro")
+        sctx.artifacts.create(ocr_env)
+        index = sctx.extra["semantic_index"]
+        n = index.index_video(v.id, {})
+        assert n >= 2  # transcript chunk + ocr chunk
+        sources = {r["source"] for r in sctx.db.query(
+            "SELECT source FROM embedding_chunks WHERE asset_id=?", (v.id,))}
+        assert sources == {"transcript", "ocr"}
+        results = index.search("BREAKING NEWS banner text", top_k=2)
+        assert results[0]["source"] == "ocr"
+        assert results[0]["jump_to"]["start_ms"] == 500
