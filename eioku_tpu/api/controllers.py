@@ -148,8 +148,11 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
     @app.delete(PREFIX + "/videos/{video_id}")
     async def delete_video(request: Request):
         v = _get_video(request.path_params["video_id"])
+        for task in ctx.tasks.find(video_id=v.id, limit=1000):
+            ctx.producer.abort_task(task.id)
         ctx.tasks.delete_for_video(v.id)
         ctx.artifacts.delete_for_asset(v.id)
+        ctx.projection_sync.delete_for_asset(v.id)
         ctx.videos.delete(v.id)
         return {"deleted": v.id}
 

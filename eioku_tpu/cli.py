@@ -63,6 +63,10 @@ def cmd_resync(args) -> int:
     ctx = _ctx(args)
     n = ctx.projection_sync.resync_all()
     print(f"resynced {n} artifacts into projections")
+    if getattr(args, "semantic", False):
+        index = ctx.extra.get("semantic_index")
+        if index is not None:
+            print(f"rebuilt semantic index: {index.rebuild()} chunks")
     return 0
 
 
@@ -118,6 +122,8 @@ def main() -> int:
     p.set_defaults(fn=cmd_videos)
 
     p = sub.add_parser("resync", help="rebuild all projections from artifacts")
+    p.add_argument("--semantic", action="store_true",
+                   help="also re-embed the semantic vector store")
     p.set_defaults(fn=cmd_resync)
 
     p = sub.add_parser("reconcile", help="run one reconciliation pass")

@@ -264,6 +264,25 @@ class SemanticIndex:
                 [(str(uuid.uuid4()), video_id, w, round(s / top, 4),
                   utcnow().isoformat()) for w, s in scored])
 
+    def rebuild(self) -> int:
+        """Re-embed every video that has indexable text (vector-store analog of
+        resync_projections: the flat file is derived state and fully
+        rebuildable). Also compacts slots freed by superseded runs."""
+        asset_rows = self.ctx.db.query(
+            "SELECT DISTINCT asset_id FROM artifacts"
+            " WHERE artifact_type IN ('transcript.segment', 'ocr.text')")
+        with self._lock:
+            for path in (self.vec_path, self.meta_path):
+                if os.path.isfile(path):
+                    os.remove(path)
+            self._corpus_rows = -1
+            self._ivf_cache = None
+        self.ctx.db.execute("DELETE FROM embedding_chunks")
+        total = 0
+        for r in asset_rows:
+            total += self.index_video(r["asset_id"], {})
+        return total
+
     # -- search ---------------------------------------------------------------------------
 
     IVF_THRESHOLD = 4096  # brute force is faster below this corpus size

@@ -132,6 +132,22 @@ class ProjectionSyncService:
              env.span_end_ms, p["text"], p["source"], p["model"], env.run_id),
         )
 
+    def delete_for_asset(self, asset_id: str) -> None:
+        """Remove every projection row for an asset (video deletion cleanup);
+        without this, FTS still returns hits for deleted videos."""
+        with self.db.transaction() as conn:
+            for fts, meta in (("transcript_fts", "transcript_fts_meta"),
+                              ("ocr_fts", "ocr_fts_meta")):
+                rows = conn.execute(
+                    f"SELECT rowid FROM {meta} WHERE asset_id=?",
+                    (asset_id,)).fetchall()
+                for (rowid,) in rows:
+                    conn.execute(f"DELETE FROM {fts} WHERE rowid=?", (rowid,))
+                conn.execute(f"DELETE FROM {meta} WHERE asset_id=?", (asset_id,))
+            for table in ("scene_ranges", "object_labels", "face_clusters",
+                          "video_locations", "embedding_chunks", "topics"):
+                conn.execute(f"DELETE FROM {table} WHERE asset_id=?", (asset_id,))
+
     # -- rebuild ----------------------------------------------------------------
 
     def resync_all(self) -> int:

@@ -319,3 +319,16 @@ class TestRoutesListing:
         assert "GET /api/v1/videos/{video_id}/jump" in routes
         assert "POST /api/v1/tasks/{task_id}/retry" in routes
         assert len(routes) > 20
+
+
+class TestVideoDeletionCleanup:
+    def test_find_returns_nothing_after_delete(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        assert client.get(f"/api/v1/videos/{v.id}/find",
+                          params={"q": "fox"}).json()["total"] == 1
+        client.delete(f"/api/v1/videos/{v.id}")
+        # orphaned FTS rows must be gone (find requires the video, so check DB)
+        assert ctx.db.scalar(
+            "SELECT COUNT(*) FROM transcript_fts_meta WHERE asset_id=?",
+            (v.id,)) == 0

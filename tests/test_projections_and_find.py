@@ -169,3 +169,23 @@ class TestJumpNavigation:
     def test_none_when_exhausted(self, db):
         svc = self._svc(db)
         assert svc.jump("a1", "object", from_ms=99999, direction="next") is None
+
+
+class TestProjectionDeletion:
+    def test_delete_for_asset_removes_all_projections(self, db):
+        repo, sync = make_repo(db)
+        repo.create(transcript("delete me soon", 0, 1000))
+        repo.create(env("scene", {"scene_index": 0, "start_ms": 0, "end_ms": 1000,
+                                  "duration_ms": 1000}, 0, 1000))
+        repo.create(env("ocr.text", {"text": "gone text",
+                                     "polygon": [[0, 0], [1, 0], [1, 1]],
+                                     "languages": ["en"], "frame_index": 0},
+                        0, 33))
+        find = FindWithinVideoService(db)
+        assert find.find("a1", "delete", 0)
+        sync.delete_for_asset("a1")
+        assert find.find("a1", "delete", 0) == []
+        assert find.find("a1", "gone", 0) == []
+        assert db.scalar("SELECT COUNT(*) FROM scene_ranges") == 0
+        assert db.scalar("SELECT COUNT(*) FROM transcript_fts") == 0
+        assert db.scalar("SELECT COUNT(*) FROM ocr_fts") == 0

@@ -349,3 +349,22 @@ class TestOcrIndexing:
         results = index.search("BREAKING NEWS banner text", top_k=2)
         assert results[0]["source"] == "ocr"
         assert results[0]["jump_to"]["start_ms"] == 500
+
+
+class TestIndexRebuild:
+    def test_rebuild_compacts_and_preserves_search(self, sctx):
+        from eioku_tpu.domain.models import Video
+        import os
+        v = Video(path="/rb.mp4")
+        sctx.videos.save(v)
+        seed_transcript(sctx, v.id, ["rebuild target text one",
+                                     "another searchable chunk"])
+        index = sctx.extra["semantic_index"]
+        index.index_video(v.id, {"chunk_chars": 20, "overlap_chars": 0})
+        index.index_video(v.id, {"chunk_chars": 20, "overlap_chars": 0})  # stale slots
+        size_before = os.path.getsize(index.vec_path)
+        n = index.rebuild()
+        assert n >= 1  # default chunking merges the short texts
+        assert os.path.getsize(index.vec_path) < size_before  # compacted
+        results = index.search("rebuild target text one", top_k=2)
+        assert results and results[0]["video_id"] == v.id
