@@ -127,6 +127,18 @@ def run_transcription(video_path: str, config: dict,
     # segment-level timestamps need a real model; random weights use plain mode
     want_ts = config.get("timestamps", "auto")
     use_timestamps = pretrained if want_ts == "auto" else bool(want_ts)
+    if language is None and pretrained:
+        # auto-detect from the first voiced window (reference behavior:
+        # language=NULL tasks auto-detect, video_discovery_service fan-out)
+        from eioku_tpu.models.whisper.model import whisper_detect_language
+        from eioku_tpu.models.whisper.tokenizer import LANGUAGES
+
+        first_mel = log_mel_spectrogram(jnp.asarray(windows[0][1][None]),
+                                        n_mels=cfg.n_mels)
+        first_enc = whisper_encode(params, first_mel, cfg)
+        lang_idx = int(whisper_detect_language(params, first_enc, cfg)[0])
+        language = LANGUAGES[lang_idx]
+        log.info("auto-detected language", extra={"language": language})
     sot = tokens.sot_sequence(language or "en", timestamps=use_timestamps)
 
     batch_size = int(config.get("batch_size", 8))

@@ -230,6 +230,24 @@ def whisper_decode_full(params: Params, tokens: jnp.ndarray,
                       preferred_element_type=jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def whisper_detect_language(params: Params, enc_out: jnp.ndarray,
+                            cfg: WhisperConfig) -> jnp.ndarray:
+    """Language id per batch item: argmax over the language-token logits after
+    the SOT token (the standard Whisper detection recipe; reference relies on
+    faster-whisper's equivalent, model_manager.py:437-444).
+    Returns int32 [B] indices into tokenizer.LANGUAGES."""
+    sot = 50258
+    lang_base = 50259
+    n_langs = 100 if cfg.vocab_size >= 51866 else 99
+    b = enc_out.shape[0]
+    tokens = jnp.full((b, 1), sot, jnp.int32)
+    logits = whisper_decode_full(params, tokens, enc_out, cfg)[:, 0]
+    lang_logits = jax.lax.dynamic_slice_in_dim(logits, lang_base, n_langs,
+                                               axis=-1)
+    return jnp.argmax(lang_logits, axis=-1).astype(jnp.int32)
+
+
 # -- greedy decode with KV cache --------------------------------------------------------
 
 

@@ -329,3 +329,17 @@ class TestTimestampParsing:
         gen = [self._ts(tokens, 0.0), 1, self._ts(tokens, 29.0)]
         segs = parse_timestamped_tokens(gen, tokens, decoder, 0, 5000)
         assert segs[0]["end_ms"] == 5000
+
+
+class TestLanguageDetection:
+    def test_returns_valid_language_index(self, tiny_params):
+        from eioku_tpu.models.whisper.model import whisper_detect_language
+        from eioku_tpu.models.whisper.tokenizer import LANGUAGES
+        rng = np.random.default_rng(3)
+        enc = jnp.asarray(rng.standard_normal((2, 1500, 384)).astype(np.float32)
+                          * 0.1)
+        idx = np.asarray(whisper_detect_language(tiny_params, enc, TINY))
+        assert idx.shape == (2,)
+        n_langs = 100 if TINY.vocab_size >= 51866 else 99
+        assert ((0 <= idx) & (idx < n_langs)).all()
+        assert all(i < len(LANGUAGES) for i in idx)
