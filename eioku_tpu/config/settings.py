@@ -28,7 +28,8 @@ DEFAULT_TASK_SETTINGS: dict[str, dict[str, Any]] = {
     "face_detection": {"model": "yolov8n-face", "confidence_threshold": 0.7,
                        "frame_interval_s": 3.0, "batch_size": 64},
     "transcription": {"model": "whisper-large-v3", "languages": [],
-                      "vad_filter": True, "chunk_s": 30.0},
+                      "vad_filter": True, "chunk_s": 30.0, "beam_size": 5,
+                      "no_speech_threshold": 0.6, "logprob_threshold": -1.0},
     "ocr": {"languages": ["en"], "frame_interval_s": 2.0, "batch_size": 16},
     "place_classification": {"model": "resnet18-places365", "top_k": 5,
                              "frame_interval_s": 1.0, "batch_size": 64},

@@ -25,20 +25,38 @@ SAMPLE_RATE = 16000
 
 
 def load_wav(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
-    """Load a wav file -> float32 mono [-1, 1] at target_sr."""
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if width == 2:
-        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
-    elif width == 4:
-        x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
-    elif width == 1:
-        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    """Load a wav file -> float32 mono [-1, 1] at target_sr.
+
+    Stdlib `wave` handles PCM; IEEE-float wavs (format tag 3, common for
+    exported audio) go through scipy.io.wavfile instead.
+    """
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        from scipy.io import wavfile
+        sr, data = wavfile.read(path)
+        if data.dtype == np.int16:
+            x = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            x = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            x = (data.astype(np.float32) - 128.0) / 128.0
+        else:  # float32/float64
+            x = data.astype(np.float32)
+        n_ch = x.shape[1] if x.ndim > 1 else 1
     else:
-        raise ValueError(f"unsupported wav sample width: {width}")
+        if width == 2:
+            x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        elif width == 4:
+            x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+        elif width == 1:
+            x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported wav sample width: {width}")
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     if sr != target_sr:

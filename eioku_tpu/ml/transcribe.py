@@ -15,6 +15,7 @@ uses vocab.json when available (see tokenizer.py).
 from __future__ import annotations
 
 import logging
+import math
 import os
 from functools import lru_cache
 
@@ -22,12 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from eioku_tpu.ml import audio_io
+from eioku_tpu.models.whisper.decoding import (
+    build_suppress_masks,
+    whisper_decode_windows,
+)
 from eioku_tpu.models.whisper.mel import log_mel_spectrogram
 from eioku_tpu.models.whisper.model import (
     WhisperConfig,
     init_whisper_params,
     whisper_encode,
-    whisper_greedy_decode,
 )
 from eioku_tpu.models.whisper.tokenizer import WhisperTextDecoder, WhisperTokens
 from eioku_tpu.models.whisper.weights import load_whisper_checkpoint
@@ -143,6 +147,15 @@ def run_transcription(video_path: str, config: dict,
 
     batch_size = int(config.get("batch_size", 8))
     max_tokens = int(config.get("max_tokens", 128))
+    # faster-whisper decode defaults (the reference's engine): beam_size 5,
+    # no_speech_threshold 0.6, logprob_threshold -1.0. Beam search only pays
+    # off with real weights; random-init fallback decodes greedily.
+    beam_size = int(config.get("beam_size", 5)) if pretrained else 1
+    no_speech_threshold = float(config.get("no_speech_threshold", 0.6))
+    logprob_threshold = float(config.get("logprob_threshold", -1.0))
+    suppress_always, suppress_begin = build_suppress_masks(
+        tokens, timestamps=use_timestamps,
+        non_speech=bool(config.get("suppress_non_speech", True)))
     total_ms = int(len(audio) / audio_io.SAMPLE_RATE * 1000)
     results: list[dict] = []
     for i in range(0, len(windows), batch_size):
@@ -153,8 +166,13 @@ def run_transcription(video_path: str, config: dict,
         mel = log_mel_spectrogram(jnp.asarray(wav), n_mels=cfg.n_mels)
         enc = whisper_encode(params, mel, cfg)
         init = jnp.asarray([sot] * batch_size, jnp.int32)
-        out = np.asarray(whisper_greedy_decode(params, enc, init, tokens.eot,
-                                               cfg, max_len=max_tokens))
+        out, avg_lp, no_speech = whisper_decode_windows(
+            params, enc, init, suppress_always, suppress_begin, cfg,
+            max_len=max_tokens, beam_size=beam_size,
+            timestamps=use_timestamps)
+        out = np.asarray(out)
+        avg_lp = np.asarray(avg_lp)
+        no_speech = np.asarray(no_speech)
         for j, (start_ms, _) in enumerate(chunk):
             ids = out[j].tolist()
             # strip prompt + everything from the first EOT after the prompt
@@ -165,6 +183,12 @@ def run_transcription(video_path: str, config: dict,
             if not pretrained:
                 # random weights produce arbitrary ids; suppress text
                 continue
+            if (no_speech[j] > no_speech_threshold
+                    and avg_lp[j] < logprob_threshold):
+                # faster-whisper silence gate: confident no-speech AND a weak
+                # transcript -> drop the window
+                continue
+            confidence = float(min(1.0, max(0.0, math.exp(avg_lp[j]))))
             segs = []
             if use_timestamps:
                 segs = parse_timestamped_tokens(gen, tokens, text_decoder,
@@ -178,7 +202,8 @@ def run_transcription(video_path: str, config: dict,
                 results.append({
                     "payload": {"text": seg["text"], "language": language,
                                 "start_ms": seg["start_ms"],
-                                "end_ms": seg["end_ms"]},
+                                "end_ms": seg["end_ms"],
+                                "confidence": confidence},
                     "span_start_ms": seg["start_ms"],
                     "span_end_ms": seg["end_ms"],
                 })

@@ -248,6 +248,56 @@ def whisper_detect_language(params: Params, enc_out: jnp.ndarray,
     return jnp.argmax(lang_logits, axis=-1).astype(jnp.int32)
 
 
+# -- incremental decoder step (shared by greedy and beam decoding) ---------------------
+
+
+def precompute_cross_kv(params: Params, enc_out: jnp.ndarray):
+    """Cross-attention K/V per layer from encoder states: 2x [L, B, S_enc, d]."""
+    dec = params["dec"]
+    cross_k = jnp.stack([linear(enc_out, layer["cross"]["k"])
+                         for layer in dec["layers"]])
+    cross_v = jnp.stack([linear(enc_out, layer["cross"]["v"])
+                         for layer in dec["layers"]])
+    return cross_k, cross_v
+
+
+def decoder_step(params: Params, cross_k, cross_v, tokens, self_k, self_v,
+                 pos, cfg: WhisperConfig):
+    """Run the decoder for the token at position `pos`, updating KV caches.
+
+    tokens [B, max_len]; self_k/self_v [L, B, max_len, d]; pos traced scalar.
+    Returns (logits [B, vocab] float32, self_k, self_v).
+    """
+    dec = params["dec"]
+    b, max_len = tokens.shape
+    d = cfg.dim
+    tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))  # [B,1]
+    x = dec["tok_emb"][tok[:, 0]][:, None, :] + \
+        jax.lax.dynamic_slice(dec["pos_emb"], (pos, 0), (1, d))[None]
+    valid = (jnp.arange(max_len) <= pos)[None, None, None, :]  # key mask
+    for li, layer in enumerate(dec["layers"]):
+        h = layernorm(x, layer["ln1"], eps=1e-5)
+        q = linear(h, layer["attn"]["q"])
+        k_new = linear(h, layer["attn"]["k"])
+        v_new = linear(h, layer["attn"]["v"])
+        self_k = jax.lax.dynamic_update_slice(self_k, k_new[None],
+                                              (li, 0, pos, 0))
+        self_v = jax.lax.dynamic_update_slice(self_v, v_new[None],
+                                              (li, 0, pos, 0))
+        attn = _attend(q, self_k[li], self_v[li], cfg.n_heads, mask=valid)
+        x = x + linear(attn, layer["attn"]["o"])
+        h = layernorm(x, layer["ln_cross"], eps=1e-5)
+        q = linear(h, layer["cross"]["q"])
+        x = x + linear(_attend(q, cross_k[li], cross_v[li], cfg.n_heads),
+                       layer["cross"]["o"])
+        h = layernorm(x, layer["ln2"], eps=1e-5)
+        x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
+    x = layernorm(x, dec["ln"], eps=1e-5)
+    logits = jnp.einsum("bd,vd->bv", x[:, 0], dec["tok_emb"],
+                        preferred_element_type=jnp.float32)
+    return logits, self_k, self_v
+
+
 # -- greedy decode with KV cache --------------------------------------------------------
 
 
@@ -265,17 +315,13 @@ def whisper_greedy_decode(params: Params, enc_out: jnp.ndarray,
     sot_prev/sot_lm, no_speech, no_timestamps) from generation — the standard
     Whisper decoding constraint; eot and timestamp tokens stay allowed.
     """
-    dec = params["dec"]
     b = enc_out.shape[0]
     d = cfg.dim
     n_layers = cfg.n_dec_layers
     n_init = initial_tokens.shape[1]
 
     # precompute cross-attention K/V per layer: [L, B, S_enc, d]
-    cross_k = jnp.stack([linear(enc_out, layer["cross"]["k"])
-                         for layer in dec["layers"]])
-    cross_v = jnp.stack([linear(enc_out, layer["cross"]["v"])
-                         for layer in dec["layers"]])
+    cross_k, cross_v = precompute_cross_kv(params, enc_out)
 
     tokens0 = jnp.full((b, max_len), eot_id, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(tokens0, initial_tokens.astype(jnp.int32),
@@ -294,38 +340,10 @@ def whisper_greedy_decode(params: Params, enc_out: jnp.ndarray,
     self_v0 = jnp.zeros((n_layers, b, max_len, d), enc_out.dtype)
     finished0 = jnp.zeros((b,), bool)
 
-    def step_token(tokens, self_k, self_v, pos):
-        """Run the decoder for the token at position `pos`, updating caches.
-        Returns (logits [B, vocab], self_k, self_v)."""
-        tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))  # [B,1]
-        x = dec["tok_emb"][tok[:, 0]][:, None, :] + \
-            jax.lax.dynamic_slice(dec["pos_emb"], (pos, 0), (1, d))[None]
-        valid = (jnp.arange(max_len) <= pos)[None, None, None, :]  # key mask
-        for li, layer in enumerate(dec["layers"]):
-            h = layernorm(x, layer["ln1"], eps=1e-5)
-            q = linear(h, layer["attn"]["q"])
-            k_new = linear(h, layer["attn"]["k"])
-            v_new = linear(h, layer["attn"]["v"])
-            self_k = jax.lax.dynamic_update_slice(self_k, k_new[None],
-                                                  (li, 0, pos, 0))
-            self_v = jax.lax.dynamic_update_slice(self_v, v_new[None],
-                                                  (li, 0, pos, 0))
-            attn = _attend(q, self_k[li], self_v[li], cfg.n_heads, mask=valid)
-            x = x + linear(attn, layer["attn"]["o"])
-            h = layernorm(x, layer["ln_cross"], eps=1e-5)
-            q = linear(h, layer["cross"]["q"])
-            x = x + linear(_attend(q, cross_k[li], cross_v[li], cfg.n_heads),
-                           layer["cross"]["o"])
-            h = layernorm(x, layer["ln2"], eps=1e-5)
-            x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
-        x = layernorm(x, dec["ln"], eps=1e-5)
-        logits = jnp.einsum("bd,vd->bv", x[:, 0], dec["tok_emb"],
-                            preferred_element_type=jnp.float32)
-        return logits, self_k, self_v
-
     def prompt_step(pos, carry):
         tokens, self_k, self_v = carry
-        _, self_k, self_v = step_token(tokens, self_k, self_v, pos)
+        _, self_k, self_v = decoder_step(params, cross_k, cross_v, tokens,
+                                         self_k, self_v, pos, cfg)
         return tokens, self_k, self_v
 
     # prefill the prompt (all but the last prompt token only fill caches)
@@ -338,7 +356,8 @@ def whisper_greedy_decode(params: Params, enc_out: jnp.ndarray,
 
     def body(state):
         pos, tokens, self_k, self_v, finished = state
-        logits, self_k, self_v = step_token(tokens, self_k, self_v, pos)
+        logits, self_k, self_v = decoder_step(params, cross_k, cross_v, tokens,
+                                              self_k, self_v, pos, cfg)
         logits = jnp.where(suppress_mask[None, :], -jnp.inf, logits)
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, eot_id, next_tok)

@@ -343,3 +343,104 @@ class TestLanguageDetection:
         n_langs = 100 if TINY.vocab_size >= 51866 else 99
         assert ((0 <= idx) & (idx < n_langs)).all()
         assert all(i < len(LANGUAGES) for i in idx)
+
+
+class TestDecodeRulesAndBeam:
+    """whisper_decode_windows: OpenAI-rule logit filters + on-device beam
+    search (the reference's faster-whisper engine defaults to beam_size=5 and
+    applies the same constraints — model_manager.py:409-467)."""
+
+    @pytest.fixture(scope="class")
+    def decoded(self, tiny_params):
+        from eioku_tpu.models.whisper.decoding import (
+            build_suppress_masks,
+            whisper_decode_windows,
+        )
+        tokens = WhisperTokens(TINY.vocab_size)
+        rng = np.random.default_rng(7)
+        enc = jnp.asarray(rng.standard_normal((2, 1500, 384)).astype(np.float32)
+                          * 0.1)
+        sa, sb = build_suppress_masks(tokens, timestamps=True)
+        init = jnp.asarray([tokens.sot_sequence("en", timestamps=True)] * 2,
+                           jnp.int32)
+        out, avg_lp, no_speech = whisper_decode_windows(
+            tiny_params, enc, init, sa, sb, TINY, max_len=48, beam_size=3,
+            timestamps=True)
+        return (np.asarray(out), np.asarray(avg_lp), np.asarray(no_speech),
+                tokens, init.shape[1])
+
+    def test_shapes_and_ranges(self, decoded):
+        out, avg_lp, no_speech, tokens, n_init = decoded
+        assert out.shape == (2, 48)
+        assert avg_lp.shape == (2,) and (avg_lp <= 0).all()
+        assert ((0 <= no_speech) & (no_speech <= 1)).all()
+
+    def _gen(self, row, tokens, n_init):
+        gen = row[n_init:].tolist()
+        return gen[:gen.index(tokens.eot)] if tokens.eot in gen else gen
+
+    def test_first_token_is_early_timestamp(self, decoded):
+        out, _, _, tokens, n_init = decoded
+        for row in out:
+            gen = self._gen(row, tokens, n_init)
+            if gen:
+                assert gen[0] >= tokens.timestamp_begin
+                assert gen[0] <= tokens.timestamp_begin + 50  # <= 1.0 s
+
+    def test_no_special_tokens_generated(self, decoded):
+        out, _, _, tokens, n_init = decoded
+        for row in out:
+            for tok in self._gen(row, tokens, n_init):
+                assert tok < tokens.sot or tok >= tokens.timestamp_begin
+
+    def test_timestamps_monotonic_and_paired(self, decoded):
+        out, _, _, tokens, n_init = decoded
+        for row in out:
+            gen = self._gen(row, tokens, n_init)
+            ts = [t for t in gen if t >= tokens.timestamp_begin]
+            assert ts == sorted(ts)
+            # no three consecutive timestamps (pairs at segment boundaries)
+            run = 0
+            for t in gen:
+                run = run + 1 if t >= tokens.timestamp_begin else 0
+                assert run <= 2
+
+    def test_greedy_mode_runs_without_timestamps(self, tiny_params):
+        from eioku_tpu.models.whisper.decoding import (
+            build_suppress_masks,
+            whisper_decode_windows,
+        )
+        tokens = WhisperTokens(TINY.vocab_size)
+        rng = np.random.default_rng(9)
+        enc = jnp.asarray(rng.standard_normal((1, 1500, 384)).astype(np.float32)
+                          * 0.1)
+        sa, sb = build_suppress_masks(tokens, timestamps=False)
+        init = jnp.asarray([tokens.sot_sequence("en", timestamps=False)],
+                           jnp.int32)
+        out, _, _ = whisper_decode_windows(
+            tiny_params, enc, init, sa, sb, TINY, max_len=24, beam_size=1,
+            timestamps=False)
+        gen = self._gen(np.asarray(out)[0], tokens, init.shape[1])
+        assert all(t < tokens.eot for t in gen)  # text only
+
+    def test_beam_avg_logprob_not_worse_than_greedy(self, tiny_params):
+        """Beam search optimizes sequence logprob, so its selected beam must
+        score at least as well as the greedy rollout."""
+        from eioku_tpu.models.whisper.decoding import (
+            build_suppress_masks,
+            whisper_decode_windows,
+        )
+        tokens = WhisperTokens(TINY.vocab_size)
+        rng = np.random.default_rng(11)
+        enc = jnp.asarray(rng.standard_normal((1, 1500, 384)).astype(np.float32)
+                          * 0.1)
+        sa, sb = build_suppress_masks(tokens, timestamps=False)
+        init = jnp.asarray([tokens.sot_sequence("en", timestamps=False)],
+                           jnp.int32)
+        _, greedy_lp, _ = whisper_decode_windows(
+            tiny_params, enc, init, sa, sb, TINY, max_len=20, beam_size=1,
+            timestamps=False)
+        _, beam_lp, _ = whisper_decode_windows(
+            tiny_params, enc, init, sa, sb, TINY, max_len=20, beam_size=4,
+            timestamps=False)
+        assert float(beam_lp[0]) >= float(greedy_lp[0]) - 1e-3
