@@ -179,9 +179,10 @@ def run_visual_analysis(video_path: str, config: dict,
 
     batch_size = int(config.get("batch_size", 32))
     decode_threads = int(config.get("decode_threads", 4))
+    decode_procs = int(config.get("decode_procs", 0))
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval_s,
-            decode_threads=decode_threads)):
+            decode_threads=decode_threads, decode_procs=decode_procs)):
         # Scene scoring needs only 96x160: resize on host so the device upload
         # is ~40x smaller than shipping full-resolution frames (host->device
         # bandwidth is the scarce resource; measured 3x regression otherwise).

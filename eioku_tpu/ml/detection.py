@@ -105,10 +105,11 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
     frame_duration_ms = int(round(1000.0 / info.fps)) if info.fps else 33
 
     decode_threads = int(config.get("decode_threads", 4))
+    decode_procs = int(config.get("decode_procs", 0))
     results: list[dict] = []
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval,
-            decode_threads=decode_threads)):
+            decode_threads=decode_threads, decode_procs=decode_procs)):
         if preprocess == "device":
             from eioku_tpu.ops.resize import (
                 letterbox_geometry,

@@ -74,6 +74,7 @@ class InferenceEngine:
             sample_fps=float(config.get("sample_fps", 4.0)),
             batch_size=int(config.get("batch_size", 64)),
             decode_threads=int(config.get("decode_threads", 4)),
+            decode_procs=int(config.get("decode_procs", 0)),
         )
         return [
             {"payload": {"scene_index": s.scene_index, "start_ms": s.start_ms,

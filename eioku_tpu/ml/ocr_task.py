@@ -106,9 +106,11 @@ def run_ocr(video_path: str, config: dict,
 
     results: list[dict] = []
     decode_threads = int(config.get("decode_threads", 4))
+    decode_procs = int(config.get("decode_procs", 0))
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval,
-            resize_hw=(DETECT_H, DETECT_W), decode_threads=decode_threads)):
+            resize_hw=(DETECT_H, DETECT_W), decode_threads=decode_threads,
+            decode_procs=decode_procs)):
         x = (batch.frames.astype(np.float32) / 255.0 - _MEAN) / _STD
         scores = np.asarray(craft_forward(craft_params, jnp.asarray(x)),
                             np.float32)

@@ -46,6 +46,7 @@ def detect_scenes(
     batch_size: int = 64,
     use_pallas: bool = True,
     decode_threads: int = 4,
+    decode_procs: int = 0,
 ) -> list[Scene]:
     info = video_io.probe(path)
     duration_ms = info.duration_ms
@@ -56,7 +57,8 @@ def detect_scenes(
     first = True
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             path, batch_size=batch_size, frame_interval_s=interval_s,
-            resize_hw=(SCENE_H, SCENE_W), decode_threads=decode_threads)):
+            resize_hw=(SCENE_H, SCENE_W), decode_threads=decode_threads,
+            decode_procs=decode_procs)):
         planes = frames_to_hsv_planes(jnp.asarray(batch.frames))
         scores = np.asarray(scene_scores(prev_plane, planes, use_pallas=use_pallas))
         prev_plane = planes[max(batch.valid - 1, 0)]

@@ -235,14 +235,40 @@ class TestEndToEndPipeline:
 
 class TestStripedDecode:
     def test_striped_matches_serial(self, tmp_path):
-        from eioku_tpu.ml.video_io import iter_frame_batches
+        # call the striped iterator directly: iter_frame_batches clamps worker
+        # count to os.cpu_count(), which routes to the serial path on 1-core CI
+        from eioku_tpu.ml import video_io
         path = str(tmp_path / "long.mp4")
         write_video(path, [(60, (10, 200, 40)), (60, (220, 10, 10))], fps=12)
-        serial = list(iter_frame_batches(path, batch_size=8,
-                                         frame_interval_s=0.25))
-        striped = list(iter_frame_batches(path, batch_size=8,
-                                          frame_interval_s=0.25,
-                                          decode_threads=4))
+        serial = list(video_io.iter_frame_batches(path, batch_size=8,
+                                                  frame_interval_s=0.25))
+        info = video_io.probe(path)
+        step = max(int(round(info.fps * 0.25)), 1)
+        striped = list(video_io._iter_batches_striped(
+            path, info, step, 8, None, n_workers=4))
+        s_idx = np.concatenate([b.frame_indices[:b.valid] for b in serial])
+        p_idx = np.concatenate([b.frame_indices[:b.valid] for b in striped])
+        np.testing.assert_array_equal(s_idx, p_idx)
+        s_frames = np.concatenate([b.frames[:b.valid] for b in serial])
+        p_frames = np.concatenate([b.frames[:b.valid] for b in striped])
+        np.testing.assert_array_equal(s_frames, p_frames)
+
+    def test_process_pool_matches_serial(self, tmp_path):
+        from eioku_tpu.ml import video_io
+        path = str(tmp_path / "long2.mp4")
+        write_video(path, [(40, (10, 200, 40)), (40, (220, 10, 10))], fps=12)
+        serial = list(video_io.iter_frame_batches(path, batch_size=8,
+                                                  frame_interval_s=0.25))
+        info = video_io.probe(path)
+        step = max(int(round(info.fps * 0.25)), 1)
+        try:
+            striped = list(video_io._iter_batches_striped(
+                path, info, step, 8, None, n_workers=2, use_procs=True))
+        finally:
+            if video_io._proc_pool is not None:
+                video_io._proc_pool.shutdown(wait=False, cancel_futures=True)
+                video_io._proc_pool = None
+                video_io._proc_pool_size = 0
         s_idx = np.concatenate([b.frame_indices[:b.valid] for b in serial])
         p_idx = np.concatenate([b.frame_indices[:b.valid] for b in striped])
         np.testing.assert_array_equal(s_idx, p_idx)
