@@ -61,7 +61,7 @@ def bench_embed(n_batches: int = 10, batch: int = 64, seq: int = 256) -> float:
 
     from eioku_tpu.models.embed.minilm import MiniLMConfig, init_minilm_params, minilm_embed
 
-    cfg = MiniLMConfig()
+    cfg = MiniLMConfig(compute_dtype="bfloat16")  # the indexing-path config
     params = init_minilm_params(cfg, seed=0)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq),
@@ -139,7 +139,7 @@ def bench_whisper(variant: str = "large-v3-turbo", batch: int = 4,
     )
     from eioku_tpu.models.whisper.tokenizer import WhisperTokens
 
-    cfg = WhisperConfig(variant)
+    cfg = WhisperConfig(variant, compute_dtype="bfloat16")  # production setting
     params = init_whisper_params(cfg, seed=0)
     tokens = WhisperTokens(cfg.vocab_size)
     sot = jnp.asarray([tokens.sot_sequence("en")] * batch, jnp.int32)

@@ -20,6 +20,7 @@ import logging
 import os
 import threading
 import uuid
+from dataclasses import replace
 from functools import partial
 
 import jax
@@ -124,6 +125,8 @@ class SemanticIndex:
         if self._params is None:
             cache = self.ctx.config.model_cache_dir
             self._params, self._cfg, self.pretrained = load_minilm(cache)
+            # indexing throughput path: bf16 encoder activations
+            self._cfg = replace(self._cfg, compute_dtype="bfloat16")
             self._tokenizer = WordPieceTokenizer.from_cache_dir(cache, max_len=256)
             if not self.pretrained:
                 log.warning("minilm checkpoint not found; using random weights")

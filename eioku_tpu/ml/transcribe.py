@@ -14,6 +14,7 @@ uses vocab.json when available (see tokenizer.py).
 """
 from __future__ import annotations
 
+import dataclasses
 import logging
 import math
 import os
@@ -125,6 +126,10 @@ def run_transcription(video_path: str, config: dict,
 
     variant = _normalize_variant(config.get("model", "large-v3"))
     params, cfg, pretrained = _load_model(variant, model_cache_dir)
+    # bf16 activations: the production setting, mirroring faster-whisper's
+    # fp16 default (override with config {"compute_dtype": "float32"})
+    cfg = dataclasses.replace(
+        cfg, compute_dtype=str(config.get("compute_dtype", "bfloat16")))
     tokens = WhisperTokens(cfg.vocab_size)
     text_decoder = WhisperTextDecoder.from_cache_dir(model_cache_dir,
                                                      cfg.vocab_size)

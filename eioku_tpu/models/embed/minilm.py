@@ -38,6 +38,10 @@ class MiniLMConfig:
     n_heads: int = 12
     ffn_dim: int = 1536
     type_vocab_size: int = 2
+    # encoder-layer activation dtype; "bfloat16" halves MXU/HBM cost on TPU
+    # with ~1e-3 deviation on normalized embeddings (indexing path uses it;
+    # float32 stays the default for checkpoint-parity validation)
+    compute_dtype: str = "float32"
 
 
 def init_minilm_params(cfg: MiniLMConfig, seed: int = 0) -> Params:
@@ -95,11 +99,13 @@ def minilm_embed(params: Params, token_ids: jnp.ndarray,
     x = params["tok_emb"][token_ids] + params["pos_emb"][:s][None] \
         + params["type_emb"][0][None, None]
     x = layernorm(x, params["emb_ln"], eps=1e-12)
+    x = x.astype(jnp.dtype(cfg.compute_dtype))
     # [B, 1, 1, S] broadcastable key mask
     attn_mask = attention_mask[:, None, None, :].astype(bool)
     lengths = jnp.sum(attention_mask, axis=-1).astype(jnp.int32)
     for layer in params["layers"]:
         x = _encoder_layer(x, layer, cfg.n_heads, attn_mask, lengths)
+    x = x.astype(jnp.float32)  # pool and normalize at full precision
     # mean pooling over valid tokens
     m = attention_mask[..., None].astype(x.dtype)
     pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)

@@ -71,7 +71,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
-    )
+    ).astype(x.dtype)  # accumulate fp32, keep activations in the input dtype
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
@@ -108,9 +108,10 @@ def init_linear(key, d_in: int, d_out: int, bias: bool = True) -> Params:
 
 
 def layernorm(x: jnp.ndarray, p: Params, eps: float = 1e-6) -> jnp.ndarray:
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)  # stats at full precision even for bf16 acts
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     return y * p["gamma"].astype(x.dtype) + p["beta"].astype(x.dtype)
 
 

@@ -88,9 +88,10 @@ def resnet18_forward(params: Params, images: jnp.ndarray) -> jnp.ndarray:
 
 
 def preprocess(frames_u8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 RGB [B, 224, 224, 3] -> ImageNet-normalized float."""
+    """uint8 RGB [B, 224, 224, 3] -> ImageNet-normalized bf16 (classification
+    is robust to half-precision activations; conv accumulation stays fp32)."""
     x = frames_u8.astype(jnp.float32) / 255.0
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+    return ((x - IMAGENET_MEAN) / IMAGENET_STD).astype(jnp.bfloat16)
 
 
 # -- torchvision converter ---------------------------------------------------------

@@ -48,6 +48,11 @@ N_TEXT_CTX = 448
 @dataclass(frozen=True)
 class WhisperConfig:
     variant: str = "tiny"
+    # activation dtype inside encoder/decoder layers; "bfloat16" is the
+    # production transcription setting (the reference's faster-whisper engine
+    # likewise runs fp16 compute by default); float32 stays the default for
+    # parity tests
+    compute_dtype: str = "float32"
 
     @property
     def n_mels(self):
@@ -192,10 +197,10 @@ def whisper_encode(params: Params, mel: jnp.ndarray,
                    cfg: WhisperConfig) -> jnp.ndarray:
     """mel [B, n_mels, 3000] -> encoder states [B, 1500, d]."""
     enc = params["enc"]
-    x = mel.transpose(0, 2, 1)  # NWC
+    x = mel.transpose(0, 2, 1).astype(jnp.dtype(cfg.compute_dtype))  # NWC
     x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"]))
     x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
-    x = x + jnp.asarray(sinusoids(x.shape[1], x.shape[2]))[None]
+    x = x + jnp.asarray(sinusoids(x.shape[1], x.shape[2]))[None].astype(x.dtype)
     for layer in enc["layers"]:
         x = x + _self_attn_flash(layernorm(x, layer["ln1"], eps=1e-5),
                                  layer["attn"], cfg.n_heads)
@@ -213,7 +218,8 @@ def whisper_decode_full(params: Params, tokens: jnp.ndarray,
     """tokens [B, S] -> logits [B, S, vocab] (full recompute, causal)."""
     dec = params["dec"]
     b, s = tokens.shape
-    x = dec["tok_emb"][tokens] + dec["pos_emb"][:s][None]
+    x = (dec["tok_emb"][tokens] + dec["pos_emb"][:s][None]).astype(
+        jnp.dtype(cfg.compute_dtype))
     causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
     for layer in dec["layers"]:
         x = x + _self_attn(layernorm(x, layer["ln1"], eps=1e-5), layer["attn"],
@@ -226,7 +232,7 @@ def whisper_decode_full(params: Params, tokens: jnp.ndarray,
         h = layernorm(x, layer["ln2"], eps=1e-5)
         x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
     x = layernorm(x, dec["ln"], eps=1e-5)
-    return jnp.einsum("bsd,vd->bsv", x, dec["tok_emb"],
+    return jnp.einsum("bsd,vd->bsv", x, dec["tok_emb"].astype(x.dtype),
                       preferred_element_type=jnp.float32)
 
 
@@ -272,8 +278,9 @@ def decoder_step(params: Params, cross_k, cross_v, tokens, self_k, self_v,
     b, max_len = tokens.shape
     d = cfg.dim
     tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))  # [B,1]
-    x = dec["tok_emb"][tok[:, 0]][:, None, :] + \
-        jax.lax.dynamic_slice(dec["pos_emb"], (pos, 0), (1, d))[None]
+    x = (dec["tok_emb"][tok[:, 0]][:, None, :] +
+         jax.lax.dynamic_slice(dec["pos_emb"], (pos, 0), (1, d))[None]).astype(
+        jnp.dtype(cfg.compute_dtype))
     valid = (jnp.arange(max_len) <= pos)[None, None, None, :]  # key mask
     for li, layer in enumerate(dec["layers"]):
         h = layernorm(x, layer["ln1"], eps=1e-5)
@@ -293,7 +300,7 @@ def decoder_step(params: Params, cross_k, cross_v, tokens, self_k, self_v,
         h = layernorm(x, layer["ln2"], eps=1e-5)
         x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
     x = layernorm(x, dec["ln"], eps=1e-5)
-    logits = jnp.einsum("bd,vd->bv", x[:, 0], dec["tok_emb"],
+    logits = jnp.einsum("bd,vd->bv", x[:, 0], dec["tok_emb"].astype(x.dtype),
                         preferred_element_type=jnp.float32)
     return logits, self_k, self_v
 

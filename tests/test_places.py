@@ -30,7 +30,9 @@ class TestResNet18:
         out = np.asarray(preprocess(x))
         expected = (1.0 - np.array([0.485, 0.456, 0.406])) / \
             np.array([0.229, 0.224, 0.225])
-        np.testing.assert_allclose(out[0, 0, 0], expected, atol=1e-5)
+        # output is bf16 (production activation dtype): ~3 decimal digits
+        np.testing.assert_allclose(out[0, 0, 0].astype(np.float32), expected,
+                                   rtol=1e-2)
 
     def test_torchvision_converter_matches_torch(self):
         """Convert a random torchvision resnet18 and compare logits vs torch

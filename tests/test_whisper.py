@@ -444,3 +444,40 @@ class TestDecodeRulesAndBeam:
             tiny_params, enc, init, sa, sb, TINY, max_len=20, beam_size=4,
             timestamps=False)
         assert float(beam_lp[0]) >= float(greedy_lp[0]) - 1e-3
+
+
+class TestBfloat16Compute:
+    def test_bf16_encoder_close_to_f32(self, tiny_params):
+        from dataclasses import replace
+        rng = np.random.default_rng(13)
+        mel = jnp.asarray(rng.standard_normal((1, 80, 3000)).astype(np.float32))
+        f32 = np.asarray(whisper_encode(tiny_params, mel, TINY),
+                         np.float32)
+        bf16 = np.asarray(whisper_encode(
+            tiny_params, mel, replace(TINY, compute_dtype="bfloat16")),
+            np.float32)
+        # per-position cosine similarity stays high under bf16 activations
+        num = (f32 * bf16).sum(-1)
+        den = np.linalg.norm(f32, axis=-1) * np.linalg.norm(bf16, axis=-1)
+        assert (num / (den + 1e-9)).min() > 0.99
+
+    def test_bf16_decode_runs(self, tiny_params):
+        from dataclasses import replace
+        from eioku_tpu.models.whisper.decoding import (
+            build_suppress_masks,
+            whisper_decode_windows,
+        )
+        cfg = replace(TINY, compute_dtype="bfloat16")
+        tokens = WhisperTokens(cfg.vocab_size)
+        rng = np.random.default_rng(15)
+        enc = whisper_encode(tiny_params, jnp.asarray(
+            rng.standard_normal((1, 80, 3000)).astype(np.float32)), cfg)
+        sa, sb = build_suppress_masks(tokens, timestamps=True)
+        init = jnp.asarray([tokens.sot_sequence("en", timestamps=True)],
+                           jnp.int32)
+        out, avg_lp, nsp = whisper_decode_windows(
+            tiny_params, enc, init, sa, sb, cfg, max_len=24, beam_size=2,
+            timestamps=True)
+        assert np.asarray(out).shape == (1, 24)
+        assert float(avg_lp[0]) <= 0.0
+        assert 0.0 <= float(nsp[0]) <= 1.0
