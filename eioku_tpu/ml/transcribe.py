@@ -161,6 +161,10 @@ def run_transcription(video_path: str, config: dict,
     suppress_always, suppress_begin = build_suppress_masks(
         tokens, timestamps=use_timestamps,
         non_speech=bool(config.get("suppress_non_speech", True)))
+    # word-level timings need a real checkpoint AND a real vocabulary to group
+    # byte-BPE tokens into words (faster-whisper's word_timestamps option)
+    want_words = (bool(config.get("word_timestamps", False)) and pretrained
+                  and text_decoder.id_to_token is not None)
     total_ms = int(len(audio) / audio_io.SAMPLE_RATE * 1000)
     results: list[dict] = []
     for i in range(0, len(windows), batch_size):
@@ -178,6 +182,13 @@ def run_transcription(video_path: str, config: dict,
         out = np.asarray(out)
         avg_lp = np.asarray(avg_lp)
         no_speech = np.asarray(no_speech)
+        align = None
+        if want_words:
+            # one teacher-forced pass over the already-decoded (fixed-shape)
+            # rows captures text->audio attention for DTW word alignment
+            from eioku_tpu.models.whisper.model import cross_attention_alignment
+            align = np.asarray(cross_attention_alignment(
+                params, jnp.asarray(out), enc, cfg))
         for j, (start_ms, _) in enumerate(chunk):
             ids = out[j].tolist()
             # strip prompt + everything from the first EOT after the prompt
@@ -203,12 +214,23 @@ def run_transcription(video_path: str, config: dict,
                 if text:
                     segs = [{"text": text, "start_ms": start_ms,
                              "end_ms": end_ms}]
+            words: list[dict] = []
+            if align is not None and gen:
+                from eioku_tpu.models.whisper.align import word_timestamps
+                n_frames = max((end_ms - start_ms) // 20, 1)
+                words = word_timestamps(
+                    align[j, len(sot):len(sot) + len(gen)], gen, text_decoder,
+                    start_ms, n_frames)
             for seg in segs:
+                seg_words = [w for w in words
+                             if w["start_ms"] < seg["end_ms"]
+                             and w["end_ms"] > seg["start_ms"]] if words else []
                 results.append({
                     "payload": {"text": seg["text"], "language": language,
                                 "start_ms": seg["start_ms"],
                                 "end_ms": seg["end_ms"],
-                                "confidence": confidence},
+                                "confidence": confidence,
+                                "words": seg_words},
                     "span_start_ms": seg["start_ms"],
                     "span_end_ms": seg["end_ms"],
                 })

@@ -236,6 +236,58 @@ def whisper_decode_full(params: Params, tokens: jnp.ndarray,
                       preferred_element_type=jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "layers_from"))
+def cross_attention_alignment(params: Params, tokens: jnp.ndarray,
+                              enc_out: jnp.ndarray, cfg: WhisperConfig,
+                              layers_from: int | None = None) -> jnp.ndarray:
+    """Teacher-forced decoder pass returning text->audio alignment energy.
+
+    Re-runs the decoder on the already-decoded tokens and collects
+    cross-attention weights from the upper decoder layers (the standard
+    fallback set of alignment heads when a checkpoint ships no head dump),
+    z-normalized per head over the audio axis and averaged.
+
+    tokens [B, S]; enc_out [B, 1500, d] -> [B, S, 1500] float32. Word-level
+    timestamps (align.py) run DTW over the negated result; the reference
+    exposes this capability through faster-whisper's word_timestamps option.
+    """
+    dec = params["dec"]
+    b, s = tokens.shape
+    start = cfg.n_dec_layers // 2 if layers_from is None else layers_from
+    x = (dec["tok_emb"][tokens] + dec["pos_emb"][:s][None]).astype(
+        jnp.dtype(cfg.compute_dtype))
+    causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    acc = jnp.zeros((b, s, enc_out.shape[1]), jnp.float32)
+    n_sel = 0
+    for li, layer in enumerate(dec["layers"]):
+        x = x + _self_attn(layernorm(x, layer["ln1"], eps=1e-5), layer["attn"],
+                           cfg.n_heads, mask=causal)
+        h = layernorm(x, layer["ln_cross"], eps=1e-5)
+        q = linear(h, layer["cross"]["q"])
+        k = linear(enc_out, layer["cross"]["k"])
+        v = linear(enc_out, layer["cross"]["v"])
+        hd = q.shape[-1] // cfg.n_heads
+        scale = hd ** -0.25
+        qh = _split_heads(q, cfg.n_heads) * scale
+        kh = _split_heads(k, cfg.n_heads) * scale
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(scores, axis=-1)  # [B, H, S, F] float32
+        if li >= start:
+            mu = jnp.mean(w, axis=-1, keepdims=True)
+            sd = jnp.std(w, axis=-1, keepdims=True) + 1e-9
+            acc = acc + jnp.sum((w - mu) / sd, axis=1)
+            n_sel += cfg.n_heads
+        out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype),
+                                      _split_heads(v, cfg.n_heads),
+                                      preferred_element_type=jnp.float32
+                                      ).astype(v.dtype))
+        x = x + linear(out, layer["cross"]["o"])
+        h = layernorm(x, layer["ln2"], eps=1e-5)
+        x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
+    return acc / max(n_sel, 1)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def whisper_detect_language(params: Params, enc_out: jnp.ndarray,
                             cfg: WhisperConfig) -> jnp.ndarray:

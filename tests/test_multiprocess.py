@@ -63,8 +63,13 @@ def test_api_and_worker_processes(tmp_path, env):
         else:
             pytest.fail("API server never came up")
 
-        # discovery at startup created + enqueued tasks
-        tasks = _get(base + "/api/v1/tasks")
+        # discovery at startup created + enqueued tasks (poll: under load the
+        # server can answer /health before startup discovery has committed)
+        for _ in range(50):
+            tasks = _get(base + "/api/v1/tasks")
+            if tasks["total"] == 2:
+                break
+            time.sleep(0.3)
         assert tasks["total"] == 2
 
         worker = subprocess.run(

@@ -265,6 +265,46 @@ class TestTranscribePipeline:
         video.write_bytes(b"fake")
         assert run_transcription(str(video), {}) == []
 
+    def test_pretrained_path_with_words(self, tmp_path, monkeypatch):
+        """Force the pretrained+vocab path: full decode (beam, timestamps,
+        silence gate) plus DTW word alignment runs through run_transcription.
+        Weights are still random; assertions are structural."""
+        import json
+        import wave
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        x = (np.sin(2 * np.pi * 250 * t) * 0.4 * 32767).astype(np.int16)
+        wav = tmp_path / "clip.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        # minimal vocab: a few word-start ("\u0120"-prefixed) pieces
+        vocab = {f"\u0120w{i}": i for i in range(50257)}
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        monkeypatch.setattr(transcribe, "_load_model",
+                            lambda variant, cache: (params, cfg, True))
+        results = transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "max_tokens": 16,
+                       "batch_size": 1, "beam_size": 2, "language": "en",
+                       "word_timestamps": True,
+                       "no_speech_threshold": 2.0},  # never gate on silence
+            model_cache_dir=str(tmp_path))
+        for r in results:
+            p_ = r["payload"]
+            assert 0.0 <= p_["confidence"] <= 1.0
+            for wd in p_["words"]:
+                assert p_["start_ms"] - 20 <= wd["start_ms"]
+                assert wd["end_ms"] >= wd["start_ms"]
+
     def test_wav_pipeline_runs(self, tmp_path):
         """Random tiny weights: pipeline must run and yield schema-valid,
         correctly-timed windows (text empty without a pretrained checkpoint)."""
@@ -481,3 +521,93 @@ class TestBfloat16Compute:
         assert np.asarray(out).shape == (1, 24)
         assert float(avg_lp[0]) <= 0.0
         assert 0.0 <= float(nsp[0]) <= 1.0
+
+
+class TestWordAlignment:
+    """Word timestamps via cross-attention DTW (align.py + native/dtw.cpp).
+    Reference capability: faster-whisper word_timestamps
+    (model_manager.py:409-467 calls that engine)."""
+
+    def _decoder_with_vocab(self):
+        from eioku_tpu.models.whisper.tokenizer import (
+            WhisperTextDecoder,
+            WhisperTokens,
+        )
+        # synthetic byte-BPE vocab: "Ġ"-prefixed pieces start words
+        vocab = {"Ġhe": 1, "llo": 2, "Ġwor": 3, "ld": 4, "Ġhi": 5}
+        return WhisperTextDecoder(vocab, WhisperTokens(51865))
+
+    def test_dtw_native_matches_python(self):
+        from eioku_tpu.models.whisper import align
+        rng = np.random.default_rng(3)
+        cost = rng.standard_normal((40, 200)).astype(np.float32)
+        lib = align._load_native()
+        ti_n, fi_n = align.dtw_path(cost)
+        # force the Python fallback
+        align._lib, align._lib_failed = None, True
+        try:
+            ti_p, fi_p = align.dtw_path(cost)
+        finally:
+            align._lib, align._lib_failed = lib, lib is None
+        np.testing.assert_array_equal(ti_n, ti_p)
+        np.testing.assert_array_equal(fi_n, fi_p)
+
+    def test_dtw_path_is_monotone_and_covers(self):
+        from eioku_tpu.models.whisper.align import dtw_path
+        rng = np.random.default_rng(4)
+        cost = rng.standard_normal((10, 50)).astype(np.float32)
+        ti, fi = dtw_path(cost)
+        assert ti[0] == 0 and fi[0] == 0
+        assert ti[-1] == 9 and fi[-1] == 49
+        assert (np.diff(ti) >= 0).all() and (np.diff(fi) >= 0).all()
+
+    def test_median_filter(self):
+        from eioku_tpu.models.whisper.align import median_filter
+        x = np.array([[0.0, 10.0, 0.0, 0.0, 0.0]])
+        out = median_filter(x, width=3)
+        assert out[0, 1] == 0.0  # spike removed
+        np.testing.assert_array_equal(median_filter(x, width=1), x)
+
+    def test_group_tokens_into_words(self):
+        from eioku_tpu.models.whisper.align import group_tokens_into_words
+        dec = self._decoder_with_vocab()
+        words = group_tokens_into_words([1, 2, 3, 4], dec)
+        assert [w for w, _ in words] == ["hello", "world"]
+        assert words[0][1] == [0, 1] and words[1][1] == [2, 3]
+
+    def test_word_timestamps_diagonal_alignment(self):
+        from eioku_tpu.models.whisper.align import word_timestamps
+        dec = self._decoder_with_vocab()
+        toks = [1, 2, 3, 4]  # "hello world"
+        s, f = len(toks), 100
+        m = np.full((s, f), -1.0, np.float32)
+        for i in range(s):  # strong diagonal band: token i ~ frames 25i..25i+24
+            m[i, i * 25:(i + 1) * 25] = 1.0
+        words = word_timestamps(m, toks, dec, window_start_ms=60000,
+                                n_audio_frames=f, medfilt_width=1)
+        assert [w["word"] for w in words] == ["hello", "world"]
+        assert words[0]["start_ms"] == 60000
+        assert words[0]["end_ms"] <= words[1]["start_ms"] + 20
+        assert words[1]["end_ms"] <= 60000 + f * 20
+        for w in words:
+            assert w["end_ms"] >= w["start_ms"]
+
+    def test_word_timestamps_skips_without_vocab(self):
+        from eioku_tpu.models.whisper.align import word_timestamps
+        from eioku_tpu.models.whisper.tokenizer import (
+            WhisperTextDecoder,
+            WhisperTokens,
+        )
+        dec = WhisperTextDecoder(None, WhisperTokens(51865))
+        out = word_timestamps(np.ones((2, 10), np.float32), [1, 2], dec, 0, 10)
+        assert out == []
+
+    def test_cross_attention_alignment_shape(self, tiny_params):
+        from eioku_tpu.models.whisper.model import cross_attention_alignment
+        rng = np.random.default_rng(8)
+        enc = jnp.asarray(rng.standard_normal((2, 1500, 384)).astype(np.float32)
+                          * 0.1)
+        toks = jnp.asarray(rng.integers(0, 5000, (2, 12)), jnp.int32)
+        m = np.asarray(cross_attention_alignment(tiny_params, toks, enc, TINY))
+        assert m.shape == (2, 12, 1500)
+        assert np.isfinite(m).all()
