@@ -65,3 +65,41 @@ def shard_minilm_params(params, mesh: Mesh):
     specs = jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _minilm_spec(path, leaf)), params)
     return jax.device_put(params, specs)
+
+
+_distributed_initialized = False
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Multi-host bootstrap (SURVEY.md §2.4 P3: one JAX process per host over
+    DCN; the control plane stays the job queue, exactly as the reference
+    scales by pointing N worker containers at one Redis).
+
+    Reads EIOKU_COORDINATOR / EIOKU_NUM_PROCESSES / EIOKU_PROCESS_ID when
+    arguments are omitted. Returns True when a multi-process runtime was
+    initialized, False for the single-host no-op (no coordinator configured).
+    After initialization, jax.devices() spans all hosts and make_mesh() builds
+    a global mesh whose collectives ride ICI within a slice and DCN across.
+    """
+    import os
+
+    global _distributed_initialized
+    coordinator = coordinator or os.environ.get("EIOKU_COORDINATOR")
+    if not coordinator:
+        return False
+    if _distributed_initialized:
+        return True
+    if num_processes is None:
+        num_processes = int(os.environ.get("EIOKU_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("EIOKU_PROCESS_ID", "0"))
+    if not 0 <= process_id < num_processes:
+        raise ValueError(
+            f"process_id {process_id} out of range for {num_processes}")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _distributed_initialized = True
+    return True

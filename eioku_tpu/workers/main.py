@@ -54,6 +54,8 @@ def main() -> None:
     args = parser.parse_args()
 
     setup_logging("eioku-ml-worker")
+    from eioku_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed()  # multi-host no-op unless EIOKU_COORDINATOR set
     config = load_config(args.config)
     if args.db:
         config.database_url = args.db

@@ -269,3 +269,16 @@ class TestRingAttention:
         ref = np.asarray(_reference_attention(
             q, k, v, jnp.full((b,), s, jnp.int32), False, d ** -0.5))
         np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+class TestDistributedBootstrap:
+    def test_noop_without_coordinator(self, monkeypatch):
+        from eioku_tpu.parallel import mesh
+        monkeypatch.delenv("EIOKU_COORDINATOR", raising=False)
+        assert mesh.initialize_distributed() is False
+
+    def test_rejects_bad_process_id(self):
+        from eioku_tpu.parallel import mesh
+        with pytest.raises(ValueError):
+            mesh.initialize_distributed(coordinator="127.0.0.1:9999",
+                                        num_processes=2, process_id=5)
