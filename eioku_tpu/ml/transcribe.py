@@ -14,7 +14,6 @@ uses vocab.json when available (see tokenizer.py).
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 import math
 import os
@@ -44,20 +43,36 @@ SAMPLES_PER_WINDOW = int(WINDOW_S * audio_io.SAMPLE_RATE)
 
 
 @lru_cache(maxsize=2)
-def _load_model(variant: str, cache_dir: str | None):
-    cfg = WhisperConfig(variant)
+def _load_model(variant: str, cache_dir: str | None,
+                compute_dtype: str = "float32"):
+    """Load (or random-init) whisper weights, stored in compute_dtype — bf16
+    storage halves HBM for the large variants (params dominate: ~3 GB for
+    large-v3 in bf16 vs ~6 GB f32), matching the fp16 storage of the
+    reference's engine."""
+    import jax.numpy as _jnp
+
+    from eioku_tpu.models.layers import cast_params
+
+    cfg = WhisperConfig(variant, compute_dtype=compute_dtype)
+    params = None
+    pretrained = False
     if cache_dir:
         for ext in (".npz", ".pt", ".bin"):
             cand = os.path.join(cache_dir, f"whisper-{variant}{ext}")
             if os.path.isfile(cand):
                 params = load_whisper_checkpoint(cand, cfg)
                 log.info("loaded whisper checkpoint", extra={"path": cand})
-                return params, cfg, True
-    if variant != "tiny":
-        log.warning("no whisper checkpoint for %s; falling back to random tiny",
-                    variant)
-        cfg = WhisperConfig("tiny")
-    return init_whisper_params(cfg, seed=0), cfg, False
+                pretrained = True
+                break
+    if params is None:
+        if variant != "tiny":
+            log.warning("no whisper checkpoint for %s; falling back to "
+                        "random tiny", variant)
+            cfg = WhisperConfig("tiny", compute_dtype=compute_dtype)
+        params = init_whisper_params(cfg, seed=0)
+    if compute_dtype != "float32":
+        params = cast_params(params, _jnp.dtype(compute_dtype))
+    return params, cfg, pretrained
 
 
 def _normalize_variant(model: str) -> str:
@@ -125,11 +140,12 @@ def run_transcription(video_path: str, config: dict,
         return []
 
     variant = _normalize_variant(config.get("model", "large-v3"))
-    params, cfg, pretrained = _load_model(variant, model_cache_dir)
-    # bf16 activations: the production setting, mirroring faster-whisper's
-    # fp16 default (override with config {"compute_dtype": "float32"})
-    cfg = dataclasses.replace(
-        cfg, compute_dtype=str(config.get("compute_dtype", "bfloat16")))
+    # bf16 weights + activations: the production setting, mirroring
+    # faster-whisper's fp16 default (config {"compute_dtype": "float32"}
+    # overrides)
+    params, cfg, pretrained = _load_model(
+        variant, model_cache_dir,
+        str(config.get("compute_dtype", "bfloat16")))
     tokens = WhisperTokens(cfg.vocab_size)
     text_decoder = WhisperTextDecoder.from_cache_dir(model_cache_dir,
                                                      cfg.vocab_size)
@@ -185,10 +201,15 @@ def run_transcription(video_path: str, config: dict,
         align = None
         if want_words:
             # one teacher-forced pass over the already-decoded (fixed-shape)
-            # rows captures text->audio attention for DTW word alignment
+            # rows captures text->audio attention for DTW word alignment;
+            # frame counts keep normalization off the zero-padded tail
             from eioku_tpu.models.whisper.model import cross_attention_alignment
+            counts = np.full(batch_size, 1500, np.int32)
+            for j, (start_ms, _) in enumerate(chunk):
+                counts[j] = max((min(start_ms + int(WINDOW_S * 1000), total_ms)
+                                 - start_ms) // 20, 1)
             align = np.asarray(cross_attention_alignment(
-                params, jnp.asarray(out), enc, cfg))
+                params, jnp.asarray(out), enc, cfg, jnp.asarray(counts)))
         for j, (start_ms, _) in enumerate(chunk):
             ids = out[j].tolist()
             # strip prompt + everything from the first EOT after the prompt
@@ -221,10 +242,19 @@ def run_transcription(video_path: str, config: dict,
                 words = word_timestamps(
                     align[j, len(sot):len(sot) + len(gen)], gen, text_decoder,
                     start_ms, n_frames)
-            for seg in segs:
-                seg_words = [w for w in words
-                             if w["start_ms"] < seg["end_ms"]
-                             and w["end_ms"] > seg["start_ms"]] if words else []
+            # each word goes to exactly one segment: the one containing its
+            # midpoint (closest span when boundaries drift)
+            seg_words_map: dict[int, list[dict]] = {i: [] for i in
+                                                    range(len(segs))}
+            for w in words if segs else []:
+                mid = (w["start_ms"] + w["end_ms"]) // 2
+                best_i = min(range(len(segs)), key=lambda i: (
+                    0 if segs[i]["start_ms"] <= mid < segs[i]["end_ms"]
+                    else min(abs(mid - segs[i]["start_ms"]),
+                             abs(mid - segs[i]["end_ms"]))))
+                seg_words_map[best_i].append(w)
+            for i, seg in enumerate(segs):
+                seg_words = seg_words_map[i]
                 results.append({
                     "payload": {"text": seg["text"], "language": language,
                                 "start_ms": seg["start_ms"],

@@ -95,7 +95,12 @@ def iter_frame_batches(
     """
     info = probe(path)
     step = max(int(round(info.fps * frame_interval_s)), 1)
-    n_workers = decode_procs if decode_procs > 0 else decode_threads
+    use_procs = decode_procs > 0
+    if use_procs and resize_hw is None:
+        # without a child-side downscale, IPC would carry full-resolution
+        # batches (hundreds of MB in flight) — threads are strictly better
+        use_procs = False
+    n_workers = decode_procs if use_procs else decode_threads
     # striping only pays when cores exist to run the stripes: on a 1-core host
     # the thread variant measured ~13% slower than serial decode
     n_workers = min(n_workers, os.cpu_count() or 1)
@@ -103,7 +108,7 @@ def iter_frame_batches(
             and max_frames is None:
         yield from _iter_batches_striped(path, info, step, batch_size,
                                          resize_hw, n_workers,
-                                         use_procs=decode_procs > 0)
+                                         use_procs=use_procs)
         return
     yield from _decode_segment(path, info.fps, step, batch_size, resize_hw,
                                max_frames, start_frame=0, end_frame=None)
@@ -160,24 +165,26 @@ def _decode_segment_list(path, fps, step, batch_size, resize_hw,
                                 start_frame, end_frame))
 
 
-_proc_pool = None
-_proc_pool_size = 0
+_proc_pools: dict[int, object] = {}
+_proc_pool_lock = threading.Lock()
 
 
 def _get_proc_pool(n_workers: int):
-    """Persistent spawn-based pool (spawn: never fork a live JAX runtime).
-    Sized up lazily; reused across videos to amortize child startup."""
-    global _proc_pool, _proc_pool_size
-    if _proc_pool is None or _proc_pool_size < n_workers:
-        if _proc_pool is not None:
-            _proc_pool.shutdown(wait=False, cancel_futures=True)
-        from concurrent.futures import ProcessPoolExecutor
-        import multiprocessing as mp
+    """Persistent spawn-based pools (spawn: never fork a live JAX runtime),
+    one per requested size, reused across videos to amortize child startup.
+    Pools are never shut down while the process lives — a concurrent striped
+    iterator may hold futures on any of them; distinct sizes come from task
+    config values, so the dict stays tiny."""
+    with _proc_pool_lock:
+        pool = _proc_pools.get(n_workers)
+        if pool is None:
+            from concurrent.futures import ProcessPoolExecutor
+            import multiprocessing as mp
 
-        _proc_pool = ProcessPoolExecutor(
-            max_workers=n_workers, mp_context=mp.get_context("spawn"))
-        _proc_pool_size = n_workers
-    return _proc_pool
+            pool = ProcessPoolExecutor(
+                max_workers=n_workers, mp_context=mp.get_context("spawn"))
+            _proc_pools[n_workers] = pool
+        return pool
 
 
 def _iter_batches_striped(path, info, step, batch_size, resize_hw,

@@ -9,48 +9,22 @@ longest-match runs natively.
 from __future__ import annotations
 
 import ctypes
-import logging
-import os
-import subprocess
-import threading
 
-log = logging.getLogger(__name__)
+from eioku_tpu.utils.native_build import load_native_lib
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__))))), "native", "wordpiece.cpp")
-_LIB = os.path.join(os.path.dirname(_SRC), "libwordpiece.so")
-_lock = threading.Lock()
-_lib = None
-_lib_failed = False
+
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.wp_create.restype = ctypes.c_void_p
+    lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+    lib.wp_destroy.argtypes = [ctypes.c_void_p]
+    lib.wp_encode.restype = ctypes.c_int64
+    lib.wp_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
 
 
 def _load() -> ctypes.CDLL | None:
-    global _lib, _lib_failed
-    with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        try:
-            if not os.path.isfile(_LIB) or \
-                    os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _LIB, _SRC],
-                    check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_LIB)
-            lib.wp_create.restype = ctypes.c_void_p
-            lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int64,
-                                      ctypes.c_int64]
-            lib.wp_destroy.argtypes = [ctypes.c_void_p]
-            lib.wp_encode.restype = ctypes.c_int64
-            lib.wp_encode.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
-            _lib = lib
-        except Exception as e:
-            log.warning("native wordpiece unavailable (%s); using Python path",
-                        e)
-            _lib_failed = True
-        return _lib
+    return load_native_lib("wordpiece", _configure)
 
 
 class NativeWordPiece:

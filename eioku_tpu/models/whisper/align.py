@@ -15,48 +15,24 @@ Each audio frame is 20 ms (Whisper's mel hop 10 ms x conv stride 2).
 from __future__ import annotations
 
 import ctypes
-import logging
-import os
-import subprocess
-import threading
 
 import numpy as np
 
-log = logging.getLogger(__name__)
+from eioku_tpu.utils.native_build import load_native_lib
 
 FRAME_MS = 20
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__))))), "native", "dtw.cpp")
-_LIB = os.path.join(os.path.dirname(_SRC), "libdtw.so")
-_lock = threading.Lock()
-_lib = None
-_lib_failed = False
+
+def _configure_dtw(lib: ctypes.CDLL) -> None:
+    lib.dtw_best_path.restype = ctypes.c_int64
+    lib.dtw_best_path.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64]
 
 
 def _load_native() -> ctypes.CDLL | None:
-    global _lib, _lib_failed
-    with _lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        try:
-            if not os.path.isfile(_LIB) or \
-                    os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _LIB, _SRC],
-                    check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_LIB)
-            lib.dtw_best_path.restype = ctypes.c_int64
-            lib.dtw_best_path.argtypes = [
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int64]
-            _lib = lib
-        except Exception as e:
-            log.warning("native dtw unavailable (%s); using Python path", e)
-            _lib_failed = True
-        return _lib
+    return load_native_lib("dtw", _configure_dtw)
 
 
 def median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:

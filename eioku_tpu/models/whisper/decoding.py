@@ -102,10 +102,10 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
     included and EOT-padded; avg_logprob [B] float32 over generated tokens
     incl. EOT; no_speech_prob [B] float32 from the SOT-position logits).
     """
-    eot = 50257
-    n_langs = 100 if cfg.vocab_size >= 51866 else 99
-    ts_begin = 50259 + n_langs + 6  # == WhisperTokens.timestamp_begin
-    no_speech_id = ts_begin - 2
+    tk = WhisperTokens(cfg.vocab_size)  # single source of the vocab layout
+    eot = tk.eot
+    ts_begin = tk.timestamp_begin
+    no_speech_id = tk.no_speech
     vocab = cfg.vocab_size
     b = enc_out.shape[0]
     k = beam_size
@@ -115,10 +115,9 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
     n_init = initial_tokens.shape[1]
     vocab_ids = jnp.arange(vocab)
 
-    cross_k, cross_v = precompute_cross_kv(params, enc_out)  # [L, B, S, d]
-    # beams fold into batch; beams of one window share the same encoder block
-    cross_k = jnp.repeat(cross_k, k, axis=1)
-    cross_v = jnp.repeat(cross_v, k, axis=1)
+    # [L, B, S, d] — beams fold into the token batch below, but cross-KV stays
+    # un-repeated: decoder_step groups each window's k beams onto one row
+    cross_k, cross_v = precompute_cross_kv(params, enc_out)
 
     tokens0 = jnp.full((bk, max_len), eot, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(

@@ -163,6 +163,29 @@ def _attend(q, k, v, n_heads: int, mask=None) -> jnp.ndarray:
                                    ).astype(vh.dtype))
 
 
+def _attend_grouped(q, k, v, n_heads: int) -> jnp.ndarray:
+    """Cross-attention where G query rows share each key/value row.
+
+    q [B*G, Sq, d]; k/v [B, Sk, d] -> [B*G, Sq, d]. Used by beam decoding so
+    the beams of one window attend to a single copy of the encoder K/V
+    instead of materializing beam_size repeats (which would multiply the
+    largest decode tensor by the beam width)."""
+    b = k.shape[0]
+    g = q.shape[0] // b
+    hd = q.shape[-1] // n_heads
+    scale = hd ** -0.25
+    qh = _split_heads(q, n_heads) * scale      # [BG, H, Sq, hd]
+    kh = _split_heads(k, n_heads) * scale      # [B, H, Sk, hd]
+    vh = _split_heads(v, n_heads)
+    qh = qh.reshape(b, g, n_heads, q.shape[1], hd)
+    scores = jnp.einsum("bghqd,bhkd->bghqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bghqk,bhkd->bghqd", w, vh,
+                     preferred_element_type=jnp.float32).astype(vh.dtype)
+    return _merge_heads(out.reshape(q.shape[0], n_heads, q.shape[1], hd))
+
+
 def _self_attn(x, p: Params, n_heads: int, mask=None) -> jnp.ndarray:
     q, k, v = linear(x, p["q"]), linear(x, p["k"]), linear(x, p["v"])
     return linear(_attend(q, k, v, n_heads, mask), p["o"])
@@ -239,6 +262,7 @@ def whisper_decode_full(params: Params, tokens: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg", "layers_from"))
 def cross_attention_alignment(params: Params, tokens: jnp.ndarray,
                               enc_out: jnp.ndarray, cfg: WhisperConfig,
+                              frame_counts: jnp.ndarray | None = None,
                               layers_from: int | None = None) -> jnp.ndarray:
     """Teacher-forced decoder pass returning text->audio alignment energy.
 
@@ -247,17 +271,29 @@ def cross_attention_alignment(params: Params, tokens: jnp.ndarray,
     fallback set of alignment heads when a checkpoint ships no head dump),
     z-normalized per head over the audio axis and averaged.
 
+    frame_counts [B] int32 restricts the alignment softmax and statistics to
+    the real (non-padded) audio frames of each window — the standard decoders
+    crop to the content frames before normalizing, and a 5 s window padded to
+    30 s would otherwise skew every row's scale. Decoder activations still
+    attend to the full window, exactly as they did during decoding.
+
     tokens [B, S]; enc_out [B, 1500, d] -> [B, S, 1500] float32. Word-level
     timestamps (align.py) run DTW over the negated result; the reference
     exposes this capability through faster-whisper's word_timestamps option.
     """
     dec = params["dec"]
     b, s = tokens.shape
+    n_frames = enc_out.shape[1]
     start = cfg.n_dec_layers // 2 if layers_from is None else layers_from
+    if frame_counts is None:
+        frame_counts = jnp.full((b,), n_frames, jnp.int32)
+    valid = (jnp.arange(n_frames)[None] < frame_counts[:, None])  # [B, F]
+    vmask = valid[:, None, None, :]  # [B, 1, 1, F]
+    cnt = jnp.maximum(frame_counts, 1).astype(jnp.float32)[:, None, None, None]
     x = (dec["tok_emb"][tokens] + dec["pos_emb"][:s][None]).astype(
         jnp.dtype(cfg.compute_dtype))
     causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
-    acc = jnp.zeros((b, s, enc_out.shape[1]), jnp.float32)
+    acc = jnp.zeros((b, s, n_frames), jnp.float32)
     n_sel = 0
     for li, layer in enumerate(dec["layers"]):
         x = x + _self_attn(layernorm(x, layer["ln1"], eps=1e-5), layer["attn"],
@@ -274,9 +310,12 @@ def cross_attention_alignment(params: Params, tokens: jnp.ndarray,
                             preferred_element_type=jnp.float32)
         w = jax.nn.softmax(scores, axis=-1)  # [B, H, S, F] float32
         if li >= start:
-            mu = jnp.mean(w, axis=-1, keepdims=True)
-            sd = jnp.std(w, axis=-1, keepdims=True) + 1e-9
-            acc = acc + jnp.sum((w - mu) / sd, axis=1)
+            # alignment statistics over the content frames only
+            wa = jax.nn.softmax(jnp.where(vmask, scores, -1e30), axis=-1)
+            mu = jnp.sum(wa * vmask, axis=-1, keepdims=True) / cnt
+            sd = jnp.sqrt(jnp.sum(jnp.where(vmask, (wa - mu) ** 2, 0.0),
+                                  axis=-1, keepdims=True) / cnt) + 1e-9
+            acc = acc + jnp.sum(jnp.where(vmask, (wa - mu) / sd, 0.0), axis=1)
             n_sel += cfg.n_heads
         out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype),
                                       _split_heads(v, cfg.n_heads),
@@ -295,9 +334,12 @@ def whisper_detect_language(params: Params, enc_out: jnp.ndarray,
     the SOT token (the standard Whisper detection recipe; reference relies on
     faster-whisper's equivalent, model_manager.py:437-444).
     Returns int32 [B] indices into tokenizer.LANGUAGES."""
-    sot = 50258
-    lang_base = 50259
-    n_langs = 100 if cfg.vocab_size >= 51866 else 99
+    from eioku_tpu.models.whisper.tokenizer import WhisperTokens
+
+    tk = WhisperTokens(cfg.vocab_size)
+    sot = tk.sot
+    lang_base = tk.lang_base
+    n_langs = tk.n_langs
     b = enc_out.shape[0]
     tokens = jnp.full((b, 1), sot, jnp.int32)
     logits = whisper_decode_full(params, tokens, enc_out, cfg)[:, 0]
@@ -324,7 +366,10 @@ def decoder_step(params: Params, cross_k, cross_v, tokens, self_k, self_v,
     """Run the decoder for the token at position `pos`, updating KV caches.
 
     tokens [B, max_len]; self_k/self_v [L, B, max_len, d]; pos traced scalar.
-    Returns (logits [B, vocab] float32, self_k, self_v).
+    cross_k/cross_v may carry fewer batch rows than tokens when several rows
+    (beams) share one encoder state — each group of B/B_cross consecutive
+    rows attends to one cross-KV row. Returns (logits [B, vocab] float32,
+    self_k, self_v).
     """
     dec = params["dec"]
     b, max_len = tokens.shape
@@ -347,8 +392,11 @@ def decoder_step(params: Params, cross_k, cross_v, tokens, self_k, self_v,
         x = x + linear(attn, layer["attn"]["o"])
         h = layernorm(x, layer["ln_cross"], eps=1e-5)
         q = linear(h, layer["cross"]["q"])
-        x = x + linear(_attend(q, cross_k[li], cross_v[li], cfg.n_heads),
-                       layer["cross"]["o"])
+        if cross_k.shape[1] == b:
+            cross = _attend(q, cross_k[li], cross_v[li], cfg.n_heads)
+        else:  # beams share encoder rows
+            cross = _attend_grouped(q, cross_k[li], cross_v[li], cfg.n_heads)
+        x = x + linear(cross, layer["cross"]["o"])
         h = layernorm(x, layer["ln2"], eps=1e-5)
         x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
     x = layernorm(x, dec["ln"], eps=1e-5)

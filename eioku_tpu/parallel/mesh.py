@@ -86,11 +86,11 @@ def initialize_distributed(coordinator: str | None = None,
     import os
 
     global _distributed_initialized
+    if _distributed_initialized:
+        return True
     coordinator = coordinator or os.environ.get("EIOKU_COORDINATOR")
     if not coordinator:
         return False
-    if _distributed_initialized:
-        return True
     if num_processes is None:
         num_processes = int(os.environ.get("EIOKU_NUM_PROCESSES", "1"))
     if process_id is None:

@@ -265,10 +265,9 @@ class TestStripedDecode:
             striped = list(video_io._iter_batches_striped(
                 path, info, step, 8, None, n_workers=2, use_procs=True))
         finally:
-            if video_io._proc_pool is not None:
-                video_io._proc_pool.shutdown(wait=False, cancel_futures=True)
-                video_io._proc_pool = None
-                video_io._proc_pool_size = 0
+            for pool in video_io._proc_pools.values():
+                pool.shutdown(wait=False, cancel_futures=True)
+            video_io._proc_pools.clear()
         s_idx = np.concatenate([b.frame_indices[:b.valid] for b in serial])
         p_idx = np.concatenate([b.frame_indices[:b.valid] for b in striped])
         np.testing.assert_array_equal(s_idx, p_idx)

@@ -291,7 +291,7 @@ class TestTranscribePipeline:
         cfg = WhisperConfig("tiny")
         params = init_whisper_params(cfg, seed=0)
         monkeypatch.setattr(transcribe, "_load_model",
-                            lambda variant, cache: (params, cfg, True))
+                            lambda *a, **kw: (params, cfg, True))
         results = transcribe.run_transcription(
             str(wav), {"model": "whisper-tiny", "max_tokens": 16,
                        "batch_size": 1, "beam_size": 2, "language": "en",
@@ -539,16 +539,20 @@ class TestWordAlignment:
 
     def test_dtw_native_matches_python(self):
         from eioku_tpu.models.whisper import align
+        from eioku_tpu.utils import native_build
         rng = np.random.default_rng(3)
         cost = rng.standard_normal((40, 200)).astype(np.float32)
-        lib = align._load_native()
+        saved = native_build._cache.get("dtw")
         ti_n, fi_n = align.dtw_path(cost)
         # force the Python fallback
-        align._lib, align._lib_failed = None, True
+        native_build._cache["dtw"] = None
         try:
             ti_p, fi_p = align.dtw_path(cost)
         finally:
-            align._lib, align._lib_failed = lib, lib is None
+            if saved is not None:
+                native_build._cache["dtw"] = saved
+            else:
+                native_build._cache.pop("dtw", None)
         np.testing.assert_array_equal(ti_n, ti_p)
         np.testing.assert_array_equal(fi_n, fi_p)
 
