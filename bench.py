@@ -84,18 +84,14 @@ def bench_embed(n_batches: int = 10, batch: int = 64, seq: int = 256) -> float:
     return cps
 
 
-def bench_scene_pipeline() -> float:
-    """End-to-end decode -> device scene scoring on a synthetic 30 s clip.
-    Returns video-hours indexed per wall-clock hour."""
+def _ensure_clip(clip_s: int = 60) -> str:
+    """Synthesize (once) the 60 s 720p benchmark clip; returns its path."""
     import os
     import tempfile
 
     import cv2
     import numpy as np
 
-    from eioku_tpu.ml.scenes import detect_scenes
-
-    clip_s = 60
     path = os.path.join(tempfile.gettempdir(), "eioku_bench_clip_720p.mp4")
     if not os.path.isfile(path):
         w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24,
@@ -110,6 +106,16 @@ def bench_scene_pipeline() -> float:
                 frame[:, :, 0] = np.linspace(0, int(c[0]), 1280, dtype=np.uint8)
             w.write(frame)
         w.release()
+    return path
+
+
+def bench_scene_pipeline() -> float:
+    """End-to-end decode -> device scene scoring on the synthetic 60 s clip.
+    Returns video-hours indexed per wall-clock hour."""
+    from eioku_tpu.ml.scenes import detect_scenes
+
+    clip_s = 60
+    path = _ensure_clip(clip_s)
     detect_scenes(path, sample_fps=4.0)  # warm compile + page cache
     t0 = time.time()
     scenes = detect_scenes(path, sample_fps=4.0)
@@ -118,6 +124,29 @@ def bench_scene_pipeline() -> float:
     _log(f"scenes: {len(scenes)} scenes, {clip_s}s clip in {dt:.2f}s "
          f"-> {video_hours_per_hour:.1f} video-hours/hour")
     return video_hours_per_hour
+
+
+def bench_combined_visual() -> float:
+    """End-to-end combined visual pass (ONE decode feeding scene + object +
+    face + place pipelines) on the synthetic 60 s 720p clip. Returns
+    video-hours of full visual indexing per wall-clock hour."""
+    import time as _time
+
+    from eioku_tpu.ml.combined import run_visual_analysis
+
+    path = _ensure_clip()
+    cfgs = {"scene_detection": {"sample_fps": 4.0},
+            "object_detection": {"batch_size": 64, "frame_interval_s": 1.0},
+            "face_detection": {"batch_size": 64, "frame_interval_s": 3.0},
+            "place_classification": {"batch_size": 64, "frame_interval_s": 1.0}}
+    run_visual_analysis(path, cfgs)  # warm compile + page cache
+    t0 = _time.time()
+    out = run_visual_analysis(path, cfgs)
+    dt = _time.time() - t0
+    vh = (60 / 3600.0) / (dt / 3600.0)
+    _log(f"combined visual: 60s clip in {dt:.2f}s -> {vh:.1f} video-hours/hour"
+         f" ({sum(len(v) for v in out.values())} artifacts, 4 task types)")
+    return vh
 
 
 def bench_whisper(variant: str = "large-v3-turbo", batch: int = 4,
@@ -203,11 +232,12 @@ STAGES = {
     "scenes": bench_scene_pipeline,
     "query": bench_query_p50,
     "whisper": bench_whisper,
+    "combined": bench_combined_visual,
 }
 
 # generous per-stage wall-clock budgets (remote compile can be slow)
 STAGE_TIMEOUT_S = {"detect": 480, "embed": 300, "scenes": 300, "query": 240,
-                   "whisper": 560}
+                   "whisper": 560, "combined": 480}
 
 
 def _setup_jax():
@@ -262,6 +292,7 @@ def main() -> None:
     chunks_per_s = _run_stage_subprocess("embed")
     vh_per_h = _run_stage_subprocess("scenes")
     p50_ms = _run_stage_subprocess("query")
+    combined_vh = _run_stage_subprocess("combined")
     whisper_audio_per_s = None
     if os.environ.get("EIOKU_BENCH_WHISPER"):
         whisper_audio_per_s = _run_stage_subprocess("whisper")
@@ -275,6 +306,10 @@ def main() -> None:
         extra["scene_video_hours_per_hour"] = round(vh_per_h, 1)
     if p50_ms is not None:
         extra["query_p50_ms_10k"] = round(p50_ms, 2)
+    if combined_vh is not None:
+        # one decode pass feeding scene+object+face+place — the full visual
+        # indexing rate, measured end-to-end
+        extra["combined_visual_video_hours_per_hour"] = round(combined_vh, 1)
     if whisper_audio_per_s is not None:
         extra["whisper_audio_seconds_per_s"] = round(whisper_audio_per_s, 1)
 
@@ -284,9 +319,13 @@ def main() -> None:
         combined = 1.0 / (1.0 / fps + (1.0 / 30.0) / chunks_per_s)
     else:
         combined = fps or 0.0
-    if fps and chunks_per_s and vh_per_h:
-        # per video-hour = 3600 detected frames (1 fps) + the scene/decode
-        # pass + ~120 embedded chunks
+    if combined_vh and chunks_per_s:
+        # per video-hour = the measured single-decode visual pass (scenes +
+        # detection + faces + places) + ~120 embedded chunks
+        t_per_vh = 3600.0 / combined_vh + 120.0 / chunks_per_s
+        extra["est_pipeline_video_hours_per_hour"] = round(3600.0 / t_per_vh, 1)
+    elif fps and chunks_per_s and vh_per_h:
+        # fallback estimate: detection amortized onto the scene decode pass
         t_per_vh = 3600.0 / fps + 3600.0 / vh_per_h + 120.0 / chunks_per_s
         extra["est_pipeline_video_hours_per_hour"] = round(3600.0 / t_per_vh, 1)
 

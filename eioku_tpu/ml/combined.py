@@ -36,11 +36,16 @@ SCENE_H, SCENE_W = 96, 160
 
 
 class _DetectionConsumer:
-    """Accumulates sampled frames into fixed batches for one detector."""
+    """Accumulates sampled frames into fixed batches for one detector.
+
+    Offered frames may be pre-downscaled by the shared decode pass;
+    coord_scale maps detector coordinates back to source pixels so payloads
+    stay in original-frame coordinates like the reference's."""
 
     def __init__(self, model_name: str, num_classes: int, class_names,
                  conf: float, step: int, batch_size: int, cache_dir,
-                 payload_builder, frame_ms: int, src_wh: tuple[int, int]):
+                 payload_builder, frame_ms: int, src_wh: tuple[int, int],
+                 coord_scale: float = 1.0):
         self.params, self.cfg = _load_model(model_name, num_classes, cache_dir)
         self.class_names = class_names
         self.conf = conf
@@ -49,6 +54,7 @@ class _DetectionConsumer:
         self.payload_builder = payload_builder
         self.frame_ms = frame_ms
         self.src_w, self.src_h = src_wh
+        self.coord_scale = coord_scale
         self._frames: list[np.ndarray] = []
         self._meta: list[tuple[int, int]] = []  # (frame_idx, t_ms)
         self.results: list[dict] = []
@@ -77,10 +83,11 @@ class _DetectionConsumer:
             frame_idx, t_ms = self._meta[i]
             for j in np.nonzero(ok[i])[0]:
                 x1, y1, x2, y2 = boxes[i, j]
-                x1 = float(np.clip((x1 - pad_x) / scale, 0, self.src_w))
-                x2 = float(np.clip((x2 - pad_x) / scale, 0, self.src_w))
-                y1 = float(np.clip((y1 - pad_y) / scale, 0, self.src_h))
-                y2 = float(np.clip((y2 - pad_y) / scale, 0, self.src_h))
+                cs = self.coord_scale
+                x1 = float(np.clip((x1 - pad_x) / scale * cs, 0, self.src_w))
+                x2 = float(np.clip((x2 - pad_x) / scale * cs, 0, self.src_w))
+                y1 = float(np.clip((y1 - pad_y) / scale * cs, 0, self.src_h))
+                y2 = float(np.clip((y2 - pad_y) / scale * cs, 0, self.src_h))
                 if x2 <= x1 or y2 <= y1:
                     continue
                 label = self.class_names[int(classes[i, j])] \
@@ -122,6 +129,21 @@ def run_visual_analysis(video_path: str, config: dict,
         # consumer steps are in source-frame units, aligned to the base grid
         return max(int(round(fps * seconds / base_step)), 1) * base_step
 
+    # Decode directly at the detector's long-side geometry (aspect preserved):
+    # the decode worker then resizes before its BGR->RGB pass, every smaller
+    # consumer (places 224, scenes 96x160) derives from ~1/4 the pixels of the
+    # source, and detection letterboxing becomes pad-only. Boxes map back to
+    # source pixels via coord_scale.
+    det_long = int(config.get("detector_size", 640))
+    ds = det_long / max(info.width, info.height, 1)
+    if ds < 1.0:
+        dec_hw = (max(int(round(info.height * ds)), 2) // 2 * 2,
+                  max(int(round(info.width * ds)), 2) // 2 * 2)
+        coord_scale = info.width / dec_hw[1]
+    else:
+        dec_hw = None
+        coord_scale = 1.0
+
     objects = _DetectionConsumer(
         ocfg.get("model", "yolov8n"), len(COCO_CLASSES), COCO_CLASSES,
         float(ocfg.get("confidence_threshold", 0.5)),
@@ -129,7 +151,7 @@ def run_visual_analysis(video_path: str, config: dict,
         int(ocfg.get("batch_size", 64)), model_cache_dir,
         lambda label, conf, box, fi: {"label": label, "confidence": conf,
                                       "bounding_box": box, "frame_number": fi},
-        frame_ms, (info.width, info.height))
+        frame_ms, (info.width, info.height), coord_scale)
     faces = _DetectionConsumer(
         fcfg.get("model", "yolov8n-face"), 1, [],
         float(fcfg.get("confidence_threshold", 0.7)),
@@ -137,7 +159,7 @@ def run_visual_analysis(video_path: str, config: dict,
         int(fcfg.get("batch_size", 64)), model_cache_dir,
         lambda label, conf, box, fi: {"cluster_id": None, "confidence": conf,
                                       "bounding_box": box, "frame_number": fi},
-        frame_ms, (info.width, info.height))
+        frame_ms, (info.width, info.height), coord_scale)
 
     place_params, place_labels = load_places(model_cache_dir)
     place_step = substep(float(pcfg.get("frame_interval_s", 1.0)))
@@ -182,7 +204,8 @@ def run_visual_analysis(video_path: str, config: dict,
     decode_procs = int(config.get("decode_procs", 0))
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval_s,
-            decode_threads=decode_threads, decode_procs=decode_procs)):
+            resize_hw=dec_hw, decode_threads=decode_threads,
+            decode_procs=decode_procs)):
         # Scene scoring needs only 96x160: resize on host so the device upload
         # is ~40x smaller than shipping full-resolution frames (host->device
         # bandwidth is the scarce resource; measured 3x regression otherwise).
