@@ -21,7 +21,10 @@ from scipy import ndimage
 from eioku_tpu.ml import video_io
 from eioku_tpu.models.ocr.craft import craft_forward
 from eioku_tpu.models.ocr.crnn import LATIN_CHARSET, crnn_forward, ctc_greedy_decode
-from eioku_tpu.models.ocr.weights import load_ocr_checkpoints
+from eioku_tpu.models.ocr.weights import (
+    load_ocr_checkpoints,
+    recognizer_for_language,
+)
 
 log = logging.getLogger(__name__)
 
@@ -31,12 +34,13 @@ _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-@lru_cache(maxsize=1)
-def _models(cache_dir: str | None):
-    craft, crnn, pretrained = load_ocr_checkpoints(cache_dir)
+@lru_cache(maxsize=4)
+def _models(cache_dir: str | None, recognizer: str = "latin_g2"):
+    craft, crnn, charset, pretrained = load_ocr_checkpoints(cache_dir,
+                                                            recognizer)
     if not pretrained:
         log.warning("no easyocr checkpoints; OCR runs with random-init weights")
-    return craft, crnn, pretrained
+    return craft, crnn, charset, pretrained
 
 
 def extract_boxes(region: np.ndarray, affinity: np.ndarray,
@@ -69,8 +73,8 @@ def _bucket_width(w: int) -> int:
     return CROP_WIDTHS[-1]
 
 
-def recognize_crops(crnn_params, crops: list[np.ndarray]
-                    ) -> list[tuple[str, float]]:
+def recognize_crops(crnn_params, crops: list[np.ndarray],
+                    charset: str = LATIN_CHARSET) -> list[tuple[str, float]]:
     """crops: list of grayscale uint8 [32, W]. Returns (text, conf) per crop,
     batched per width bucket (fixed shapes on device)."""
     results: list[tuple[str, float] | None] = [None] * len(crops)
@@ -87,7 +91,7 @@ def recognize_crops(crnn_params, crops: list[np.ndarray]
         logits = np.asarray(crnn_forward(crnn_params, jnp.asarray(batch)),
                             np.float32)
         for row, i in enumerate(indices):
-            results[i] = ctc_greedy_decode(logits[row:row + 1])[0]
+            results[i] = ctc_greedy_decode(logits[row:row + 1], charset)[0]
     return results  # type: ignore[return-value]
 
 
@@ -98,7 +102,12 @@ def run_ocr(video_path: str, config: dict,
     languages = config.get("languages") or ([config["language"]]
                                             if config.get("language") else ["en"])
     min_conf = float(config.get("confidence_threshold", 0.0))
-    craft_params, crnn_params, pretrained = _models(model_cache_dir)
+    # one recognizer per task: discovery fans OCR out per language exactly
+    # like the reference (video_discovery_service.py:221-275), so the task's
+    # first language picks the script-specific model
+    recognizer = recognizer_for_language(languages[0])
+    craft_params, crnn_params, charset, pretrained = _models(model_cache_dir,
+                                                             recognizer)
     info = video_io.probe(video_path)
     frame_ms = int(round(1000.0 / info.fps)) if info.fps else 33
     sx = info.width / DETECT_W * 2.0   # score map is half detect resolution
@@ -132,7 +141,7 @@ def run_ocr(video_path: str, config: dict,
                 metas.append((fx0, fy0, fx1, fy1))
             if not crops:
                 continue
-            texts = recognize_crops(crnn_params, crops)
+            texts = recognize_crops(crnn_params, crops, charset)
             t0 = int(batch.timestamps_ms[i])
             for (fx0, fy0, fx1, fy1), (text, conf) in zip(metas, texts):
                 if not text or conf < min_conf:

@@ -176,3 +176,49 @@ class TestOcrPipelineE2E:
         for r in results[:10]:
             SchemaRegistry.validate("ocr.text", 1, r["payload"])
         assert isinstance(results, list)
+
+
+class TestLanguageRecognizers:
+    """Per-language recognizer selection (reference: easyocr.Reader per task
+    language, model_manager.py:469-558)."""
+
+    def test_language_to_model_mapping(self):
+        from eioku_tpu.models.ocr.weights import recognizer_for_language
+        assert recognizer_for_language("ja") == "japanese_g2"
+        assert recognizer_for_language("ko") == "korean_g2"
+        assert recognizer_for_language("ru") == "cyrillic_g2"
+        assert recognizer_for_language("en") == "latin_g2"
+        assert recognizer_for_language("fr") == "latin_g2"
+        assert recognizer_for_language("xx") == "latin_g2"
+
+    def test_charset_sidecar_one_char_per_line(self, tmp_path):
+        from eioku_tpu.models.ocr.weights import _load_charset
+        (tmp_path / "japanese_g2_chars.txt").write_text(
+            "あ\nい\nう\n", encoding="utf-8")
+        assert _load_charset(str(tmp_path), "japanese_g2") == "あいう"
+
+    def test_charset_sidecar_single_string(self, tmp_path):
+        from eioku_tpu.models.ocr.weights import _load_charset
+        (tmp_path / "latin_g2_chars.txt").write_text("abc def\n",
+                                                     encoding="utf-8")
+        assert _load_charset(str(tmp_path), "latin_g2") == "abc def"
+
+    def test_missing_non_latin_falls_back_to_latin(self, tmp_path):
+        from eioku_tpu.models.ocr.crnn import LATIN_CHARSET
+        from eioku_tpu.models.ocr.weights import load_ocr_checkpoints
+        craft, crnn, charset, pretrained = load_ocr_checkpoints(
+            str(tmp_path), "japanese_g2")
+        assert charset == LATIN_CHARSET
+        assert pretrained is False
+
+    def test_ctc_decode_with_custom_charset(self):
+        from eioku_tpu.models.ocr.crnn import ctc_greedy_decode
+        charset = "あいう"
+        logits = np.full((1, 4, 4), -10.0, np.float32)
+        logits[0, 0, 1] = 10.0  # あ
+        logits[0, 1, 0] = 10.0  # blank
+        logits[0, 2, 3] = 10.0  # う
+        logits[0, 3, 3] = 10.0  # repeat collapsed
+        [(text, conf)] = ctc_greedy_decode(logits, charset)
+        assert text == "あう"
+        assert conf > 0.9
