@@ -183,6 +183,81 @@ def run_transcription(video_path: str, config: dict,
                   and text_decoder.id_to_token is not None)
     total_ms = int(len(audio) / audio_io.SAMPLE_RATE * 1000)
     results: list[dict] = []
+
+    def emit_window(row_ids: list[int], prompt_len: int, avg_lp_j: float,
+                    no_speech_j: float, start_ms: int,
+                    align_row: np.ndarray | None) -> list[int] | None:
+        """Post-process one decoded window row into transcript results.
+
+        Returns the generated text tokens (for previous-text conditioning),
+        or None when the window was gated as silence/low-quality."""
+        gen = row_ids[prompt_len:]
+        if tokens.eot in gen:
+            gen = gen[:gen.index(tokens.eot)]
+        end_ms = min(start_ms + int(WINDOW_S * 1000), total_ms)
+        if not pretrained:
+            # random weights produce arbitrary ids; suppress text
+            return None
+        if no_speech_j > no_speech_threshold and avg_lp_j < logprob_threshold:
+            # faster-whisper silence gate: confident no-speech AND a weak
+            # transcript -> drop the window
+            return None
+        confidence = float(min(1.0, max(0.0, math.exp(avg_lp_j))))
+        segs = []
+        if use_timestamps:
+            segs = parse_timestamped_tokens(gen, tokens, text_decoder,
+                                            start_ms, end_ms)
+        if not segs:
+            text = text_decoder.decode(gen)
+            if text:
+                segs = [{"text": text, "start_ms": start_ms, "end_ms": end_ms}]
+        words: list[dict] = []
+        if align_row is not None and gen:
+            from eioku_tpu.models.whisper.align import word_timestamps
+            n_frames = max((end_ms - start_ms) // 20, 1)
+            words = word_timestamps(
+                align_row[prompt_len:prompt_len + len(gen)], gen, text_decoder,
+                start_ms, n_frames)
+        # each word goes to exactly one segment: the one containing its
+        # midpoint (closest span when boundaries drift)
+        seg_words_map: dict[int, list[dict]] = {s: [] for s in range(len(segs))}
+        for w in words if segs else []:
+            mid = (w["start_ms"] + w["end_ms"]) // 2
+            best_s = min(range(len(segs)), key=lambda s: (
+                0 if segs[s]["start_ms"] <= mid < segs[s]["end_ms"]
+                else min(abs(mid - segs[s]["start_ms"]),
+                         abs(mid - segs[s]["end_ms"]))))
+            seg_words_map[best_s].append(w)
+        for s, seg in enumerate(segs):
+            results.append({
+                "payload": {"text": seg["text"], "language": language,
+                            "start_ms": seg["start_ms"],
+                            "end_ms": seg["end_ms"],
+                            "confidence": confidence,
+                            "words": seg_words_map[s]},
+                "span_start_ms": seg["start_ms"],
+                "span_end_ms": seg["end_ms"],
+            })
+        return [t for t in gen if not tokens.is_special(t)]
+
+    def frame_count(start_ms: int) -> int:
+        return max((min(start_ms + int(WINDOW_S * 1000), total_ms)
+                    - start_ms) // 20, 1)
+
+    def alignment(out_rows: jnp.ndarray, enc, counts: np.ndarray):
+        from eioku_tpu.models.whisper.model import cross_attention_alignment
+        return np.asarray(cross_attention_alignment(
+            params, out_rows, enc, cfg, jnp.asarray(counts)))
+
+    # previous-text conditioning (faster-whisper's default) serializes
+    # windows, so it is opt-in here: the batched path below keeps the MXU full
+    # and is the TPU-native default
+    if bool(config.get("condition_on_previous_text", False)) and pretrained:
+        _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
+                         suppress_begin, max_tokens, beam_size, use_timestamps,
+                         want_words, emit_window, frame_count, alignment)
+        return results
+
     for i in range(0, len(windows), batch_size):
         chunk = windows[i:i + batch_size]
         pad = batch_size - len(chunk)
@@ -195,6 +270,7 @@ def run_transcription(video_path: str, config: dict,
             params, enc, init, suppress_always, suppress_begin, cfg,
             max_len=max_tokens, beam_size=beam_size,
             timestamps=use_timestamps)
+        out_j = out
         out = np.asarray(out)
         avg_lp = np.asarray(avg_lp)
         no_speech = np.asarray(no_speech)
@@ -203,65 +279,51 @@ def run_transcription(video_path: str, config: dict,
             # one teacher-forced pass over the already-decoded (fixed-shape)
             # rows captures text->audio attention for DTW word alignment;
             # frame counts keep normalization off the zero-padded tail
-            from eioku_tpu.models.whisper.model import cross_attention_alignment
             counts = np.full(batch_size, 1500, np.int32)
             for j, (start_ms, _) in enumerate(chunk):
-                counts[j] = max((min(start_ms + int(WINDOW_S * 1000), total_ms)
-                                 - start_ms) // 20, 1)
-            align = np.asarray(cross_attention_alignment(
-                params, jnp.asarray(out), enc, cfg, jnp.asarray(counts)))
+                counts[j] = frame_count(start_ms)
+            align = alignment(out_j, enc, counts)
         for j, (start_ms, _) in enumerate(chunk):
-            ids = out[j].tolist()
-            # strip prompt + everything from the first EOT after the prompt
-            gen = ids[len(sot):]
-            if tokens.eot in gen:
-                gen = gen[:gen.index(tokens.eot)]
-            end_ms = min(start_ms + int(WINDOW_S * 1000), total_ms)
-            if not pretrained:
-                # random weights produce arbitrary ids; suppress text
-                continue
-            if (no_speech[j] > no_speech_threshold
-                    and avg_lp[j] < logprob_threshold):
-                # faster-whisper silence gate: confident no-speech AND a weak
-                # transcript -> drop the window
-                continue
-            confidence = float(min(1.0, max(0.0, math.exp(avg_lp[j]))))
-            segs = []
-            if use_timestamps:
-                segs = parse_timestamped_tokens(gen, tokens, text_decoder,
-                                                start_ms, end_ms)
-            if not segs:
-                text = text_decoder.decode(gen)
-                if text:
-                    segs = [{"text": text, "start_ms": start_ms,
-                             "end_ms": end_ms}]
-            words: list[dict] = []
-            if align is not None and gen:
-                from eioku_tpu.models.whisper.align import word_timestamps
-                n_frames = max((end_ms - start_ms) // 20, 1)
-                words = word_timestamps(
-                    align[j, len(sot):len(sot) + len(gen)], gen, text_decoder,
-                    start_ms, n_frames)
-            # each word goes to exactly one segment: the one containing its
-            # midpoint (closest span when boundaries drift)
-            seg_words_map: dict[int, list[dict]] = {i: [] for i in
-                                                    range(len(segs))}
-            for w in words if segs else []:
-                mid = (w["start_ms"] + w["end_ms"]) // 2
-                best_i = min(range(len(segs)), key=lambda i: (
-                    0 if segs[i]["start_ms"] <= mid < segs[i]["end_ms"]
-                    else min(abs(mid - segs[i]["start_ms"]),
-                             abs(mid - segs[i]["end_ms"]))))
-                seg_words_map[best_i].append(w)
-            for i, seg in enumerate(segs):
-                seg_words = seg_words_map[i]
-                results.append({
-                    "payload": {"text": seg["text"], "language": language,
-                                "start_ms": seg["start_ms"],
-                                "end_ms": seg["end_ms"],
-                                "confidence": confidence,
-                                "words": seg_words},
-                    "span_start_ms": seg["start_ms"],
-                    "span_end_ms": seg["end_ms"],
-                })
+            emit_window(out[j].tolist(), len(sot), float(avg_lp[j]),
+                        float(no_speech[j]), start_ms,
+                        align[j] if align is not None else None)
     return results
+
+
+# previous-context prompt budgets: a handful of fixed lengths so the jitted
+# decode compiles once per bucket instead of once per unique prompt length
+_PROMPT_BUCKETS = (0, 16, 32, 64, 128)
+
+
+def _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
+                     suppress_begin, max_tokens, beam_size, use_timestamps,
+                     want_words, emit_window, frame_count, alignment) -> None:
+    """Sequential decode with previous-text conditioning (sot_prev prompt).
+
+    Mirrors faster-whisper's condition_on_previous_text: each window's prompt
+    is [sot_prev] + tail of the previous text + the SOT sequence; context
+    resets after a gated (silent/low-quality) window to stop hallucination
+    loops, the same reset rule the reference's engine applies.
+    """
+    prev: list[int] = []
+    for start_ms, wav in windows:
+        bucket = max((b for b in _PROMPT_BUCKETS if b <= len(prev)), default=0)
+        prompt = ([tokens.sot_prev] + prev[-bucket:] if bucket else []) + sot
+        mel = log_mel_spectrogram(jnp.asarray(wav[None]), n_mels=cfg.n_mels)
+        enc = whisper_encode(params, mel, cfg)
+        init = jnp.asarray([prompt], jnp.int32)
+        out, avg_lp, no_speech = whisper_decode_windows(
+            params, enc, init, suppress_always, suppress_begin, cfg,
+            max_len=len(prompt) + max_tokens, beam_size=beam_size,
+            timestamps=use_timestamps)
+        align = None
+        if want_words:
+            align = alignment(out, enc,
+                              np.asarray([frame_count(start_ms)], np.int32))
+        gen_text = emit_window(np.asarray(out)[0].tolist(), len(prompt),
+                               float(avg_lp[0]), float(no_speech[0]), start_ms,
+                               align[0] if align is not None else None)
+        if gen_text is None:
+            prev = []  # reset context after a gated window
+        else:
+            prev = (prev + gen_text)[-max(_PROMPT_BUCKETS):]

@@ -305,6 +305,39 @@ class TestTranscribePipeline:
                 assert p_["start_ms"] - 20 <= wd["start_ms"]
                 assert wd["end_ms"] >= wd["start_ms"]
 
+    def test_condition_on_previous_text(self, tmp_path, monkeypatch):
+        """Sequential conditioned decode (sot_prev prompting, faster-whisper's
+        default mode) runs end-to-end over multiple windows."""
+        import wave
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+        sr = 16000
+        t = np.arange(sr * 61) / sr  # 3 windows
+        x = (np.sin(2 * np.pi * 220 * t) * 0.4 * 32767).astype(np.int16)
+        wav = tmp_path / "long.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        monkeypatch.setattr(transcribe, "_load_model",
+                            lambda *a, **kw: (params, cfg, True))
+        results = transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "max_tokens": 12,
+                       "beam_size": 1, "language": "en", "timestamps": False,
+                       "condition_on_previous_text": True,
+                       "no_speech_threshold": 2.0})
+        # three 30s windows, each emitting at most one plain segment
+        spans = sorted({(r["span_start_ms"]) for r in results})
+        assert spans and spans[0] == 0
+        for r in results:
+            assert 0.0 <= r["payload"]["confidence"] <= 1.0
+
     def test_wav_pipeline_runs(self, tmp_path):
         """Random tiny weights: pipeline must run and yield schema-valid,
         correctly-timed windows (text empty without a pretrained checkpoint)."""
