@@ -24,7 +24,6 @@ import numpy as np
 
 from eioku_tpu.ml import video_io
 from eioku_tpu.ml.detection import _load_model, letterbox_batch
-from eioku_tpu.ml.face_tracking import FaceTracker
 from eioku_tpu.models.yolo.classes import COCO_CLASSES
 from eioku_tpu.models.yolo.postprocess import detect
 from eioku_tpu.ops.colorspace import frames_to_hsv_planes

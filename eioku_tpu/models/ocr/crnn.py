@@ -7,7 +7,6 @@ The LSTM runs as lax.scan inside jit; crops are batched at fixed widths.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ compiles one program per input geometry.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import numpy as np
 import optax
 
 from eioku_tpu.models.checkpoint import save_params
-from eioku_tpu.models.embed.minilm import MiniLMConfig, load_minilm
+from eioku_tpu.models.embed.minilm import load_minilm
 from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
 from eioku_tpu.parallel.mesh import data_sharded, make_mesh, shard_minilm_params
 from eioku_tpu.parallel.train import make_train_step

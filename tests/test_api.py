@@ -1,7 +1,6 @@
 """API tests over the ASGI app via httpx (no sockets), with a real sqlite DB and
 the in-process queue — mirroring the reference's TestClient + mocked-producer
 strategy (/root/reference/backend/tests/test_api.py:14-60)."""
-import asyncio
 
 import httpx
 import numpy as np

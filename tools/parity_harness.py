@@ -49,7 +49,7 @@ def _default_corpus() -> tuple[list[str], list[str]]:
 
 
 def embed_ours(texts: list[str], model_dir: str) -> np.ndarray:
-    from eioku_tpu.models.embed.minilm import MiniLMConfig, load_minilm, minilm_embed
+    from eioku_tpu.models.embed.minilm import load_minilm, minilm_embed
     from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
     import jax.numpy as jnp
 
