@@ -4,8 +4,11 @@ Semantics (matching the reference's arq usage):
   - enqueue with an explicit job_id deduplicates: a second enqueue while the job
     is queued/running returns None (reference: job_producer.py:99-117).
   - claim is atomic claim-once (UPDATE ... RETURNING under SQLite's write lock).
-  - running jobs hold a lease (timeout_s); expired leases are requeued up to
-    max_tries, then failed — this replaces arq's job-timeout handling.
+  - running jobs hold a lease (timeout_s); expired leases (worker crash or
+    hang) are requeued while attempts <= max_tries — a crash does not consume
+    an execution try, mirroring the reference reconciler's reset-and-re-enqueue
+    of RUNNING tasks whose job vanished (reconciler.py:182-284) while staying
+    bounded — then failed. Execution failures retry strictly under max_tries.
   - abort: cooperative; workers poll abort_requested (arq allow_abort_jobs).
 """
 from __future__ import annotations
@@ -134,7 +137,7 @@ class SqliteJobQueue:
         with self.db.transaction() as conn:
             requeued = conn.execute(
                 "UPDATE jobs SET status='queued', worker_id=NULL, lease_expires_at=NULL"
-                " WHERE status='running' AND lease_expires_at < ? AND attempts < max_tries",
+                " WHERE status='running' AND lease_expires_at < ? AND attempts <= max_tries",
                 (now,)).rowcount
             conn.execute(
                 "UPDATE jobs SET status='failed', finished_at=?, error='lease expired'"
@@ -240,7 +243,7 @@ class MemoryJobQueue:
             for j in self._jobs.values():
                 if j.status is JobStatus.RUNNING and j.lease_expires_at and \
                         j.lease_expires_at < now:
-                    if j.attempts < j.max_tries:
+                    if j.attempts <= j.max_tries:
                         j.status = JobStatus.QUEUED
                         j.worker_id = None
                         j.lease_expires_at = None

@@ -96,6 +96,12 @@ class Reconciler:
                     self.producer.enqueue_task(task.id, task.task_type, task.video_id,
                                                video.path, task.config)
                 report.running_reset += 1
+            elif job.status is JobStatus.QUEUED:
+                # Lease expired and the job was requeued (crashed worker):
+                # the task goes back to PENDING until a worker re-claims it
+                # (reference: RUNNING w/o job -> reset, reconciler.py:182-284).
+                self.tasks.update_status(task.id, TaskStatus.PENDING)
+                report.running_reset += 1
 
     def _alert_long_running(self, report: ReconcileReport) -> None:
         for task in self.tasks.find(status=TaskStatus.RUNNING, limit=10000):

@@ -79,7 +79,11 @@ class TestQueueSemantics:
             j.lease_expires_at = utcnow() - timedelta(seconds=1)
         assert queue.requeue_expired() == 1
         assert queue.get("j").status is JobStatus.QUEUED
-        # second expiry exhausts tries -> failed
+        # crashes don't consume a try: requeued while attempts <= max_tries
+        queue.claim("w")
+        if isinstance(queue, MemoryJobQueue):
+            queue.get("j").lease_expires_at = utcnow() - timedelta(seconds=1)
+        assert queue.requeue_expired() == 1
         queue.claim("w")
         if isinstance(queue, MemoryJobQueue):
             queue.get("j").lease_expires_at = utcnow() - timedelta(seconds=1)
