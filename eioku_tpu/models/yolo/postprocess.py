@@ -56,18 +56,33 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
     boxes [K,4], scores [K] (0 for padding), classes [K]. Returns dict of
     fixed-shape arrays: boxes [max_det,4], scores, classes, valid mask.
     Candidates must already be sorted by descending score.
+
+    Greedy keep is the unique solution of "kept iff no kept higher-ranked
+    box conflicts with me", so instead of K sequential suppression steps it
+    is computed by Jacobi iteration on that recurrence: each sweep is one
+    parallel [K, K] masked reduction on the VPU, and the fixpoint — reached
+    in suppression-chain-depth sweeps, typically a handful — is exactly the
+    sequential result.
     """
     k = boxes.shape[0]
     iou = _iou_matrix(boxes)
     same_class = classes[:, None] == classes[None, :]
-    conflict = (iou > iou_threshold) & same_class
+    ranks = jnp.arange(k)
+    # conflict[j, i]: higher-ranked j (j < i, score order) suppresses i
+    conflict = (iou > iou_threshold) & same_class & \
+        (ranks[:, None] < ranks[None, :])
+    valid = scores > 0
 
-    def body(i, keep):
-        # suppress j>i conflicting with i only if i itself is kept
-        suppress = conflict[i] & (jnp.arange(k) > i) & keep[i]
-        return keep & ~suppress
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
 
-    keep = jax.lax.fori_loop(0, k, body, scores > 0)
+    def body(state):
+        keep, _, it = state
+        new = valid & ~jnp.any(conflict & keep[:, None], axis=0)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (valid, ~valid, 0))
     order = jnp.argsort(~keep, stable=True)  # kept first, score order preserved
     sel = order[:max_det]
     return {

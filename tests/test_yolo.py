@@ -173,3 +173,52 @@ class TestDetectionPipeline:
         for r in results[:20]:
             SchemaRegistry.validate("object.detection", 1, r["payload"])
         assert isinstance(results, list)
+
+
+class TestNmsFixpointExactness:
+    def test_matches_sequential_greedy_on_random_boxes(self):
+        """The fixpoint sweep must equal classic sequential greedy NMS."""
+        from eioku_tpu.models.yolo.postprocess import nms_fixed
+
+        def greedy_np(boxes, scores, classes, thr):
+            keep = []
+            suppressed = np.zeros(len(boxes), bool)
+            for i in range(len(boxes)):
+                if suppressed[i] or scores[i] <= 0:
+                    continue
+                keep.append(i)
+                for j in range(i + 1, len(boxes)):
+                    if classes[j] != classes[i] or suppressed[j]:
+                        continue
+                    ax = max(boxes[i][0], boxes[j][0])
+                    ay = max(boxes[i][1], boxes[j][1])
+                    bx = min(boxes[i][2], boxes[j][2])
+                    by = min(boxes[i][3], boxes[j][3])
+                    inter = max(bx - ax, 0) * max(by - ay, 0)
+                    area_i = (boxes[i][2] - boxes[i][0]) * (boxes[i][3] - boxes[i][1])
+                    area_j = (boxes[j][2] - boxes[j][0]) * (boxes[j][3] - boxes[j][1])
+                    if inter / max(area_i + area_j - inter, 1e-9) > thr:
+                        suppressed[j] = True
+            return keep
+
+        rng = np.random.default_rng(0)
+        for trial in range(5):
+            n = 64
+            xy = rng.uniform(0, 80, (n, 2))
+            wh = rng.uniform(5, 40, (n, 2))
+            boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+            scores = np.sort(rng.uniform(0.1, 1.0, n).astype(np.float32))[::-1]
+            classes = rng.integers(0, 3, n).astype(np.int32)
+            out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores.copy()),
+                            jnp.asarray(classes), iou_threshold=0.45,
+                            max_det=n)
+            got = sorted(int(i) for i, v in
+                         zip(np.asarray(out["classes"]), np.asarray(out["valid"]))
+                         if v and i >= 0)
+            kept_idx = np.nonzero(np.asarray(out["valid"]))[0]
+            got_boxes = np.asarray(out["boxes"])[kept_idx]
+            exp = greedy_np(boxes, scores, classes, 0.45)
+            exp_boxes = boxes[exp]
+            assert len(got_boxes) == len(exp_boxes), trial
+            np.testing.assert_allclose(np.sort(got_boxes, axis=0),
+                                       np.sort(exp_boxes, axis=0), rtol=1e-5)
