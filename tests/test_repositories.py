@@ -245,3 +245,34 @@ class TestPerformanceFloors:
         got = repo.get_by_span("a1", 10000, 12000)
         assert got
         assert time.monotonic() - start < 0.05
+
+
+class TestQueryPlans:
+    """EXPLAIN QUERY PLAN inspection, mirroring the reference's perf tests
+    (/root/reference/backend/tests/test_performance.py:91-260): the hot
+    artifact queries must hit their covering indexes, not scan the table."""
+
+    def _plan(self, db, sql, params):
+        rows = db.query("EXPLAIN QUERY PLAN " + sql, params)
+        return " | ".join(r["detail"] for r in rows)
+
+    def test_asset_type_query_uses_index(self, db):
+        repo = ArtifactRepository(db)
+        repo.batch_create([_obj_env(start=i * 33) for i in range(50)])
+        plan = self._plan(
+            db, "SELECT * FROM artifacts WHERE asset_id=? AND artifact_type=?",
+            ("a1", "object.detection"))
+        # either covering index (both lead with asset_id, artifact_type) is fine
+        assert "USING INDEX idx_artifacts" in plan, plan
+
+    def test_span_query_uses_index(self, db):
+        repo = ArtifactRepository(db)
+        repo.batch_create([_obj_env(start=i * 33) for i in range(50)])
+        plan = self._plan(
+            db, "SELECT * FROM artifacts WHERE asset_id=? AND span_start_ms<?"
+                " AND span_end_ms>?", ("a1", 2000, 1000))
+        assert "USING INDEX idx_artifacts" in plan, plan
+
+    def test_task_status_query_uses_index(self, db):
+        plan = self._plan(db, "SELECT * FROM tasks WHERE status=?", ("pending",))
+        assert "idx_tasks_status" in plan, plan
