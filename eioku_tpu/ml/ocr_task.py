@@ -50,20 +50,67 @@ def extract_boxes(region: np.ndarray, affinity: np.ndarray,
     """CRAFT-style box extraction: threshold region+affinity, connected
     components, keep components containing a confident text pixel.
     Returns (x0, y0, x1, y1) in score-map coordinates."""
+    return [b for b, _ in extract_quads(region, affinity, text_threshold,
+                                        low_text, link_threshold, min_area)]
+
+
+def extract_quads(region: np.ndarray, affinity: np.ndarray,
+                  text_threshold: float = 0.7, low_text: float = 0.4,
+                  link_threshold: float = 0.4, min_area: int = 10
+                  ) -> list[tuple[tuple[int, int, int, int], np.ndarray]]:
+    """Like extract_boxes but each component also yields its minimum-area
+    rotated quad (cv2.minAreaRect corner points, float32 [4, 2]) — the shape
+    EasyOCR's CRAFT post-processing reports for slanted text
+    (reference consumes those polygons, model_manager.py:469-558)."""
     text_mask = region >= low_text
     link_mask = affinity >= link_threshold
     combined = text_mask | link_mask
     labels, n = ndimage.label(combined)
-    boxes = []
+    out = []
     for i in range(1, n + 1):
         ys, xs = np.nonzero(labels == i)
         if len(ys) < min_area:
             continue
         if region[ys, xs].max() < text_threshold:
             continue
-        boxes.append((int(xs.min()), int(ys.min()), int(xs.max()) + 1,
-                      int(ys.max()) + 1))
-    return boxes
+        bbox = (int(xs.min()), int(ys.min()), int(xs.max()) + 1,
+                int(ys.max()) + 1)
+        pts = np.stack([xs, ys], axis=1).astype(np.float32)
+        quad = cv2.boxPoints(cv2.minAreaRect(pts))  # [4, 2] float32
+        out.append((bbox, quad))
+    return out
+
+
+def _order_quad(quad: np.ndarray) -> np.ndarray:
+    """Order quad corners tl, tr, br, bl for perspective warping."""
+    s = quad.sum(axis=1)
+    d = quad[:, 0] - quad[:, 1]
+    tl = quad[np.argmin(s)]
+    br = quad[np.argmax(s)]
+    tr = quad[np.argmax(d)]
+    bl = quad[np.argmin(d)]
+    return np.stack([tl, tr, br, bl]).astype(np.float32)
+
+
+def warp_quad_crop(gray: np.ndarray, quad: np.ndarray,
+                   min_rotation_px: float = 2.0) -> np.ndarray | None:
+    """Rectify a rotated text quad to a horizontal strip (EasyOCR warps
+    slanted detections before recognition). quad is in the same pixel space
+    as `gray`. Returns None when the quad is essentially axis-aligned (the
+    plain slice crop is cheaper and identical)."""
+    q = _order_quad(quad)
+    tl, tr, br, bl = q
+    w = max(float(np.linalg.norm(tr - tl)), float(np.linalg.norm(br - bl)))
+    h = max(float(np.linalg.norm(bl - tl)), float(np.linalg.norm(br - tr)))
+    if w < 2 or h < 2:
+        return None
+    # rotation = vertical deviation of the top edge
+    if abs(float(tr[1] - tl[1])) < min_rotation_px:
+        return None
+    dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                   np.float32)
+    m = cv2.getPerspectiveTransform(q, dst)
+    return cv2.warpPerspective(gray, m, (int(round(w)), int(round(h))))
 
 
 def _bucket_width(w: int) -> int:
@@ -124,31 +171,37 @@ def run_ocr(video_path: str, config: dict,
         scores = np.asarray(craft_forward(craft_params, jnp.asarray(x)),
                             np.float32)
         for i in range(batch.valid):
-            boxes = extract_boxes(scores[i, :, :, 0], scores[i, :, :, 1])
-            if not boxes:
+            quads = extract_quads(scores[i, :, :, 0], scores[i, :, :, 1])
+            if not quads:
                 continue
             gray = cv2.cvtColor(batch.frames[i], cv2.COLOR_RGB2GRAY)
             crops, metas = [], []
-            for (x0, y0, x1, y1) in boxes:
+            for (x0, y0, x1, y1), quad in quads:
                 # score map coords -> detector-input coords (x2)
                 fx0, fy0, fx1, fy1 = x0 * 2, y0 * 2, x1 * 2, y1 * 2
-                crop = gray[fy0:fy1, fx0:fx1]
+                # slanted text: rectify along the minAreaRect quad before
+                # recognition (EasyOCR's warp); axis-aligned uses the slice
+                crop = warp_quad_crop(gray, quad * 2.0)
+                if crop is None:
+                    crop = gray[fy0:fy1, fx0:fx1]
                 if crop.size == 0:
                     continue
                 h, w = crop.shape
                 new_w = max(int(w * 32.0 / h), 8)
                 crops.append(cv2.resize(crop, (new_w, 32)))
-                metas.append((fx0, fy0, fx1, fy1))
+                metas.append(quad * 2.0)  # detector-input coords
             if not crops:
                 continue
             texts = recognize_crops(crnn_params, crops, charset)
             t0 = int(batch.timestamps_ms[i])
-            for (fx0, fy0, fx1, fy1), (text, conf) in zip(metas, texts):
+            for quad, (text, conf) in zip(metas, texts):
                 if not text or conf < min_conf:
                     continue
-                # detector-input coords -> source pixel coords
-                poly = [[fx0 * sx / 2, fy0 * sy / 2], [fx1 * sx / 2, fy0 * sy / 2],
-                        [fx1 * sx / 2, fy1 * sy / 2], [fx0 * sx / 2, fy1 * sy / 2]]
+                # detector-input coords -> source pixel coords; the payload
+                # polygon is the rotated quad, as the reference's easyocr
+                # emits (minAreaRect corners can poke past the frame: clip)
+                poly = [[float(max(px * sx / 2, 0.0)),
+                         float(max(py * sy / 2, 0.0))] for px, py in quad]
                 results.append({
                     "payload": {"text": text, "confidence": min(conf, 1.0),
                                 "polygon": poly, "languages": languages,

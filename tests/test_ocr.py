@@ -222,3 +222,59 @@ class TestLanguageRecognizers:
         [(text, conf)] = ctc_greedy_decode(logits, charset)
         assert text == "あう"
         assert conf > 0.9
+
+
+class TestRotatedQuads:
+    """Rotated-text handling: minAreaRect quads + perspective rectification
+    (EasyOCR's slanted-text path; reference model_manager.py:469-558)."""
+
+    def test_axis_aligned_component_gives_rect_quad(self):
+        from eioku_tpu.ml.ocr_task import extract_quads
+        region = np.zeros((64, 64), np.float32)
+        region[10:20, 10:40] = 0.9
+        affinity = np.zeros_like(region)
+        quads = extract_quads(region, affinity)
+        assert len(quads) == 1
+        (bbox, quad) = quads[0]
+        assert bbox == (10, 10, 40, 20)
+        xs = sorted(set(np.round(quad[:, 0]).astype(int)))
+        assert xs[0] >= 9 and xs[-1] <= 40
+
+    def test_rotated_component_quad_tracks_angle(self):
+        from eioku_tpu.ml.ocr_task import extract_quads
+        import cv2 as _cv2
+        region = np.zeros((96, 96), np.float32)
+        # a 60x10 bar rotated 20 degrees
+        canvas = np.zeros((96, 96), np.uint8)
+        rect = ((48, 48), (60, 10), 20.0)
+        pts = _cv2.boxPoints(rect).astype(np.int32)
+        _cv2.fillPoly(canvas, [pts], 1)
+        region[canvas > 0] = 0.9
+        quads = extract_quads(region, np.zeros_like(region))
+        assert len(quads) == 1
+        (_, quad) = quads[0]
+        (_, (w, h), angle) = _cv2.minAreaRect(quad.astype(np.int32))
+        long_side, short_side = max(w, h), min(w, h)
+        assert 50 <= long_side <= 70 and short_side <= 16
+        # the fitted angle matches the synthetic rotation modulo 90
+        assert min(abs(angle - 20), abs(angle - 110), abs(angle + 70)) < 6
+
+    def test_warp_quad_crop_rectifies(self):
+        from eioku_tpu.ml.ocr_task import warp_quad_crop
+        import cv2 as _cv2
+        gray = np.zeros((96, 96), np.uint8)
+        rect = ((48, 48), (60, 12), 25.0)
+        pts = _cv2.boxPoints(rect).astype(np.int32)
+        _cv2.fillPoly(gray, [pts], 255)
+        quad = _cv2.boxPoints(rect)
+        crop = warp_quad_crop(gray, quad)
+        assert crop is not None
+        h, w = crop.shape
+        assert w > h  # long side is horizontal after rectification
+        assert crop.mean() > 180  # mostly the filled bar
+
+    def test_warp_skips_axis_aligned(self):
+        from eioku_tpu.ml.ocr_task import warp_quad_crop
+        gray = np.zeros((32, 64), np.uint8)
+        quad = np.array([[5, 5], [50, 5], [50, 20], [5, 20]], np.float32)
+        assert warp_quad_crop(gray, quad) is None
