@@ -31,6 +31,10 @@ class VideoCreateBody(BaseModel):
     size_bytes: int = 0
 
 
+class VideoUpdateBody(BaseModel):
+    status: str | None = None
+
+
 class PathCreateBody(BaseModel):
     path: str
     recursive: bool = True
@@ -144,6 +148,19 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
     @app.get(PREFIX + "/videos/{video_id}")
     async def get_video(request: Request):
         return _get_video(request.path_params["video_id"]).to_dict()
+
+    @app.patch(PREFIX + "/videos/{video_id}")
+    async def update_video(request: Request):
+        # reference: video_controller.py:76-93 — PATCH updates video status
+        v = _get_video(request.path_params["video_id"])
+        body = await request.parse(VideoUpdateBody)
+        if body.status:
+            try:
+                v.status = VideoStatus(body.status)
+            except ValueError:
+                raise HTTPException(422, f"unknown status: {body.status}")
+            ctx.videos.save(v)
+        return v.to_dict()
 
     @app.delete(PREFIX + "/videos/{video_id}")
     async def delete_video(request: Request):

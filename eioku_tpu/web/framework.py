@@ -260,6 +260,9 @@ class App:
     def delete(self, path: str):
         return self._decorator(path, "DELETE")
 
+    def patch(self, path: str):
+        return self._decorator(path, "PATCH")
+
     def _decorator(self, path: str, method: str):
         def wrap(fn: Handler) -> Handler:
             self.add_route(path, fn, [method])

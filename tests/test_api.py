@@ -107,6 +107,17 @@ class TestVideos:
     def test_missing_video_404(self, client):
         assert client.get("/api/v1/videos/nope").status_code == 404
 
+    def test_patch_status(self, client, ctx):
+        # reference: video_controller.py:76-93
+        v = seed_video(ctx)
+        r = client.patch(f"/api/v1/videos/{v.id}", json={"status": "processed"})
+        assert r.status_code == 200 and r.json()["status"] == "processed"
+        assert ctx.videos.get(v.id).status.value == "processed"
+        # no-op body returns current state; bad status rejected
+        assert client.patch(f"/api/v1/videos/{v.id}", json={}).status_code == 200
+        r = client.patch(f"/api/v1/videos/{v.id}", json={"status": "bogus"})
+        assert r.status_code == 422
+
     def test_delete_cascades(self, client, ctx):
         v = seed_video(ctx)
         seed_transcript(ctx, v.id)
