@@ -5,9 +5,11 @@ its bundled ffmpeg to demux audio (/root/reference/ml-service/src/services/
 model_manager.py:409-467). This environment has no ffmpeg/torchaudio/PyAV, so
 audio enters the pipeline as PCM:
   - .wav files load directly (stdlib wave + numpy, resampled to 16 kHz)
-  - for a video path, a sidecar audio file (same basename, .wav) is used when
-    present; otherwise the pipeline reports no audio (empty transcript) rather
-    than failing the task
+  - .mp3/.ogg/.flac decode through SDL_mixer (pygame) when available, with a
+    dummy audio driver so no sound device is needed
+  - for a video path, a sidecar audio file (same basename, any supported
+    extension) is used when present; otherwise the pipeline reports no audio
+    (empty transcript) rather than failing the task
 Includes a simple energy-based VAD used to skip silent windows (the reference
 relies on faster-whisper's built-in VAD filter).
 """
@@ -67,16 +69,63 @@ def load_wav(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
     return x
 
 
+AUDIO_EXTENSIONS = (".wav", ".mp3", ".ogg", ".flac")
+
+_sdl_mixer = None
+
+
+def _get_sdl_mixer():
+    """Lazily init SDL_mixer (via pygame) as a compressed-audio decoder at the
+    pipeline's native 16 kHz mono s16 format; the dummy driver avoids needing a
+    sound device. Returns None when unavailable."""
+    global _sdl_mixer
+    if _sdl_mixer is None:
+        os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+        os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
+        try:
+            from pygame import mixer
+            mixer.init(frequency=SAMPLE_RATE, size=-16, channels=1)
+            _sdl_mixer = mixer
+        except Exception as e:  # pygame absent or SDL init failure
+            log.warning("SDL audio decode unavailable: %s", e)
+            _sdl_mixer = False
+    return _sdl_mixer or None
+
+
+def load_compressed(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Decode mp3/ogg/flac -> float32 mono [-1, 1] at target_sr via SDL_mixer."""
+    mixer = _get_sdl_mixer()
+    if mixer is None:
+        raise RuntimeError(
+            f"no decoder available for {path!r} (SDL_mixer failed to load)")
+    raw = mixer.Sound(path).get_raw()  # decoded at mixer's 16 kHz mono s16
+    x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    if target_sr != SAMPLE_RATE:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+        g = gcd(SAMPLE_RATE, target_sr)
+        x = resample_poly(x, target_sr // g, SAMPLE_RATE // g).astype(np.float32)
+    return x
+
+
+def load_audio(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Load any supported audio file -> float32 mono [-1, 1] at target_sr."""
+    if path.lower().endswith(".wav"):
+        return load_wav(path, target_sr)
+    return load_compressed(path, target_sr)
+
+
 def find_audio_for_video(video_path: str) -> str | None:
-    """Locate the audio stream for a video: the file itself if .wav, else a
-    sidecar .wav with the same basename."""
-    if video_path.lower().endswith(".wav"):
+    """Locate the audio stream for a video: the file itself if it is audio,
+    else a sidecar audio file with the same basename (wav preferred)."""
+    if video_path.lower().endswith(AUDIO_EXTENSIONS):
         return video_path
     base = os.path.splitext(video_path)[0]
-    for ext in (".wav", ".WAV"):
-        cand = base + ext
-        if os.path.isfile(cand):
-            return cand
+    for ext in AUDIO_EXTENSIONS:
+        for cand in (base + ext, base + ext.upper()):
+            if os.path.isfile(cand):
+                return cand
     return None
 
 

@@ -130,7 +130,7 @@ def run_transcription(video_path: str, config: dict,
         log.warning("no audio stream available for %s (no .wav sidecar); "
                     "emitting empty transcript", video_path)
         return []
-    audio = audio_io.load_wav(audio_path)
+    audio = audio_io.load_audio(audio_path)
     if len(audio) == 0:
         return []
     language = config.get("language")

@@ -92,6 +92,35 @@ class TestAudioIO:
             str(tmp_path / "movie.mp4")).endswith("movie.wav")
         assert audio_io.find_audio_for_video(str(tmp_path / "other.mp4")) is None
 
+    def test_compressed_decode(self):
+        # SDL_mixer decode path (mp3/ogg sidecars); pygame ships fixtures
+        import os
+        base = os.path.join(os.path.dirname(os.path.abspath(np.__file__)),
+                            "..", "pygame", "examples", "data")
+        mp3 = os.path.abspath(os.path.join(base, "house_lo.mp3"))
+        ogg = os.path.abspath(os.path.join(base, "house_lo.ogg"))
+        if not os.path.isfile(mp3):
+            pytest.skip("no pygame audio fixtures in this image")
+        for p in (mp3, ogg):
+            x = audio_io.load_audio(p)
+            assert x.dtype == np.float32 and len(x) > 16000
+            assert np.abs(x).max() <= 1.0
+            assert audio_io.energy_vad(x).any()
+
+    def test_sidecar_lookup_compressed(self, tmp_path):
+        import os
+        import shutil
+        base = os.path.join(os.path.dirname(os.path.abspath(np.__file__)),
+                            "..", "pygame", "examples", "data")
+        mp3 = os.path.abspath(os.path.join(base, "house_lo.mp3"))
+        if not os.path.isfile(mp3):
+            pytest.skip("no pygame audio fixtures in this image")
+        shutil.copy(mp3, tmp_path / "movie.mp3")
+        (tmp_path / "movie.mp4").write_bytes(b"x")
+        found = audio_io.find_audio_for_video(str(tmp_path / "movie.mp4"))
+        assert found.endswith("movie.mp3")
+        assert len(audio_io.load_audio(found)) > 16000
+
     def test_vad_detects_silence(self):
         sr = 16000
         silent = np.zeros(sr, np.float32)
