@@ -105,7 +105,10 @@ def create_app(config: AppConfig | None = None, ctx: AppContext | None = None,
         # Merge configured scan paths into the DB (reference: config_loader.py:60-86).
         for p in ctx.config.scan_paths:
             if ctx.paths.get_by_path(p) is None:
-                ctx.paths.save(PathConfig(path=p, recursive=ctx.config.recursive))
+                ctx.paths.save(PathConfig(
+                    path=p,
+                    recursive=ctx.config.path_recursive.get(
+                        p, ctx.config.recursive)))
         do_discover = ctx.config.auto_discover if auto_discover is None else auto_discover
         if do_discover:
             report = ctx.discovery.discover()

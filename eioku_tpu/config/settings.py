@@ -62,6 +62,8 @@ WORKLOAD_PROFILES: dict[str, dict[str, int]] = {
 class AppConfig:
     scan_paths: list[str] = field(default_factory=lambda: list(DEFAULT_SCAN_PATHS))
     recursive: bool = True
+    # per-path recursive overrides from object-form "paths" config entries
+    path_recursive: dict[str, bool] = field(default_factory=dict)
     database_url: str | None = None
     model_profile: str = "balanced"
     profile_name: str | None = None
@@ -111,7 +113,21 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
     if path is not None:
         with open(path) as f:
             data = json.load(f)
-        cfg.scan_paths = data.get("paths", data.get("scan_paths", cfg.scan_paths))
+        # "paths" entries are either plain strings or, as in the reference's
+        # config format, objects {"path": ..., "recursive": bool}
+        # (reference: config_loader.py:60-71, config/eioku.json)
+        raw_paths = data.get("paths", data.get("scan_paths", cfg.scan_paths))
+        cfg.scan_paths = []
+        for entry in raw_paths:
+            if isinstance(entry, dict):
+                p = entry.get("path")
+                if not p:
+                    continue
+                p = os.path.expanduser(p)
+                cfg.path_recursive[p] = bool(entry.get("recursive", True))
+            else:
+                p = os.path.expanduser(entry)
+            cfg.scan_paths.append(p)
         cfg.recursive = data.get("recursive", cfg.recursive)
         cfg.database_url = data.get("database_url", cfg.database_url)
         cfg.model_profile = data.get("model_profile", cfg.model_profile)

@@ -72,6 +72,31 @@ class TestResize:
         assert isinstance(results, list)
 
 
+class TestConfigLoader:
+    def test_object_form_paths(self, tmp_path):
+        # the reference's config format (config/eioku.json,
+        # config_loader.py:60-71): entries are {"path":..., "recursive":...}
+        import json
+        from eioku_tpu.config.settings import load_config
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps({
+            "paths": [{"path": str(tmp_path / "a"), "recursive": False},
+                      str(tmp_path / "b")]}))
+        cfg = load_config(str(cfg_path))
+        assert cfg.scan_paths == [str(tmp_path / "a"), str(tmp_path / "b")]
+        assert cfg.path_recursive[str(tmp_path / "a")] is False
+        assert str(tmp_path / "b") not in cfg.path_recursive
+
+    def test_tilde_expansion(self, tmp_path):
+        import json
+        import os
+        from eioku_tpu.config.settings import load_config
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps({"paths": [{"path": "~/Videos"}]}))
+        cfg = load_config(str(cfg_path))
+        assert cfg.scan_paths == [os.path.expanduser("~/Videos")]
+
+
 class TestWorkloadProfiles:
     def test_priorities(self):
         from eioku_tpu.config.settings import AppConfig
