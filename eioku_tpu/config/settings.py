@@ -36,6 +36,8 @@ DEFAULT_TASK_SETTINGS: dict[str, dict[str, Any]] = {
     "scene_detection": {"threshold": 0.1, "min_scene_len_s": 0.5, "sample_fps": 4.0},
     "metadata_extraction": {},
     "semantic_indexing": {"model": "minilm-l6", "chunk_chars": 400, "overlap_chars": 80},
+    "speaker_diarization": {"window_s": 1.5, "hop_s": 0.75, "vad_filter": True,
+                            "distance_threshold": 0.45, "batch_size": 32},
 }
 
 
@@ -49,12 +51,12 @@ WORKLOAD_PROFILES: dict[str, dict[str, int]] = {
     "balanced": {},
     "search_first": {"metadata_extraction": 1, "transcription": 2,
                      "semantic_indexing": 3, "ocr": 4, "scene_detection": 5,
-                     "object_detection": 7, "face_detection": 7,
-                     "place_classification": 8},
+                     "speaker_diarization": 5, "object_detection": 7,
+                     "face_detection": 7, "place_classification": 8},
     "visual_first": {"metadata_extraction": 1, "scene_detection": 2,
                      "object_detection": 3, "face_detection": 3,
                      "place_classification": 4, "ocr": 5, "transcription": 7,
-                     "semantic_indexing": 8},
+                     "semantic_indexing": 8, "speaker_diarization": 8},
 }
 
 

@@ -17,6 +17,7 @@ from eioku_tpu.domain.schemas import (
     OcrTextV1,
     PlaceClassificationV1,
     SceneV1,
+    SpeakerTurnV1,
     TranscriptSegmentV1,
 )
 
@@ -85,6 +86,7 @@ ARTIFACT_SCHEMAS_V1 = {
     "place.classification": PlaceClassificationV1,
     "video.metadata": MetadataV1,
     "embedding.chunk": EmbeddingChunkV1,
+    "speaker.turn": SpeakerTurnV1,
 }
 
 

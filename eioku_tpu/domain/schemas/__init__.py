@@ -15,6 +15,7 @@ from eioku_tpu.domain.schemas.payloads import (
     PlaceClassificationV1,
     PlacePrediction,
     SceneV1,
+    SpeakerTurnV1,
     TranscriptSegmentV1,
     WordTiming,
 )
@@ -31,4 +32,5 @@ __all__ = [
     "PlaceClassificationV1",
     "MetadataV1",
     "EmbeddingChunkV1",
+    "SpeakerTurnV1",
 ]

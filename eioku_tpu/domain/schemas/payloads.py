@@ -122,6 +122,26 @@ class MetadataV1(BaseModel):
     extra: dict = Field(default_factory=dict)
 
 
+class SpeakerTurnV1(BaseModel):
+    """A contiguous span attributed to one speaker (beyond the reference:
+    diarization via ECAPA-TDNN embeddings + clustering, eioku_tpu/ml/diarize.py).
+    `label` is the cluster name (SPEAKER_00...), so jump navigation's generic
+    label filter works for kind=speaker."""
+
+    label: str
+    start_ms: int = Field(ge=0)
+    end_ms: int = Field(ge=0)
+    confidence: float = Field(ge=0.0, le=1.0)
+
+    @field_validator("end_ms")
+    @classmethod
+    def _end_after_start(cls, v: int, info):
+        start = info.data.get("start_ms")
+        if start is not None and v < start:
+            raise ValueError("end_ms must be >= start_ms")
+        return v
+
+
 class EmbeddingChunkV1(BaseModel):
     """A dense embedding of a transcript/OCR chunk for semantic retrieval.
 

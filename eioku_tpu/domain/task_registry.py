@@ -38,6 +38,9 @@ TASK_REGISTRY: dict[str, TaskTypeSpec] = {
         TaskTypeSpec("metadata_extraction", LanguageMode.NONE, ("video.metadata",), False,
                      2),  # cheap + others benefit from duration: run early
         TaskTypeSpec("semantic_indexing", LanguageMode.NONE, ("embedding.chunk",), True, 7),
+        # beyond the reference: who-spoke-when turns (opt-in via
+        # active_task_types; ECAPA-TDNN embeddings + clustering)
+        TaskTypeSpec("speaker_diarization", LanguageMode.NONE, ("speaker.turn",), True, 6),
         # one-decode-pass replacement for the four frame-based visual tasks
         # (enable with combined_visual: true; see eioku_tpu/ml/combined.py)
         TaskTypeSpec("visual_analysis", LanguageMode.NONE,

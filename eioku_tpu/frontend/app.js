@@ -83,7 +83,7 @@ const seek = (ms) => { $("video").currentTime = ms / 1000; $("video").play(); };
 /* ---------- artifacts ---------- */
 const TAB_TYPE = { transcript: "transcript.segment", scenes: "scene",
   objects: "object.detection", ocr: "ocr.text", places: "place.classification",
-  faces: "face.detection", metadata: "video.metadata" };
+  faces: "face.detection", speakers: "speaker.turn", metadata: "video.metadata" };
 
 async function fetchArtifacts(type, runId) {
   const key = `${type}:${runId || ""}`;
@@ -132,6 +132,8 @@ async function renderTab() {
     else if (tab === "ocr") body = `${esc(p.text)} <span class="chip">${((p.confidence || 0) * 100).toFixed(0)}%</span>`;
     else if (tab === "places") body = p.predictions.slice(0, 3).map(x =>
       `${esc(x.label)} <span class="chip">${(x.confidence * 100).toFixed(0)}%</span>`).join(" ");
+    else if (tab === "speakers") body = `${esc(p.label)} · ${fmtMs(p.end_ms - p.start_ms)}`
+      + ` <span class="chip">${((p.confidence || 0) * 100).toFixed(0)}%</span>`;
     else if (tab === "faces") body = `face${p.cluster_id ? " · " + esc(p.cluster_id) : ""}`
       + ` <span class="chip">${(p.confidence * 100).toFixed(0)}%</span>`;
     return `<div class="seg" data-ms="${a.span_start_ms}" data-i="${i}">

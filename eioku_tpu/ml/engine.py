@@ -52,6 +52,7 @@ class InferenceEngine:
             "place_classification": self._place_classification,
             "semantic_indexing": self._semantic_indexing,
             "visual_analysis": self._visual_analysis,
+            "speaker_diarization": self._speaker_diarization,
         }
         self.producer_name = "eioku-tpu-engine"
         self.producer_version = "0.1.0"
@@ -113,6 +114,11 @@ class InferenceEngine:
         from eioku_tpu.ml.places import run_place_classification
         return run_place_classification(video_path, config,
                                         model_cache_dir=self.model_cache_dir)
+
+    def _speaker_diarization(self, video_path: str, config: dict) -> list[dict]:
+        from eioku_tpu.ml.diarize import run_diarization
+        return run_diarization(video_path, config,
+                               model_cache_dir=self.model_cache_dir)
 
     def _visual_analysis(self, video_path: str, config: dict) -> dict:
         """Combined one-decode-pass pipeline; returns {sub_task_type: results}

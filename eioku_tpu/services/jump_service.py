@@ -24,6 +24,7 @@ KIND_TO_ARTIFACT_TYPE = {
     "transcript": "transcript.segment",
     "ocr": "ocr.text",
     "place": "place.classification",
+    "speaker": "speaker.turn",
 }
 
 

@@ -93,7 +93,7 @@ class TestSchemaRegistry:
         types = {t for t, _ in SchemaRegistry.registered_types()}
         assert {"transcript.segment", "scene", "object.detection", "face.detection",
                 "ocr.text", "place.classification", "video.metadata",
-                "embedding.chunk"} <= types
+                "embedding.chunk", "speaker.turn"} <= types
 
     def test_validate_ok(self):
         register_all_schemas()
