@@ -1,7 +1,7 @@
 """Benchmark: prints ONE JSON line with the headline metric.
 
 Primary metric: frames/sec/chip through the detection path (YOLOv8n forward +
-DFL decode + NMS, batch 128 @ 640x640) — the first metric named in
+DFL decode + NMS, batch 384 @ 640x640) — the first metric named in
 BASELINE.json. vs_baseline compares against the reference's only published
 detection figure: frames at 30 fps on its dev GPU (BASELINE.md, DEVLOG
 anecdote).
@@ -21,7 +21,9 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_detect(n_batches: int = 6, batch: int = 128, size: int = 640) -> float:
+def bench_detect(n_batches: int = 6, batch: int = 384, size: int = 640) -> float:
+    # batch 384 measured ~32% faster per frame than 128 on v5e (batch sweep:
+    # 128 -> 3485, 256 -> 3756, 384 -> 4617, 512 -> 4435 frames/s)
     import jax
     import jax.numpy as jnp
     import numpy as np
