@@ -74,6 +74,25 @@ def _selection_from_query(request: Request, ctx, asset_id: str,
     return None
 
 
+def _attribute_speakers(ctx, asset_id: str, segments: list[dict]) -> None:
+    """Annotate transcript-segment dicts in place with payload_json.speaker =
+    the label of the speaker.turn overlapping each segment most (None when no
+    diarization artifacts exist or nothing overlaps)."""
+    turns = ctx.artifacts.get_by_asset(asset_id, artifact_type="speaker.turn")
+    if not turns:
+        return
+    spans = [(t.span_start_ms, t.span_end_ms, t.payload_json.get("label"))
+             for t in turns]
+    for seg in segments:
+        s, e = seg["span_start_ms"], seg["span_end_ms"]
+        best, best_overlap = None, 0
+        for ts, te, lab in spans:
+            overlap = min(e, te) - max(s, ts)
+            if overlap > best_overlap:
+                best, best_overlap = lab, overlap
+        seg["payload_json"]["speaker"] = best
+
+
 def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
     # -- root/health -----------------------------------------------------------
 
@@ -248,7 +267,14 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             selection=selection,
             limit=request.query_int("limit", 10000),
             offset=request.query_int("offset", 0))
-        return {"artifacts": [e.to_dict() for e in envs], "total": len(envs)}
+        out = [e.to_dict() for e in envs]
+        if artifact_type == "transcript.segment" and \
+                q.get("with_speakers") in ("1", "true"):
+            # who-said-what: join each segment with the diarized speaker turn
+            # that overlaps it most (read-time enrichment; envelopes stay
+            # immutable)
+            _attribute_speakers(ctx, v.id, out)
+        return {"artifacts": out, "total": len(out)}
 
     @app.get(PREFIX + "/videos/{video_id}/artifact_types")
     async def artifact_types(request: Request):

@@ -88,7 +88,8 @@ const TAB_TYPE = { transcript: "transcript.segment", scenes: "scene",
 async function fetchArtifacts(type, runId) {
   const key = `${type}:${runId || ""}`;
   if (!state.artifacts[key]) {
-    const q = runId ? `&run_id=${runId}` : "";
+    let q = runId ? `&run_id=${runId}` : "";
+    if (type === "transcript.segment") q += "&with_speakers=1";
     state.artifacts[key] = (await api(
       `/videos/${state.video.id}/artifacts?type=${type}${q}`)).artifacts;
   }
@@ -125,7 +126,8 @@ async function renderTab() {
   content.innerHTML = arts.map((a, i) => {
     const p = a.payload_json;
     let body;
-    if (tab === "transcript") body = esc(p.text);
+    if (tab === "transcript") body = (p.speaker
+      ? `<span class="chip">${esc(p.speaker)}</span> ` : "") + esc(p.text);
     else if (tab === "scenes") body = `Scene ${p.scene_index} · ${fmtMs(p.duration_ms)}`
       + (p.score ? ` · score ${p.score}` : "");
     else if (tab === "objects") body = `${esc(p.label)} <span class="chip">${(p.confidence * 100).toFixed(0)}%</span>`;

@@ -107,6 +107,29 @@ class TestVideos:
     def test_missing_video_404(self, client):
         assert client.get("/api/v1/videos/nope").status_code == 404
 
+    def test_transcript_with_speakers(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        ctx.artifacts.batch_create([ArtifactEnvelope(
+            artifact_id=new_id(), asset_id=v.id, artifact_type="speaker.turn",
+            schema_version=1, span_start_ms=0, span_end_ms=3000,
+            payload_json={"label": "SPEAKER_00", "start_ms": 0, "end_ms": 3000,
+                          "confidence": 0.9},
+            producer="p", producer_version="1", model_profile="balanced",
+            config_hash="c", input_hash="i", run_id="rs")])
+        r = client.get(f"/api/v1/videos/{v.id}/artifacts"
+                       "?type=transcript.segment&with_speakers=1")
+        arts = r.json()["artifacts"]
+        by_start = {a["span_start_ms"]: a["payload_json"].get("speaker")
+                    for a in arts}
+        assert by_start[0] == "SPEAKER_00"       # inside the turn
+        assert by_start[2000] == "SPEAKER_00"    # overlaps 2000-3000
+        assert by_start[4000] is None            # past the only turn
+        # without the flag, payloads stay untouched
+        r = client.get(f"/api/v1/videos/{v.id}/artifacts?type=transcript.segment")
+        assert all("speaker" not in a["payload_json"]
+                   for a in r.json()["artifacts"])
+
     def test_patch_status(self, client, ctx):
         # reference: video_controller.py:76-93
         v = seed_video(ctx)
