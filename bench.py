@@ -21,9 +21,11 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_detect(n_batches: int = 6, batch: int = 384, size: int = 640) -> float:
+def bench_detect(n_batches: int = 4, batch: int = 384, size: int = 640) -> float:
     # batch 384 measured ~32% faster per frame than 128 on v5e (batch sweep:
-    # 128 -> 3485, 256 -> 3756, 384 -> 4617, 512 -> 4435 frames/s)
+    # 128 -> 3485, 256 -> 3756, 384 -> 4617, 512 -> 4435 frames/s); 4 staged
+    # input batches (1.9 GB uint8) keep tunnel upload time inside the stage
+    # budget while still defeating execution dedup
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,7 +58,9 @@ def bench_detect(n_batches: int = 6, batch: int = 384, size: int = 640) -> float
     return fps
 
 
-def bench_embed(n_batches: int = 10, batch: int = 64, seq: int = 256) -> float:
+def bench_embed(n_batches: int = 10, batch: int = 256, seq: int = 256) -> float:
+    # batch 256 measured fastest per chunk on v5e (64 -> 3204, 128 -> 5140,
+    # 256 -> 5740, 512 -> 4984 chunks/s)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -238,8 +242,8 @@ STAGES = {
 }
 
 # generous per-stage wall-clock budgets (remote compile can be slow)
-STAGE_TIMEOUT_S = {"detect": 480, "embed": 300, "scenes": 300, "query": 240,
-                   "whisper": 560, "combined": 480}
+STAGE_TIMEOUT_S = {"detect": 900, "embed": 480, "scenes": 600, "query": 420,
+                   "whisper": 900, "combined": 900}
 
 
 def _setup_jax():
