@@ -77,16 +77,26 @@ def _selection_from_query(request: Request, ctx, asset_id: str,
 def _attribute_speakers(ctx, asset_id: str, segments: list[dict]) -> None:
     """Annotate transcript-segment dicts in place with payload_json.speaker =
     the label of the speaker.turn overlapping each segment most (None when no
-    diarization artifacts exist or nothing overlaps)."""
-    turns = ctx.artifacts.get_by_asset(asset_id, artifact_type="speaker.turn")
+    diarization artifacts exist or nothing overlaps). Turns come from the same
+    selection policy the Speakers tab uses (stored or default "latest"), so
+    both views agree after a diarization re-run. Both lists arrive sorted by
+    span_start_ms, so the join is a linear sweep, not O(segments x turns)."""
+    turns = ctx.artifacts.get_by_asset(
+        asset_id, artifact_type="speaker.turn",
+        selection=ctx.policies.get_policy(asset_id, "speaker.turn"))
     if not turns:
         return
     spans = [(t.span_start_ms, t.span_end_ms, t.payload_json.get("label"))
              for t in turns]
+    i = 0
     for seg in segments:
         s, e = seg["span_start_ms"], seg["span_end_ms"]
+        while i < len(spans) and spans[i][1] <= s:
+            i += 1
         best, best_overlap = None, 0
-        for ts, te, lab in spans:
+        for ts, te, lab in spans[i:]:
+            if ts >= e:
+                break
             overlap = min(e, te) - max(s, ts)
             if overlap > best_overlap:
                 best, best_overlap = lab, overlap

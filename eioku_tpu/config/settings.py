@@ -126,7 +126,10 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
                 if not p:
                     continue
                 p = os.path.expanduser(p)
-                cfg.path_recursive[p] = bool(entry.get("recursive", True))
+                # only an explicit per-path value overrides the file-level
+                # "recursive" flag (entries without one fall back to it)
+                if "recursive" in entry:
+                    cfg.path_recursive[p] = bool(entry["recursive"])
             else:
                 p = os.path.expanduser(entry)
             cfg.scan_paths.append(p)

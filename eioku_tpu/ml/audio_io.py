@@ -84,7 +84,14 @@ def _get_sdl_mixer():
         os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
         try:
             from pygame import mixer
-            mixer.init(frequency=SAMPLE_RATE, size=-16, channels=1)
+            # allowedchanges=0: refuse any spec SDL would silently substitute —
+            # get_raw() bytes are interpreted as exactly 16 kHz mono s16 below
+            mixer.init(frequency=SAMPLE_RATE, size=-16, channels=1,
+                       allowedchanges=0)
+            got = mixer.get_init()
+            if got != (SAMPLE_RATE, -16, 1):
+                raise RuntimeError(f"mixer opened at {got}, "
+                                   f"need ({SAMPLE_RATE}, -16, 1)")
             _sdl_mixer = mixer
         except Exception as e:  # pygame absent or SDL init failure
             log.warning("SDL audio decode unavailable: %s", e)
@@ -129,7 +136,20 @@ def find_audio_for_video(video_path: str) -> str | None:
     return None
 
 
-def energy_vad(audio: np.ndarray, sr: int = SAMPLE_RATE, frame_ms: int = 30,
+VAD_FRAME_MS = 30  # energy_vad granularity; window_is_active indexes by this
+
+
+def window_is_active(activity: np.ndarray, start: int, end: int,
+                     sr: int = SAMPLE_RATE) -> bool:
+    """True when the sample range [start, end) contains any VAD-active frame
+    (activity = energy_vad output at VAD_FRAME_MS granularity)."""
+    frame = int(sr * VAD_FRAME_MS / 1000)
+    f0, f1 = start // frame, min(end // frame, len(activity))
+    return f1 <= f0 or bool(activity[f0:f1].any())
+
+
+def energy_vad(audio: np.ndarray, sr: int = SAMPLE_RATE,
+               frame_ms: int = VAD_FRAME_MS,
                threshold_db: float = -40.0) -> np.ndarray:
     """Boolean voice-activity per frame_ms frame via log-energy threshold
     relative to peak."""
@@ -154,15 +174,13 @@ def split_windows(audio: np.ndarray, sr: int = SAMPLE_RATE, window_s: float = 30
     win = int(sr * window_s)
     out: list[tuple[int, np.ndarray]] = []
     activity = energy_vad(audio, sr) if vad and len(audio) else None
-    frame = int(sr * 0.03)
     for start in range(0, max(len(audio), 1), win):
         chunk = audio[start:start + win]
         if len(chunk) == 0:
             break
-        if activity is not None:
-            f0, f1 = start // frame, min((start + win) // frame, len(activity))
-            if f1 > f0 and not activity[f0:f1].any():
-                continue  # fully silent window
+        if activity is not None and \
+                not window_is_active(activity, start, start + win, sr):
+            continue  # fully silent window
         if len(chunk) < win:
             chunk = np.pad(chunk, (0, win - len(chunk)))
         out.append((int(start / sr * 1000), chunk.astype(np.float32)))

@@ -16,6 +16,7 @@ schema with span_start_ms/span_end_ms.
 from __future__ import annotations
 
 import logging
+from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -39,13 +40,11 @@ def slice_windows(audio: np.ndarray, window_s: float = 1.5,
             return []
         audio = np.pad(audio, (0, win - len(audio)))
     activity = audio_io.energy_vad(audio) if vad else None
-    frame = int(SAMPLE_RATE * 0.03)
     out: list[tuple[int, np.ndarray]] = []
     for start in range(0, len(audio) - win + 1, hop):
-        if activity is not None:
-            f0, f1 = start // frame, min((start + win) // frame, len(activity))
-            if f1 > f0 and not activity[f0:f1].any():
-                continue
+        if activity is not None and \
+                not audio_io.window_is_active(activity, start, start + win):
+            continue
         out.append((int(start / SAMPLE_RATE * 1000), audio[start:start + win]))
     return out
 
@@ -95,9 +94,12 @@ def cluster_embeddings(embs: np.ndarray, distance_threshold: float = 0.45,
 
 def windows_to_turns(windows: list[tuple[int, np.ndarray]], labels: np.ndarray,
                      embs: np.ndarray, window_s: float = 1.5,
-                     max_gap_ms: int = 1000) -> list[dict]:
+                     max_gap_ms: int = 1000,
+                     duration_ms: int | None = None) -> list[dict]:
     """Merge consecutive same-speaker windows into turns. Confidence is the
-    mean cosine similarity of the turn's windows to their cluster centroid."""
+    mean cosine similarity of the turn's windows to their cluster centroid.
+    Turn ends clamp to duration_ms (short audio is zero-padded to the window
+    length, which would otherwise put span_end_ms past the real media)."""
     if not windows:
         return []
     win_ms = int(window_s * 1000)
@@ -131,7 +133,17 @@ def windows_to_turns(windows: list[tuple[int, np.ndarray]], labels: np.ndarray,
         close(cur, sims)
     for t in turns:
         del t["_lab"]
+        if duration_ms is not None:
+            t["end_ms"] = min(t["end_ms"], max(duration_ms, t["start_ms"]))
     return turns
+
+
+@lru_cache(maxsize=2)
+def _load_model(model_cache_dir: str | None, cfg):
+    """Params cached per (cache_dir, config), like every sibling pipeline —
+    a library scan re-enters this once per task otherwise."""
+    from eioku_tpu.models.speaker import load_ecapa
+    return load_ecapa(model_cache_dir, cfg)
 
 
 def run_diarization(video_path: str, config: dict,
@@ -152,7 +164,7 @@ def run_diarization(video_path: str, config: dict,
     if not windows:
         return []
 
-    from eioku_tpu.models.speaker import EcapaConfig, load_ecapa
+    from eioku_tpu.models.speaker import EcapaConfig
 
     default = EcapaConfig()
     cfg = EcapaConfig(
@@ -164,7 +176,7 @@ def run_diarization(video_path: str, config: dict,
         mfa_channels=int(config.get("mfa_channels", default.mfa_channels)),
         embed_dim=int(config.get("embed_dim", default.embed_dim)),
         compute_dtype=str(config.get("compute_dtype", "bfloat16")))
-    params = load_ecapa(model_cache_dir, cfg)
+    params = _load_model(model_cache_dir, cfg)
     embs = embed_windows(params, windows, cfg,
                          batch_size=int(config.get("batch_size", 32)))
     labels = cluster_embeddings(
@@ -173,7 +185,8 @@ def run_diarization(video_path: str, config: dict,
         max_speakers=(int(config["max_speakers"])
                       if config.get("max_speakers") else None))
     turns = windows_to_turns(windows, labels, embs, window_s=window_s,
-                             max_gap_ms=int(config.get("max_gap_ms", 1000)))
+                             max_gap_ms=int(config.get("max_gap_ms", 1000)),
+                             duration_ms=int(len(audio) / SAMPLE_RATE * 1000))
     log.info("diarization: %d windows -> %d speakers, %d turns",
              len(windows), len(set(int(x) for x in labels)), len(turns))
     return [

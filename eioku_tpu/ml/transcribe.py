@@ -127,8 +127,8 @@ def run_transcription(video_path: str, config: dict,
                       model_cache_dir: str | None = None) -> list[dict]:
     audio_path = audio_io.find_audio_for_video(video_path)
     if audio_path is None:
-        log.warning("no audio stream available for %s (no .wav sidecar); "
-                    "emitting empty transcript", video_path)
+        log.warning("no audio stream available for %s (no wav/mp3/ogg/flac "
+                    "sidecar); emitting empty transcript", video_path)
         return []
     audio = audio_io.load_audio(audio_path)
     if len(audio) == 0:

@@ -130,6 +130,30 @@ class TestVideos:
         assert all("speaker" not in a["payload_json"]
                    for a in r.json()["artifacts"])
 
+    def test_with_speakers_uses_latest_diarization_run(self, client, ctx):
+        # turns come from the selection policy (default latest run), so the
+        # transcript join agrees with the Speakers tab after a re-run
+        import time
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+
+        def turn(run, label, created_shift):
+            return ArtifactEnvelope(
+                artifact_id=new_id(), asset_id=v.id, artifact_type="speaker.turn",
+                schema_version=1, span_start_ms=0, span_end_ms=3000,
+                payload_json={"label": label, "start_ms": 0, "end_ms": 3000,
+                              "confidence": 0.9},
+                producer="p", producer_version="1", model_profile="balanced",
+                config_hash="c", input_hash="i", run_id=run)
+        ctx.artifacts.batch_create([turn("r_old", "SPEAKER_01", 0)])
+        time.sleep(0.01)
+        ctx.artifacts.batch_create([turn("r_new", "SPEAKER_00", 1)])
+        r = client.get(f"/api/v1/videos/{v.id}/artifacts"
+                       "?type=transcript.segment&with_speakers=1")
+        speakers = {a["payload_json"]["speaker"] for a in r.json()["artifacts"]
+                    if a["payload_json"].get("speaker")}
+        assert speakers == {"SPEAKER_00"}
+
     def test_patch_status(self, client, ctx):
         # reference: video_controller.py:76-93
         v = seed_video(ctx)

@@ -172,6 +172,15 @@ class TestWindowsAndTurns:
         assert turns[1]["start_ms"] == 3000 and turns[1]["end_ms"] == 5250
         assert all(0.0 <= t["confidence"] <= 1.0 for t in turns)
 
+    def test_turn_end_clamped_to_duration(self):
+        # short audio is zero-padded to the window; spans must not extend
+        # past the real media duration
+        win = np.zeros(24000, np.float32)
+        turns = diarize.windows_to_turns(
+            [(0, win)], np.array([0], np.int32), np.ones((1, 4), np.float32),
+            window_s=1.5, duration_ms=300)
+        assert turns[0]["end_ms"] == 300
+
     def test_gap_splits_turn(self):
         sr = 16000
         win = np.zeros(int(1.5 * sr), np.float32)

@@ -96,6 +96,19 @@ class TestConfigLoader:
         cfg = load_config(str(cfg_path))
         assert cfg.scan_paths == [os.path.expanduser("~/Videos")]
 
+    def test_object_path_falls_back_to_global_recursive(self, tmp_path):
+        # an object entry without its own "recursive" must honor the
+        # file-level flag, same as a string entry
+        import json
+        from eioku_tpu.config.settings import load_config
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps({
+            "recursive": False, "paths": [{"path": str(tmp_path / "a")}]}))
+        cfg = load_config(str(cfg_path))
+        assert str(tmp_path / "a") not in cfg.path_recursive
+        assert cfg.path_recursive.get(str(tmp_path / "a"),
+                                      cfg.recursive) is False
+
 
 class TestWorkloadProfiles:
     def test_priorities(self):
