@@ -103,6 +103,25 @@ def _attribute_speakers(ctx, asset_id: str, segments: list[dict]) -> None:
         seg["payload_json"]["speaker"] = best
 
 
+def _rrf_fuse(semantic: list[dict], keyword: list[dict], top_k: int,
+              k: int = 60) -> list[dict]:
+    """Reciprocal-rank fusion of semantic and keyword result lists: each hit
+    scores sum(1 / (k + rank)) over the lists it appears in. Semantic hits
+    reference embedding.chunk artifacts and keyword hits the source transcript/
+    OCR artifacts, so the merge key is the video moment (5 s bucket) — the same
+    moment found both ways ranks highest."""
+    fused: dict[tuple, dict] = {}
+    for results in (semantic, keyword):
+        for rank, r in enumerate(results):
+            key = (r["video_id"], r["jump_to"]["start_ms"] // 5000)
+            entry = fused.setdefault(key, {**r, "score": 0.0})
+            entry["score"] += 1.0 / (k + rank + 1)
+    out = sorted(fused.values(), key=lambda r: r["score"], reverse=True)[:top_k]
+    for r in out:
+        r["score"] = round(r["score"], 6)
+    return out
+
+
 def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
     # -- root/health -----------------------------------------------------------
 
@@ -444,10 +463,28 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         q = request.query_params.get("q")
         if not q:
             raise HTTPException(422, "query parameter 'q' is required")
-        index = ctx.extra.get("semantic_index")
-        if index is None:
-            raise HTTPException(503, "semantic index not available on this deployment")
+        mode = request.query_params.get("mode", "semantic")
+        if mode not in ("semantic", "keyword", "hybrid"):
+            raise HTTPException(422, f"unknown search mode: {mode}")
         top_k = min(request.query_int("top_k", 10), 100)
-        results = index.search(q, top_k=top_k,
-                               asset_id=request.query_params.get("video_id"))
-        return {"query": q, "results": results, "total": len(results)}
+        asset_id = request.query_params.get("video_id")
+        keyword = []
+        if mode in ("keyword", "hybrid"):
+            keyword = ctx.find.search_library(q, limit=top_k, asset_id=asset_id)
+        semantic = []
+        if mode in ("semantic", "hybrid"):
+            index = ctx.extra.get("semantic_index")
+            if index is None:
+                if mode == "semantic":
+                    raise HTTPException(
+                        503, "semantic index not available on this deployment")
+            else:
+                semantic = index.search(q, top_k=top_k, asset_id=asset_id)
+        if mode == "keyword":
+            results = keyword
+        elif mode == "semantic":
+            results = semantic
+        else:
+            results = _rrf_fuse(semantic, keyword, top_k)
+        return {"query": q, "mode": mode, "results": results,
+                "total": len(results)}

@@ -42,6 +42,42 @@ class FindWithinVideoService:
         results.sort(key=lambda m: m["jump_to"]["start_ms"], reverse=reverse)
         return results
 
+    def search_library(self, query: str, limit: int = 10,
+                       asset_id: str | None = None) -> list[dict]:
+        """Library-wide keyword search across transcript + OCR FTS, ordered by
+        bm25 relevance (beyond the reference: its find is per-video and
+        time-ordered). Result shape matches SemanticIndex.search so the
+        /search endpoint can serve keyword and hybrid modes."""
+        match = _fts_query(query)
+        if not match:
+            return []
+        out: list[dict] = []
+        for source, fts, meta in (("transcript", "transcript_fts",
+                                   "transcript_fts_meta"),
+                                  ("ocr", "ocr_fts", "ocr_fts_meta")):
+            where_asset = " AND m.asset_id = ?" if asset_id else ""
+            params: tuple = (match,) + ((asset_id,) if asset_id else ()) + (limit,)
+            try:
+                rows = self.db.query(
+                    f"SELECT m.artifact_id, m.asset_id, m.start_ms, m.end_ms,"
+                    f" f.rank AS rank,"
+                    f" snippet({fts}, 0, '<b>', '</b>', '…', 12) AS snip"
+                    f" FROM {fts} f JOIN {meta} m ON m.rowid = f.rowid"
+                    f" WHERE f.{fts} MATCH ?{where_asset}"
+                    f" ORDER BY f.rank LIMIT ?", params)
+            except Exception:
+                continue
+            out.extend({
+                "score": round(-float(r["rank"]), 4),  # bm25: lower = better
+                "video_id": r["asset_id"],
+                "text": r["snip"],
+                "source": source,
+                "artifact_id": r["artifact_id"],
+                "jump_to": {"start_ms": r["start_ms"], "end_ms": r["end_ms"]},
+            } for r in rows)
+        out.sort(key=lambda m: m["score"], reverse=True)
+        return out[:limit]
+
     def _search(self, source: str, fts_table: str, meta_table: str, asset_id: str,
                 query: str, from_ms: int, direction: str, limit: int) -> list[dict]:
         match = _fts_query(query)

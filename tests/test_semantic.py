@@ -282,6 +282,61 @@ class TestSemanticIndex:
             assert body["total"] >= 1
             assert body["results"][0]["jump_to"]["start_ms"] == 0
 
+    def test_keyword_and_hybrid_modes(self, sctx):
+        from eioku_tpu.api.app import create_app
+        from eioku_tpu.domain.models import Video
+        from eioku_tpu.web.testing import TestClient
+        v = Video(path="/v5.mp4")
+        sctx.videos.save(v)
+        seed_transcript(sctx, v.id, ["the mission to saturn launched today",
+                                     "cooking pasta with garlic and basil"])
+        sctx.extra["semantic_index"].index_video(v.id, {})
+        app = create_app(ctx=sctx, start_reconciler=False, auto_discover=False)
+        with TestClient(app) as client:
+            # keyword: bm25-ranked FTS across the library, no index required
+            r = client.get("/api/v1/search", params={"q": "saturn", "mode": "keyword"})
+            body = r.json()
+            assert body["mode"] == "keyword" and body["total"] == 1
+            top = body["results"][0]
+            assert top["video_id"] == v.id and top["source"] == "transcript"
+            assert "<b>saturn</b>" in top["text"]
+            assert top["jump_to"]["start_ms"] == 0
+            # hybrid: a moment found by both rankers fuses to the top
+            r = client.get("/api/v1/search",
+                           params={"q": "mission to saturn", "mode": "hybrid"})
+            body = r.json()
+            assert body["total"] >= 1
+            assert body["results"][0]["video_id"] == v.id
+            assert body["results"][0]["jump_to"]["start_ms"] == 0
+            # scores are RRF sums: top result found by both lists > single-list
+            assert body["results"][0]["score"] > 1.0 / 61
+            # unknown mode rejected
+            assert client.get("/api/v1/search",
+                              params={"q": "x", "mode": "nope"}).status_code == 422
+
+    def test_keyword_mode_without_semantic_index(self, tmp_path):
+        from eioku_tpu.api.app import build_context, create_app
+        from eioku_tpu.domain.models import Video
+        from eioku_tpu.web.testing import TestClient
+        config = AppConfig(scan_paths=[], auto_discover=False,
+                           semantic_search=False)
+        db = Database(f"sqlite:///{tmp_path}/kw.db")
+        ctx = build_context(config, db=db)
+        try:
+            v = Video(path="/v6.mp4")
+            ctx.videos.save(v)
+            seed_transcript(ctx, v.id, ["keyword only deployment"])
+            app = create_app(ctx=ctx, start_reconciler=False, auto_discover=False)
+            with TestClient(app) as client:
+                r = client.get("/api/v1/search",
+                               params={"q": "deployment", "mode": "keyword"})
+                assert r.status_code == 200 and r.json()["total"] == 1
+                # semantic mode still reports unavailability
+                assert client.get("/api/v1/search",
+                                  params={"q": "x"}).status_code == 503
+        finally:
+            db.close()
+
 
 class TestNativeWordPiece:
     def _vocab(self):
