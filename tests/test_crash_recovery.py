@@ -56,7 +56,7 @@ def test_worker_sigkill_then_reconcile_completes(tmp_path):
         stderr=subprocess.DEVNULL)
     try:
         # wait until the task is actually RUNNING, then kill -9 mid-flight
-        deadline = time.time() + 240
+        deadline = time.time() + 480
         while time.time() < deadline:
             tasks = ctx.tasks.find(limit=10)
             if tasks and tasks[0].status is TaskStatus.RUNNING:
@@ -92,7 +92,7 @@ def test_worker_sigkill_then_reconcile_completes(tmp_path):
     done = subprocess.run(
         [sys.executable, "-m", "eioku_tpu.workers.main", "--config",
          str(cfg_path), "--once"],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=240)
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=480)
     assert done.returncode == 0, done.stdout + done.stderr
     t = ctx.tasks.find(limit=1)[0]
     assert t.status is TaskStatus.COMPLETED

@@ -53,7 +53,7 @@ def test_api_and_worker_processes(tmp_path, env):
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     try:
         base = f"http://127.0.0.1:{port}"
-        for _ in range(100):
+        for _ in range(300):
             try:
                 if _get(base + "/health")["status"] == "ok":
                     break
@@ -64,7 +64,7 @@ def test_api_and_worker_processes(tmp_path, env):
 
         # discovery at startup created + enqueued tasks (poll: under load the
         # server can answer /health before startup discovery has committed)
-        for _ in range(50):
+        for _ in range(150):
             tasks = _get(base + "/api/v1/tasks")
             if tasks["total"] == 2:
                 break
@@ -74,7 +74,7 @@ def test_api_and_worker_processes(tmp_path, env):
         worker = subprocess.run(
             [sys.executable, "-m", "eioku_tpu.workers.main", "--config",
              str(cfg_path), "--once"],
-            env=env, cwd=REPO, capture_output=True, text=True, timeout=240)
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=480)
         assert worker.returncode == 0, worker.stdout + worker.stderr
 
         tasks = _get(base + "/api/v1/tasks")["tasks"]
