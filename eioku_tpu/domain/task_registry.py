@@ -41,11 +41,12 @@ TASK_REGISTRY: dict[str, TaskTypeSpec] = {
         # beyond the reference: who-spoke-when turns (opt-in via
         # active_task_types; ECAPA-TDNN embeddings + clustering)
         TaskTypeSpec("speaker_diarization", LanguageMode.NONE, ("speaker.turn",), True, 6),
-        # one-decode-pass replacement for the four frame-based visual tasks
-        # (enable with combined_visual: true; see eioku_tpu/ml/combined.py)
+        # one-decode-pass replacement for the frame-based visual tasks,
+        # including OCR when active (enable with combined_visual: true;
+        # see eioku_tpu/ml/combined.py)
         TaskTypeSpec("visual_analysis", LanguageMode.NONE,
                      ("scene", "object.detection", "face.detection",
-                      "place.classification"), True, 3),
+                      "place.classification", "ocr.text"), True, 3),
     ]
 }
 

@@ -102,11 +102,111 @@ class _DetectionConsumer:
         self._frames, self._meta = [], []
 
 
+class _OcrConsumer:
+    """Accumulates sampled frames for the OCR path: one CRAFT detection pass
+    per batch shared by every configured language, then one recognition pass
+    per script-specific recognizer (languages mapping to the same recognizer
+    share it). Folding OCR in here removes the last separate decode pass of
+    the per-task design."""
+
+    def __init__(self, cfg: dict, step: int, batch_size: int, cache_dir,
+                 src_wh: tuple[int, int], frame_ms: int):
+        from eioku_tpu.ml.ocr_task import _models
+        from eioku_tpu.models.ocr.weights import recognizer_for_language
+
+        self.languages = cfg.get("languages") or ["en"]
+        groups: dict[str, list[str]] = {}
+        for lang in self.languages:
+            groups.setdefault(recognizer_for_language(lang), []).append(lang)
+        self.recognizers = []
+        for rec, langs in groups.items():
+            craft, crnn, charset, _ = _models(cache_dir, rec)
+            self.craft_params = craft  # same CRAFT weights for every group
+            self.recognizers.append((crnn, charset, langs))
+        self.min_conf = float(cfg.get("confidence_threshold", 0.0))
+        self.step = max(step, 1)
+        self.batch_size = batch_size
+        self.frame_ms = frame_ms
+        self.src_w, self.src_h = src_wh
+        self._frames: list[np.ndarray] = []
+        self._meta: list[tuple[int, int]] = []
+        self.results: list[dict] = []
+
+    def offer(self, frame: np.ndarray, frame_idx: int, t_ms: int) -> None:
+        if frame_idx % self.step != 0:
+            return
+        self._frames.append(frame)
+        self._meta.append((frame_idx, t_ms))
+        if len(self._frames) == self.batch_size:
+            self.flush()
+
+    def flush(self) -> None:
+        import cv2
+
+        from eioku_tpu.ml.ocr_task import (
+            _MEAN,
+            _STD,
+            DETECT_H,
+            DETECT_W,
+            extract_quads,
+            recognize_crops,
+            warp_quad_crop,
+        )
+        from eioku_tpu.models.ocr.craft import craft_forward
+
+        if not self._frames:
+            return
+        valid = len(self._frames)
+        det = [cv2.resize(f, (DETECT_W, DETECT_H),
+                          interpolation=cv2.INTER_AREA) for f in self._frames]
+        det += [np.zeros_like(det[0])] * (self.batch_size - valid)
+        stack = np.stack(det)
+        x = (stack.astype(np.float32) / 255.0 - _MEAN) / _STD
+        scores = np.asarray(craft_forward(self.craft_params, jnp.asarray(x)),
+                            np.float32)
+        sx = self.src_w / DETECT_W
+        sy = self.src_h / DETECT_H
+        for i in range(valid):
+            quads = extract_quads(scores[i, :, :, 0], scores[i, :, :, 1])
+            if not quads:
+                continue
+            gray = cv2.cvtColor(stack[i], cv2.COLOR_RGB2GRAY)
+            crops, metas = [], []
+            for (x0, y0, x1, y1), quad in quads:
+                crop = warp_quad_crop(gray, quad * 2.0)
+                if crop is None:
+                    crop = gray[y0 * 2:y1 * 2, x0 * 2:x1 * 2]
+                if crop.size == 0:
+                    continue
+                h, w = crop.shape
+                crops.append(cv2.resize(crop, (max(int(w * 32.0 / h), 8), 32)))
+                metas.append(quad * 2.0)  # detector-input coords
+            if not crops:
+                continue
+            frame_idx, t_ms = self._meta[i]
+            for crnn, charset, langs in self.recognizers:
+                for quad, (text, conf) in zip(
+                        metas, recognize_crops(crnn, crops, charset)):
+                    if not text or conf < self.min_conf:
+                        continue
+                    poly = [[float(max(px * sx, 0.0)), float(max(py * sy, 0.0))]
+                            for px, py in quad]
+                    self.results.append({
+                        "payload": {"text": text, "confidence": min(conf, 1.0),
+                                    "polygon": poly, "languages": langs,
+                                    "frame_index": frame_idx},
+                        "span_start_ms": t_ms,
+                        "span_end_ms": t_ms + self.frame_ms,
+                    })
+        self._frames, self._meta = [], []
+
+
 def run_visual_analysis(video_path: str, config: dict,
                         model_cache_dir: str | None = None
                         ) -> dict[str, list[dict]]:
     """Returns {task_type: results} for scene_detection, object_detection,
-    face_detection, place_classification — from ONE decode pass."""
+    face_detection, place_classification — and ocr when config carries an
+    "ocr" sub-config — from ONE decode pass."""
     from eioku_tpu.ml.scenes import assemble_scenes
     from eioku_tpu.models.resnet.model import preprocess, resnet18_forward
     from eioku_tpu.ml.places import _model as load_places
@@ -159,6 +259,12 @@ def run_visual_analysis(video_path: str, config: dict,
         lambda label, conf, box, fi: {"cluster_id": None, "confidence": conf,
                                       "bounding_box": box, "frame_number": fi},
         frame_ms, (info.width, info.height), coord_scale)
+
+    xcfg = config.get("ocr")
+    ocr = _OcrConsumer(
+        xcfg, substep(float(xcfg.get("frame_interval_s", 2.0))),
+        int(xcfg.get("batch_size", 16)), model_cache_dir,
+        (info.width, info.height), frame_ms) if xcfg is not None else None
 
     place_params, place_labels = load_places(model_cache_dir)
     place_step = substep(float(pcfg.get("frame_interval_s", 1.0)))
@@ -225,6 +331,8 @@ def run_visual_analysis(video_path: str, config: dict,
                 boundaries.append((t_ms, float(scores[slot])))
             objects.offer(batch.frames[slot], fi, t_ms)
             faces.offer(batch.frames[slot], fi, t_ms)
+            if ocr is not None:
+                ocr.offer(batch.frames[slot], fi, t_ms)
             if fi % place_step == 0:
                 place_batch.append(batch.frames[slot])
                 place_meta.append((fi, t_ms))
@@ -233,6 +341,8 @@ def run_visual_analysis(video_path: str, config: dict,
     objects.flush()
     faces.flush()
     flush_places()
+    if ocr is not None:
+        ocr.flush()
 
     scenes = assemble_scenes(boundaries, info.duration_ms,
                              float(scfg.get("min_scene_len_s", 0.5)))
@@ -247,9 +357,12 @@ def run_visual_analysis(video_path: str, config: dict,
     from eioku_tpu.ml.detection import _assign_face_clusters
     _assign_face_clusters(faces.results)
 
-    return {
+    out = {
         "scene_detection": scene_results,
         "object_detection": objects.results,
         "face_detection": faces.results,
         "place_classification": place_results,
     }
+    if ocr is not None:
+        out["ocr"] = ocr.results
+    return out

@@ -118,8 +118,10 @@ class VideoDiscoveryService:
         (reference: video_discovery_service.py:176-275)."""
         active = tuple(self.config.active_task_types or ACTIVE_TASK_TYPES)
         if getattr(self.config, "combined_visual", False):
+            # OCR folds in too: its frames come from the same decode pass,
+            # with all configured languages sharing one CRAFT detection
             visual = {"scene_detection", "object_detection", "face_detection",
-                      "place_classification"}
+                      "place_classification", "ocr"}
             if visual & set(active):
                 active = tuple(t for t in active if t not in visual) + (
                     "visual_analysis",)
@@ -149,10 +151,13 @@ class VideoDiscoveryService:
             if self.tasks.exists(video.id, task_type, language):
                 continue
             if task_type == "visual_analysis":
-                # carries one sub-config per visual consumer (ml/combined.py)
+                # carries one sub-config per visual consumer (ml/combined.py);
+                # OCR joins the pass only when it was an active task type
                 config = {sub: self.config.settings_for(sub)
                           for sub in ("scene_detection", "object_detection",
                                       "face_detection", "place_classification")}
+                if "ocr" in (self.config.active_task_types or ACTIVE_TASK_TYPES):
+                    config["ocr"] = self.config.settings_for("ocr")
             else:
                 config = self.config.settings_for(task_type)
             if language is not None:

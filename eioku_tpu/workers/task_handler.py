@@ -121,9 +121,10 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
             envs.extend(sub_envs)
         if task_type == "metadata_extraction" and envs:
             _update_video_from_metadata(app, video_id, envs[0].payload_json)
-        if task_type in ("transcription", "ocr"):
-            # both text sources feed the semantic index; re-indexing replaces
-            # the video's slots, so double-triggering is idempotent
+        if task_type in ("transcription", "ocr") or "ocr" in result_sets:
+            # both text sources feed the semantic index (OCR also arrives as a
+            # visual_analysis sub-result); re-indexing replaces the video's
+            # slots, so double-triggering is idempotent
             _enqueue_semantic_indexing(app, video_id, video_path)
         app.tasks.update_status(task_id, TaskStatus.COMPLETED)
         METRICS.inc("tasks_completed", task_type=task_type)

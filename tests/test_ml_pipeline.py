@@ -308,6 +308,43 @@ class TestCombinedVisual:
         for r in results["object_detection"][:10]:
             SchemaRegistry.validate("object.detection", 1, r["payload"])
 
+    def test_combined_includes_ocr_when_configured(self, scene_video):
+        from eioku_tpu.domain.schema_registry import (
+            SchemaRegistry,
+            register_all_schemas,
+        )
+        from eioku_tpu.ml.combined import run_visual_analysis
+        results = run_visual_analysis(scene_video, {
+            "scene_detection": {"sample_fps": 2.0},
+            "object_detection": {"batch_size": 4},
+            "face_detection": {"batch_size": 4},
+            "place_classification": {"batch_size": 4},
+            "ocr": {"languages": ["en"], "frame_interval_s": 2.0,
+                    "batch_size": 4},
+        })
+        assert "ocr" in results  # key present even when random weights find none
+        register_all_schemas()
+        for r in results["ocr"][:5]:
+            SchemaRegistry.validate("ocr.text", 1, r["payload"])
+            assert r["payload"]["languages"] == ["en"]
+
+    def test_combined_discovery_folds_ocr(self, tmp_path, scene_video):
+        from eioku_tpu.domain.models import PathConfig
+        config = AppConfig(
+            scan_paths=[], auto_discover=False, combined_visual=True,
+            active_task_types=["scene_detection", "ocr"],
+            task_settings={"ocr": {"languages": ["en", "ja"]}})
+        db = Database(f"sqlite:///{tmp_path}/cvo.db")
+        ctx = build_context(config, db=db)
+        try:
+            ctx.paths.save(PathConfig(path=str(tmp_path)))
+            ctx.discovery.discover()
+            tasks = ctx.tasks.find(limit=10)
+            assert [t.task_type for t in tasks] == ["visual_analysis"]
+            assert tasks[0].config["ocr"]["languages"] == ["en", "ja"]
+        finally:
+            db.close()
+
     def test_combined_e2e_through_worker(self, tmp_path, scene_video):
         from eioku_tpu.queue.worker import WorkerSettings
         from eioku_tpu.workers.main import build_worker
