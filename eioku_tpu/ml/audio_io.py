@@ -2,11 +2,15 @@
 
 The reference hands whole video files to faster-whisper/CTranslate2, which uses
 its bundled ffmpeg to demux audio (/root/reference/ml-service/src/services/
-model_manager.py:409-467). This environment has no ffmpeg/torchaudio/PyAV, so
-audio enters the pipeline as PCM:
+model_manager.py:409-467). The same capability here is the first-party
+native/audio_decode.cpp shim over the system FFmpeg *libraries*
+(libavformat/libavcodec/libswresample — the ffmpeg CLI binary is absent):
+any container/codec with an audio stream (AAC-in-mp4/mov/mkv, m4a, mp3, ...)
+decodes straight to 16 kHz mono float32. Fallback paths when the shim can't
+build (no toolchain / no system libs):
   - .wav files load directly (stdlib wave + numpy, resampled to 16 kHz)
-  - .mp3/.ogg/.flac decode through SDL_mixer (pygame) when available, with a
-    dummy audio driver so no sound device is needed
+  - .mp3/.ogg/.flac decode through SDL_mixer (pygame) with a dummy audio
+    driver so no sound device is needed
   - for a video path, a sidecar audio file (same basename, any supported
     extension) is used when present; otherwise the pipeline reports no audio
     (empty transcript) rather than failing the task
@@ -69,7 +73,76 @@ def load_wav(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
     return x
 
 
-AUDIO_EXTENSIONS = (".wav", ".mp3", ".ogg", ".flac")
+AUDIO_EXTENSIONS = (".wav", ".mp3", ".ogg", ".flac", ".m4a", ".aac")
+
+
+def _configure_av(lib) -> None:
+    import ctypes
+    lib.eioku_audio_decode.restype = ctypes.c_int
+    lib.eioku_audio_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_longlong)]
+    lib.eioku_audio_free.restype = None
+    lib.eioku_audio_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.eioku_audio_probe.restype = ctypes.c_int
+    lib.eioku_audio_probe.argtypes = [ctypes.c_char_p]
+    lib.eioku_audio_encode.restype = ctypes.c_int
+    lib.eioku_audio_encode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+        ctypes.c_int]
+
+
+def native_decoder():
+    """The native/audio_decode.cpp shim, or None when it can't build/link."""
+    from eioku_tpu.utils.native_build import load_native_lib
+    return load_native_lib(
+        "audio_decode", _configure_av,
+        link_libs=("avformat", "avcodec", "swresample", "avutil"))
+
+
+def native_decode(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray | None:
+    """Decode any container's audio stream via the native shim.
+
+    Returns None when the shim is unavailable or the file has no audio stream;
+    raises on an actual decode failure of a stream that exists.
+    """
+    import ctypes
+    lib = native_decoder()
+    if lib is None:
+        return None
+    buf = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_longlong()
+    ret = lib.eioku_audio_decode(path.encode(), target_sr,
+                                 ctypes.byref(buf), ctypes.byref(n))
+    if ret == 1:  # container opened fine but carries no audio stream
+        return None
+    if ret != 0:
+        raise RuntimeError(f"native audio decode failed for {path!r} "
+                           f"(averror {ret})")
+    try:
+        x = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    finally:
+        lib.eioku_audio_free(buf)
+    # float decode of hot lossy sources can slightly overshoot full scale
+    return np.clip(x, -1.0, 1.0)
+
+
+def native_encode(path: str, samples: np.ndarray,
+                  sr: int = SAMPLE_RATE) -> None:
+    """Encode mono float32 PCM as AAC into .m4a/.mp4/.mov at `path`."""
+    import ctypes
+    lib = native_decoder()
+    if lib is None:
+        raise RuntimeError("native audio shim unavailable")
+    x = np.ascontiguousarray(samples, np.float32)
+    ret = lib.eioku_audio_encode(
+        path.encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(x), sr)
+    if ret != 0:
+        raise RuntimeError(f"native audio encode failed for {path!r} "
+                           f"(averror {ret})")
+
 
 _sdl_mixer = None
 
@@ -117,16 +190,34 @@ def load_compressed(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
 
 
 def load_audio(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
-    """Load any supported audio file -> float32 mono [-1, 1] at target_sr."""
+    """Load any supported audio source -> float32 mono [-1, 1] at target_sr.
+
+    Accepts audio files and video containers alike: the native shim demuxes
+    whatever audio stream the container holds. Plain wavs skip the shim
+    (stdlib is enough); mp3/ogg/flac fall back to SDL_mixer when the shim is
+    unavailable.
+    """
     if path.lower().endswith(".wav"):
         return load_wav(path, target_sr)
-    return load_compressed(path, target_sr)
+    x = native_decode(path, target_sr)
+    if x is not None:
+        return x
+    if path.lower().endswith((".mp3", ".ogg", ".flac")) and \
+            native_decoder() is None:
+        return load_compressed(path, target_sr)
+    raise RuntimeError(f"no audio stream found in {path!r}")
 
 
 def find_audio_for_video(video_path: str) -> str | None:
-    """Locate the audio stream for a video: the file itself if it is audio,
-    else a sidecar audio file with the same basename (wav preferred)."""
+    """Locate the audio source for a video: the file itself when it is an
+    audio file or a container with an embedded audio track (native shim
+    probe — the reference's ffmpeg demux equivalent), else a sidecar audio
+    file with the same basename (wav preferred)."""
     if video_path.lower().endswith(AUDIO_EXTENSIONS):
+        return video_path
+    lib = native_decoder()
+    if lib is not None and os.path.isfile(video_path) and \
+            lib.eioku_audio_probe(video_path.encode()) == 1:
         return video_path
     base = os.path.splitext(video_path)[0]
     for ext in AUDIO_EXTENSIONS:

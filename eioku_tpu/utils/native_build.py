@@ -24,11 +24,14 @@ NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native")
 
 
-def load_native_lib(name: str, configure) -> ctypes.CDLL | None:
+def load_native_lib(name: str, configure,
+                    link_libs: tuple[str, ...] = ()) -> ctypes.CDLL | None:
     """Load native/{name}.cpp as native/lib{name}.so, building if stale.
 
-    `configure(lib)` sets restype/argtypes; it runs once per process. Returns
-    None (and remembers the failure) when the toolchain or source is missing.
+    `configure(lib)` sets restype/argtypes; it runs once per process.
+    `link_libs` adds -l<lib> flags (e.g. the FFmpeg libraries for the audio
+    shim). Returns None (and remembers the failure) when the toolchain, the
+    source, or a linked system library is missing.
     """
     with _lock:
         if name in _cache:
@@ -41,7 +44,7 @@ def load_native_lib(name: str, configure) -> ctypes.CDLL | None:
                 tmp = f"{lib_path}.{os.getpid()}.tmp"
                 subprocess.run(
                     ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                     "-o", tmp, src],
+                     "-o", tmp, src] + [f"-l{lib}" for lib in link_libs],
                     check=True, capture_output=True, timeout=120)
                 os.rename(tmp, lib_path)  # atomic: concurrent starters race
             lib = ctypes.CDLL(lib_path)

@@ -121,6 +121,50 @@ class TestAudioIO:
         assert found.endswith("movie.mp3")
         assert len(audio_io.load_audio(found)) > 16000
 
+    def test_native_aac_roundtrip(self, tmp_path):
+        """native/audio_decode.cpp: AAC encode -> decode recovers the tone."""
+        if audio_io.native_decoder() is None:
+            pytest.skip("native audio shim unavailable in this image")
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        p = str(tmp_path / "tone.m4a")
+        audio_io.native_encode(p, x, sr)
+        y = audio_io.load_audio(p)
+        assert y.dtype == np.float32
+        assert abs(len(y) - len(x)) < sr // 4  # encoder priming padding only
+        spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        assert abs(np.argmax(spec) * sr / len(y) - 440.0) < 2.0
+
+    def test_embedded_audio_track_in_video(self, tmp_path):
+        """A video container with an embedded AAC track is its own audio
+        source (the reference's ffmpeg-demux behavior, model_manager.py:437),
+        preferred over any sidecar."""
+        if audio_io.native_decoder() is None:
+            pytest.skip("native audio shim unavailable in this image")
+        sr = 16000
+        x = (0.4 * np.sin(np.arange(sr) * 0.1)).astype(np.float32)
+        video = str(tmp_path / "movie.mp4")
+        audio_io.native_encode(video, x, sr)
+        self._write_wav(tmp_path / "movie.wav")  # decoy sidecar
+        assert audio_io.find_audio_for_video(video) == video
+        y = audio_io.load_audio(video)
+        assert len(y) > sr // 2 and np.abs(y).max() <= 1.0
+
+    def test_video_without_audio_uses_sidecar(self, tmp_path):
+        """An mp4 with no audio stream still falls back to the sidecar."""
+        if audio_io.native_decoder() is None:
+            pytest.skip("native audio shim unavailable in this image")
+        import cv2
+        video = str(tmp_path / "movie.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (64, 64))
+        for _ in range(5):
+            w.write(np.zeros((64, 64, 3), np.uint8))
+        w.release()
+        wav = self._write_wav(tmp_path / "movie.wav")
+        assert audio_io.find_audio_for_video(video) == wav
+
     def test_vad_detects_silence(self):
         sr = 16000
         silent = np.zeros(sr, np.float32)
