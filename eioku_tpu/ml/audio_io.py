@@ -91,6 +91,11 @@ def _configure_av(lib) -> None:
     lib.eioku_audio_encode.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
         ctypes.c_int]
+    lib.eioku_media_encode.restype = ctypes.c_int
+    lib.eioku_media_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_longlong, ctypes.c_int]
 
 
 def native_decoder():
@@ -98,7 +103,7 @@ def native_decoder():
     from eioku_tpu.utils.native_build import load_native_lib
     return load_native_lib(
         "audio_decode", _configure_av,
-        link_libs=("avformat", "avcodec", "swresample", "avutil"))
+        link_libs=("avformat", "avcodec", "swresample", "swscale", "avutil"))
 
 
 def native_decode(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray | None:
@@ -141,6 +146,35 @@ def native_encode(path: str, samples: np.ndarray,
         len(x), sr)
     if ret != 0:
         raise RuntimeError(f"native audio encode failed for {path!r} "
+                           f"(averror {ret})")
+
+
+def native_media_encode(path: str, frames: np.ndarray | None,
+                        fps: float = 10.0,
+                        samples: np.ndarray | None = None,
+                        sr: int = SAMPLE_RATE) -> None:
+    """Mux H.264 video (frames: (N,H,W,3) uint8 RGB) and/or an AAC audio
+    track (mono float32 PCM) into one container at `path` — the shape
+    real-world library files take. Either stream may be omitted."""
+    import ctypes
+    lib = native_decoder()
+    if lib is None:
+        raise RuntimeError("native audio shim unavailable")
+    if frames is not None:
+        f = np.ascontiguousarray(frames, np.uint8)
+        n_frames, h, w = f.shape[:3]
+        rgb = f.ctypes.data_as(ctypes.c_char_p)
+    else:
+        rgb, n_frames, h, w = None, 0, 0, 0
+    if samples is not None:
+        x = np.ascontiguousarray(samples, np.float32)
+        pcm, n_pcm = x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x)
+    else:
+        pcm, n_pcm = None, 0
+    ret = lib.eioku_media_encode(path.encode(), rgb, n_frames, w, h,
+                                 float(fps), pcm, n_pcm, sr)
+    if ret != 0:
+        raise RuntimeError(f"native media encode failed for {path!r} "
                            f"(averror {ret})")
 
 

@@ -16,16 +16,24 @@
 //       (zero-egress image: no sample media exists to test against otherwise)
 //       and by the CLI to extract/re-mux audio tracks.
 //
+//   eioku_media_encode(path, rgb, n_frames, w, h, fps, samples, n, sr) -> 0
+//       ok / <0 failure. Muxes H.264 video (libx264) and/or an AAC-LC audio
+//       track into one container — the shape real-world library files take
+//       (the reference's inputs are camera/screen-recorder mp4s). Tests use
+//       it to build realistic fixtures; the CLI to export clips.
+//
 // Build: g++ -O2 -shared -fPIC -std=c++17 audio_decode.cpp
-//        -lavformat -lavcodec -lswresample -lavutil
+//        -lavformat -lavcodec -lswresample -lswscale -lavutil
 // (eioku_tpu/utils/native_build.py passes the link flags.)
 
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/channel_layout.h>
+#include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
 #include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
 }
 
 #include <cstdlib>
@@ -151,100 +159,188 @@ int eioku_audio_decode(const char *path, int target_sr, float **out_buf,
     return 0;
 }
 
+int eioku_media_encode(const char *path, const unsigned char *rgb,
+                       int n_frames, int w, int h, double fps,
+                       const float *samples, long long n_samples, int sr);
+
 int eioku_audio_encode(const char *path, const float *samples, long long n,
                        int sr) {
+    return eioku_media_encode(path, nullptr, 0, 0, 0, 0.0, samples, n, sr);
+}
+
+int eioku_media_encode(const char *path, const unsigned char *rgb,
+                       int n_frames, int w, int h, double fps,
+                       const float *samples, long long n_samples, int sr) {
     AVFormatContext *oc = nullptr;
     int ret = avformat_alloc_output_context2(&oc, nullptr, nullptr, path);
     if (ret < 0 || !oc) return ret < 0 ? ret : AVERROR(EINVAL);
 
-    const AVCodec *codec = avcodec_find_encoder(AV_CODEC_ID_AAC);
-    AVCodecContext *enc = codec ? avcodec_alloc_context3(codec) : nullptr;
+    AVCodecContext *venc = nullptr, *aenc = nullptr;
+    AVStream *vst = nullptr, *ast = nullptr;
+    SwsContext *sws = nullptr;
     SwrContext *swr = nullptr;
-    AVFrame *frame = nullptr;
-    AVPacket *pkt = nullptr;
+    AVFrame *vframe = nullptr, *aframe = nullptr;
+    AVPacket *pkt = av_packet_alloc();
     bool opened_io = false;
-    ret = codec && enc ? 0 : AVERROR(ENOMEM);
+    ret = pkt ? 0 : AVERROR(ENOMEM);
 
-    if (ret >= 0) {
-        enc->sample_rate = sr;
-        enc->sample_fmt = AV_SAMPLE_FMT_FLTP;  // the native aac encoder's fmt
-        av_channel_layout_default(&enc->ch_layout, 1);
-        enc->bit_rate = 64000;
-        enc->time_base = AVRational{1, sr};
-        if (oc->oformat->flags & AVFMT_GLOBALHEADER)
-            enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-        ret = avcodec_open2(enc, codec, nullptr);
-    }
-    AVStream *st = nullptr;
-    if (ret >= 0) {
-        st = avformat_new_stream(oc, nullptr);
-        if (!st) ret = AVERROR(ENOMEM);
+    const bool want_video = rgb && n_frames > 0;
+    const bool want_audio = samples && n_samples > 0;
+    const AVRational vtb{1, (int)(fps * 1000 + 0.5)};  // ms-scale video tb
+
+    if (ret >= 0 && want_video) {
+        const AVCodec *vc = avcodec_find_encoder_by_name("libx264");
+        if (!vc) vc = avcodec_find_encoder_by_name("mpeg4");
+        venc = vc ? avcodec_alloc_context3(vc) : nullptr;
+        if (!venc) ret = AVERROR(ENOMEM);
         else {
-            st->time_base = enc->time_base;
-            ret = avcodec_parameters_from_context(st->codecpar, enc);
+            venc->width = w;
+            venc->height = h;
+            venc->pix_fmt = AV_PIX_FMT_YUV420P;
+            venc->time_base = vtb;
+            venc->framerate = AVRational{(int)(fps * 1000 + 0.5), 1000};
+            if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+                venc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+            if (venc->priv_data)
+                av_opt_set(venc->priv_data, "preset", "ultrafast", 0);
+            ret = avcodec_open2(venc, vc, nullptr);
+            if (ret >= 0) {
+                vst = avformat_new_stream(oc, nullptr);
+                if (!vst) ret = AVERROR(ENOMEM);
+                else {
+                    vst->time_base = venc->time_base;
+                    ret = avcodec_parameters_from_context(vst->codecpar, venc);
+                }
+            }
+            if (ret >= 0) {
+                sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
+                                     AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                     nullptr, nullptr, nullptr);
+                vframe = av_frame_alloc();
+                if (!sws || !vframe) ret = AVERROR(ENOMEM);
+                else {
+                    vframe->format = AV_PIX_FMT_YUV420P;
+                    vframe->width = w;
+                    vframe->height = h;
+                    ret = av_frame_get_buffer(vframe, 0);
+                }
+            }
         }
     }
-    if (ret >= 0) {
-        // mono float32 interleaved == planar for 1 channel, but go through
-        // swr anyway so the frame layout is exactly what the encoder expects
-        AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
-        ret = swr_alloc_set_opts2(&swr, &enc->ch_layout, enc->sample_fmt, sr,
-                                  &mono, AV_SAMPLE_FMT_FLT, sr, 0, nullptr);
-        if (ret >= 0) ret = swr_init(swr);
+    if (ret >= 0 && want_audio) {
+        const AVCodec *ac = avcodec_find_encoder(AV_CODEC_ID_AAC);
+        aenc = ac ? avcodec_alloc_context3(ac) : nullptr;
+        if (!aenc) ret = AVERROR(ENOMEM);
+        else {
+            aenc->sample_rate = sr;
+            aenc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+            av_channel_layout_default(&aenc->ch_layout, 1);
+            aenc->bit_rate = 64000;
+            aenc->time_base = AVRational{1, sr};
+            if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+                aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+            ret = avcodec_open2(aenc, ac, nullptr);
+            if (ret >= 0) {
+                ast = avformat_new_stream(oc, nullptr);
+                if (!ast) ret = AVERROR(ENOMEM);
+                else {
+                    ast->time_base = aenc->time_base;
+                    ret = avcodec_parameters_from_context(ast->codecpar, aenc);
+                }
+            }
+            if (ret >= 0) {
+                AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+                ret = swr_alloc_set_opts2(&swr, &aenc->ch_layout,
+                                          aenc->sample_fmt, sr, &mono,
+                                          AV_SAMPLE_FMT_FLT, sr, 0, nullptr);
+                if (ret >= 0) ret = swr_init(swr);
+                aframe = av_frame_alloc();
+                if (ret >= 0 && !aframe) ret = AVERROR(ENOMEM);
+            }
+        }
     }
+    if (ret >= 0 && !vst && !ast) ret = AVERROR(EINVAL);
     if (ret >= 0 && !(oc->oformat->flags & AVFMT_NOFILE)) {
         ret = avio_open(&oc->pb, path, AVIO_FLAG_WRITE);
         opened_io = ret >= 0;
     }
     if (ret >= 0) ret = avformat_write_header(oc, nullptr);
 
-    if (ret >= 0) {
-        frame = av_frame_alloc();
-        pkt = av_packet_alloc();
-        if (!frame || !pkt) ret = AVERROR(ENOMEM);
-    }
-    long long pos = 0;
-    int64_t pts = 0;
-    const int fsz = ret >= 0 ? enc->frame_size : 0;
-    while (ret >= 0) {
-        bool flushing = pos >= n;
-        if (!flushing) {
-            frame->nb_samples = fsz;
-            frame->format = enc->sample_fmt;
-            av_channel_layout_copy(&frame->ch_layout, &enc->ch_layout);
-            frame->sample_rate = sr;
-            if ((ret = av_frame_get_buffer(frame, 0)) < 0) break;
-            int take = (int)((n - pos) < fsz ? (n - pos) : fsz);
-            std::vector<float> in((size_t)fsz, 0.0f);  // zero-pad tail frame
-            memcpy(in.data(), samples + pos, (size_t)take * sizeof(float));
-            const uint8_t *in_planes[1] = {(const uint8_t *)in.data()};
-            ret = swr_convert(swr, frame->extended_data, fsz, in_planes, fsz);
-            if (ret < 0) break;
-            frame->pts = pts;
-            pts += fsz;
-            pos += fsz;
-        }
-        ret = avcodec_send_frame(enc, flushing ? nullptr : frame);
-        if (!flushing) av_frame_unref(frame);
-        if (ret < 0) break;
-        while ((ret = avcodec_receive_packet(enc, pkt)) >= 0) {
+    // drain one encoder's ready packets into the muxer
+    auto drain = [&](AVCodecContext *enc, AVStream *st) {
+        int r;
+        while ((r = avcodec_receive_packet(enc, pkt)) >= 0) {
             av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
             pkt->stream_index = st->index;
-            ret = av_interleaved_write_frame(oc, pkt);
+            r = av_interleaved_write_frame(oc, pkt);
             av_packet_unref(pkt);
-            if (ret < 0) break;
+            if (r < 0) return r;
         }
-        if (ret == AVERROR(EAGAIN)) { ret = 0; continue; }
-        if (ret == AVERROR_EOF) { ret = 0; break; }
-        if (ret < 0) break;
+        return r == AVERROR(EAGAIN) || r == AVERROR_EOF ? 0 : r;
+    };
+
+    // feed both encoders in presentation order so the muxer interleaves
+    // without unbounded buffering
+    int vi = 0;
+    long long apos = 0;
+    const int afsz = aenc ? aenc->frame_size : 0;
+    while (ret >= 0 && ((want_video && vi < n_frames) ||
+                        (want_audio && apos < n_samples))) {
+        double v_t = want_video && vi < n_frames ? vi / fps : 1e30;
+        double a_t = want_audio && apos < n_samples ? (double)apos / sr : 1e30;
+        if (v_t <= a_t) {
+            if ((ret = av_frame_make_writable(vframe)) < 0) break;
+            const uint8_t *src[1] = {rgb + (size_t)vi * h * w * 3};
+            const int src_stride[1] = {w * 3};
+            sws_scale(sws, src, src_stride, 0, h, vframe->data,
+                      vframe->linesize);
+            // time_base is 1/(fps*1000): frame vi at vi/fps s == pts vi*1000
+            vframe->pts = (int64_t)vi * 1000;
+            vi++;
+            if ((ret = avcodec_send_frame(venc, vframe)) < 0) break;
+            if ((ret = drain(venc, vst)) < 0) break;
+        } else {
+            aframe->nb_samples = afsz;
+            aframe->format = aenc->sample_fmt;
+            av_channel_layout_copy(&aframe->ch_layout, &aenc->ch_layout);
+            aframe->sample_rate = sr;
+            if ((ret = av_frame_get_buffer(aframe, 0)) < 0) break;
+            int take = (int)((n_samples - apos) < afsz ? (n_samples - apos)
+                                                       : afsz);
+            std::vector<float> in((size_t)afsz, 0.0f);
+            memcpy(in.data(), samples + apos, (size_t)take * sizeof(float));
+            const uint8_t *in_planes[1] = {(const uint8_t *)in.data()};
+            if ((ret = swr_convert(swr, aframe->extended_data, afsz,
+                                   in_planes, afsz)) < 0)
+                break;
+            aframe->pts = apos;
+            apos += afsz;
+            ret = avcodec_send_frame(aenc, aframe);
+            av_frame_unref(aframe);
+            if (ret < 0) break;
+            if ((ret = drain(aenc, ast)) < 0) break;
+        }
+    }
+    if (ret >= 0 && venc) {
+        if ((ret = avcodec_send_frame(venc, nullptr)) >= 0 ||
+            ret == AVERROR_EOF)
+            ret = drain(venc, vst);
+    }
+    if (ret >= 0 && aenc) {
+        if ((ret = avcodec_send_frame(aenc, nullptr)) >= 0 ||
+            ret == AVERROR_EOF)
+            ret = drain(aenc, ast);
     }
     if (ret >= 0) ret = av_write_trailer(oc);
-    else if (opened_io) av_write_trailer(oc);  // best-effort finalize on error
+    else if (opened_io) av_write_trailer(oc);
 
-    if (frame) av_frame_free(&frame);
+    if (vframe) av_frame_free(&vframe);
+    if (aframe) av_frame_free(&aframe);
     if (pkt) av_packet_free(&pkt);
+    if (sws) sws_freeContext(sws);
     if (swr) swr_free(&swr);
-    if (enc) avcodec_free_context(&enc);
+    if (venc) avcodec_free_context(&venc);
+    if (aenc) avcodec_free_context(&aenc);
     if (opened_io) avio_closep(&oc->pb);
     avformat_free_context(oc);
     return ret < 0 ? ret : 0;

@@ -345,6 +345,51 @@ class TestCombinedVisual:
         finally:
             db.close()
 
+    def test_realworld_video_e2e_through_worker(self, tmp_path):
+        """A reference-style input — one H.264 mp4 with an embedded AAC
+        track, no sidecar — runs discovery -> worker -> transcription +
+        scenes. The audio source is the video itself (native libav demux)."""
+        from eioku_tpu.ml import audio_io
+        from eioku_tpu.queue.worker import WorkerSettings
+        from eioku_tpu.workers.main import build_worker
+        from eioku_tpu.domain.models import PathConfig
+
+        if audio_io.native_decoder() is None:
+            pytest.skip("native audio shim unavailable in this image")
+        sr = 16000
+        tone = (0.4 * np.sin(2 * np.pi * 330 * np.arange(sr * 3) / sr)
+                ).astype(np.float32)
+        frames = np.zeros((30, 120, 160, 3), np.uint8)
+        frames[15:] = 200
+        video = str(tmp_path / "holiday.mp4")
+        audio_io.native_media_encode(video, frames, fps=10.0, samples=tone,
+                                     sr=sr)
+        assert audio_io.find_audio_for_video(video) == video
+
+        config = AppConfig(
+            scan_paths=[], auto_discover=False,
+            active_task_types=["scene_detection", "transcription"],
+            task_settings={"transcription": {"model": "whisper-tiny",
+                                             "max_tokens": 4,
+                                             "batch_size": 1}})
+        db = Database(f"sqlite:///{tmp_path}/rw.db")
+        ctx = build_context(config, db=db)
+        try:
+            ctx.paths.save(PathConfig(path=str(tmp_path)))
+            report = ctx.discovery.discover()
+            assert report.tasks_created == 2
+            worker = build_worker(app_ctx=ctx,
+                                  settings=WorkerSettings(max_jobs=1,
+                                                          poll_delay_s=0.01))
+            asyncio.run(worker.drain())
+            tasks = ctx.tasks.find(limit=10)
+            assert {t.status for t in tasks} == {TaskStatus.COMPLETED}, \
+                [(t.task_type, t.error) for t in tasks]
+            v = ctx.videos.list()[0]
+            assert "scene" in set(ctx.artifacts.list_types_for_asset(v.id))
+        finally:
+            db.close()
+
     def test_combined_e2e_through_worker(self, tmp_path, scene_video):
         from eioku_tpu.queue.worker import WorkerSettings
         from eioku_tpu.workers.main import build_worker

@@ -151,6 +151,35 @@ class TestAudioIO:
         y = audio_io.load_audio(video)
         assert len(y) > sr // 2 and np.abs(y).max() <= 1.0
 
+    def test_h264_aac_media_file(self, tmp_path):
+        """A reference-style input — one mp4 with H.264 video + AAC audio —
+        decodes on both sides: cv2 reads the frames, the shim demuxes the
+        audio track."""
+        if audio_io.native_decoder() is None:
+            pytest.skip("native audio shim unavailable in this image")
+        import cv2
+        sr = 16000
+        tone = (0.4 * np.sin(2 * np.pi * 440 * np.arange(sr * 3) / sr)
+                ).astype(np.float32)
+        frames = np.zeros((30, 120, 160, 3), np.uint8)
+        frames[15:] = 200
+        p = str(tmp_path / "real.mp4")
+        audio_io.native_media_encode(p, frames, fps=10.0, samples=tone, sr=sr)
+        cap = cv2.VideoCapture(p)
+        got = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            got.append(float(f.mean()))
+        cap.release()
+        assert len(got) >= 28  # some demuxers drop the final frame
+        assert got[0] < 20 and got[-1] > 180  # content survived the codec
+        assert audio_io.find_audio_for_video(p) == p
+        y = audio_io.load_audio(p)
+        spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        assert abs(np.argmax(spec) * sr / len(y) - 440.0) < 2.0
+
     def test_video_without_audio_uses_sidecar(self, tmp_path):
         """An mp4 with no audio stream still falls back to the sidecar."""
         if audio_io.native_decoder() is None:
