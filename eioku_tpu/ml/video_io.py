@@ -2,12 +2,19 @@
 
 TPU-native replacement for the reference's per-frame cv2 loop
 (/root/reference/ml-service/src/services/model_manager.py:236-299: one frame ->
-one inference call, `cap.grab()` to skip). Here decode stays on host (cv2) but
+one inference call, `cap.grab()` to skip). Here decode stays on host but
 frames are sampled at a configurable interval, resized on host to the model's
 input geometry (cheap, overlapped with TPU compute via double-buffered
 prefetch), stacked into fixed-shape uint8 batches, and handed to jitted/pjit
 model functions. Fixed shapes keep XLA from recompiling; the final partial
 batch is padded and masked.
+
+Two decode backends:
+  - native/video_decode.cpp (preferred on the serial path): libavcodec with
+    DCT-domain `lowres` decode when the model input is much smaller than the
+    source, and fused scale+YUV->RGB for sampled frames only. ctypes calls
+    release the GIL, so prefetch overlaps device compute.
+  - cv2 (fallback + the striped multi-worker path on many-core hosts).
 """
 from __future__ import annotations
 
@@ -55,6 +62,87 @@ class FrameBatch:
     @property
     def batch_size(self) -> int:
         return self.frames.shape[0]
+
+
+def _configure_video_lib(lib) -> None:
+    import ctypes
+    lib.eioku_video_open.restype = ctypes.c_int
+    lib.eioku_video_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_longlong)]
+    lib.eioku_video_read.restype = ctypes.c_int
+    lib.eioku_video_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int)]
+    lib.eioku_video_close.restype = None
+    lib.eioku_video_close.argtypes = [ctypes.c_void_p]
+
+
+def native_video_lib():
+    """native/video_decode.cpp, or None when it can't build/link."""
+    from eioku_tpu.utils.native_build import load_native_lib
+    return load_native_lib(
+        "video_decode", _configure_video_lib,
+        link_libs=("avformat", "avcodec", "swscale", "avutil"))
+
+
+def _decode_serial_native(path, fps, step, batch_size, resize_hw, max_frames
+                          ) -> Iterator[FrameBatch]:
+    """Serial sampled decode through the native shim. Mirrors _decode_segment's
+    whole-video contract (start 0, no striping): same sampled frame set, same
+    batch shapes. lowres only engages when resize_hw is much smaller than the
+    source, so output geometry always equals the cv2 path's."""
+    import ctypes
+    lib = native_video_lib()
+    target_h, target_w = resize_hw if resize_hw is not None else (0, 0)
+    h = ctypes.c_void_p()
+    src_w = ctypes.c_int()
+    src_h = ctypes.c_int()
+    out_w = ctypes.c_int()
+    out_h = ctypes.c_int()
+    c_fps = ctypes.c_double()
+    nf = ctypes.c_longlong()
+    ret = lib.eioku_video_open(path.encode(), target_w, target_h, 3,
+                               ctypes.byref(h), ctypes.byref(src_w),
+                               ctypes.byref(src_h), ctypes.byref(out_w),
+                               ctypes.byref(out_h), ctypes.byref(c_fps),
+                               ctypes.byref(nf))
+    if ret != 0:
+        raise IOError(f"cannot open video: {path} (averror {ret})")
+    try:
+        emitted = 0
+        while True:
+            want = batch_size
+            if max_frames is not None:
+                want = min(want, max_frames - emitted)
+                if want <= 0:
+                    return
+            buf = np.empty((batch_size, out_h.value, out_w.value, 3), np.uint8)
+            idx = np.empty((batch_size,), np.int64)
+            n = ctypes.c_int()
+            ret = lib.eioku_video_read(
+                h, step, want, buf.ctypes.data_as(ctypes.c_char_p),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                ctypes.byref(n))
+            if ret < 0:
+                raise IOError(f"video decode failed: {path} (averror {ret})")
+            valid = n.value
+            if valid:
+                buf[valid:] = 0
+                indices = np.zeros((batch_size,), np.int32)
+                indices[:valid] = idx[:valid]
+                stamps = np.zeros((batch_size,), np.int32)
+                stamps[:valid] = np.round(idx[:valid] / fps * 1000.0)
+                yield FrameBatch(frames=buf, frame_indices=indices,
+                                 timestamps_ms=stamps, valid=valid)
+                emitted += valid
+            if ret == 1 and valid < want:
+                return
+    finally:
+        lib.eioku_video_close(h)
 
 
 def probe(path: str) -> VideoInfo:
@@ -109,6 +197,11 @@ def iter_frame_batches(
         yield from _iter_batches_striped(path, info, step, batch_size,
                                          resize_hw, n_workers,
                                          use_procs=use_procs)
+        return
+    if native_video_lib() is not None and \
+            os.environ.get("EIOKU_NATIVE_DECODE", "1") != "0":
+        yield from _decode_serial_native(path, info.fps, step, batch_size,
+                                         resize_hw, max_frames)
         return
     yield from _decode_segment(path, info.fps, step, batch_size, resize_hw,
                                max_frames, start_frame=0, end_frame=None)

@@ -1,0 +1,196 @@
+// First-party sampled video decoder over the system FFmpeg libraries.
+//
+// The role: feed eioku_tpu/ml/video_io.py's fixed-shape frame batches faster
+// than cv2 can on a small host. Wins over the cv2 path (which fronts the same
+// libav code):
+//   - DCT-domain `lowres` decode: codecs that support it (mpeg4 = max_lowres
+//     3) decode directly at 1/2^L resolution — the biggest lever when the
+//     model input is small (scene scoring runs at 96x160 from 720p+ sources)
+//     and the host has few cores. cv2 never exposes this.
+//   - fused scale+colorspace: one sws_scale call converts YUV -> RGB at the
+//     target geometry, only for sampled frames; cv2's read() always converts
+//     full-resolution BGR first.
+// Replaces the reference's per-frame cv2 loop decode strategy
+// (/root/reference/ml-service/src/services/model_manager.py:236-299) on the
+// serial path; the cv2 stripe pool remains for many-core hosts.
+//
+// C ABI:
+//   eioku_video_open(path, target_w, target_h, max_lowres, &h,
+//                    &src_w, &src_h, &out_w, &out_h, &fps, &n_frames) -> 0 ok
+//       target 0x0 keeps the decoded geometry (lowres still applies).
+//       max_lowres caps the DCT-domain downscale; the codec's own max and the
+//       target size (stay >= ~1.2x target) bound it further.
+//   eioku_video_read(h, step, max_frames, rgb_out, indices_out, &n) -> 0 ok /
+//       1 EOF reached (n may still be > 0). Samples source frames whose index
+//       is a multiple of `step`, converts to RGB24 at out_w x out_h into
+//       rgb_out (max_frames*out_h*out_w*3 bytes), writes source frame indices.
+//   eioku_video_close(h)
+//
+// Build: g++ -O2 -shared -fPIC -std=c++17 video_decode.cpp
+//        -lavformat -lavcodec -lswscale -lavutil
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstring>
+
+namespace {
+
+struct Video {
+    AVFormatContext *fmt = nullptr;
+    AVCodecContext *dec = nullptr;
+    SwsContext *sws = nullptr;
+    AVPacket *pkt = nullptr;
+    AVFrame *frame = nullptr;
+    int stream = -1;
+    int out_w = 0, out_h = 0;
+    long long next_index = 0;  // presentation index of the next decoded frame
+    bool draining = false;
+    bool done = false;
+};
+
+void video_free(Video *v) {
+    if (!v) return;
+    if (v->sws) sws_freeContext(v->sws);
+    if (v->dec) avcodec_free_context(&v->dec);
+    if (v->fmt) avformat_close_input(&v->fmt);
+    if (v->pkt) av_packet_free(&v->pkt);
+    if (v->frame) av_frame_free(&v->frame);
+    delete v;
+}
+
+}  // namespace
+
+extern "C" {
+
+void eioku_video_close(void *h) { video_free((Video *)h); }
+
+int eioku_video_open(const char *path, int target_w, int target_h,
+                     int max_lowres, void **handle, int *src_w, int *src_h,
+                     int *out_w, int *out_h, double *fps,
+                     long long *n_frames) {
+    *handle = nullptr;
+    Video *v = new Video();
+    int ret = avformat_open_input(&v->fmt, path, nullptr, nullptr);
+    if (ret < 0) { video_free(v); return ret; }
+    if ((ret = avformat_find_stream_info(v->fmt, nullptr)) < 0) {
+        video_free(v);
+        return ret;
+    }
+    const AVCodec *codec = nullptr;
+    v->stream = av_find_best_stream(v->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                    &codec, 0);
+    if (v->stream < 0 || !codec) { video_free(v); return AVERROR_STREAM_NOT_FOUND; }
+    AVStream *st = v->fmt->streams[v->stream];
+
+    v->dec = avcodec_alloc_context3(codec);
+    if (!v->dec) { video_free(v); return AVERROR(ENOMEM); }
+    if ((ret = avcodec_parameters_to_context(v->dec, st->codecpar)) < 0) {
+        video_free(v);
+        return ret;
+    }
+    *src_w = v->dec->width;
+    *src_h = v->dec->height;
+
+    // pick the deepest DCT-domain downscale that keeps >= ~1.2x the target
+    int lowres = 0;
+    if (max_lowres > 0 && codec->max_lowres > 0 && target_w > 0 &&
+        target_h > 0) {
+        int cap = max_lowres < codec->max_lowres ? max_lowres
+                                                 : codec->max_lowres;
+        while (lowres < cap &&
+               (v->dec->width >> (lowres + 1)) * 5 >= target_w * 6 &&
+               (v->dec->height >> (lowres + 1)) * 5 >= target_h * 6)
+            lowres++;
+    }
+    v->dec->lowres = lowres;
+    if ((ret = avcodec_open2(v->dec, codec, nullptr)) < 0) {
+        video_free(v);
+        return ret;
+    }
+
+    int dec_w = AV_CEIL_RSHIFT(*src_w, lowres);
+    int dec_h = AV_CEIL_RSHIFT(*src_h, lowres);
+    v->out_w = target_w > 0 ? target_w : dec_w;
+    v->out_h = target_h > 0 ? target_h : dec_h;
+    *out_w = v->out_w;
+    *out_h = v->out_h;
+
+    double r = st->avg_frame_rate.den
+                   ? (double)st->avg_frame_rate.num / st->avg_frame_rate.den
+                   : 0.0;
+    if (r <= 0 && st->r_frame_rate.den)
+        r = (double)st->r_frame_rate.num / st->r_frame_rate.den;
+    *fps = r > 0 ? r : 30.0;
+    long long nf = st->nb_frames;
+    if (nf <= 0 && v->fmt->duration > 0)
+        nf = (long long)(*fps * v->fmt->duration / AV_TIME_BASE + 0.5);
+    *n_frames = nf;
+
+    v->pkt = av_packet_alloc();
+    v->frame = av_frame_alloc();
+    if (!v->pkt || !v->frame) { video_free(v); return AVERROR(ENOMEM); }
+    *handle = v;
+    return 0;
+}
+
+int eioku_video_read(void *h, int step, int max_frames,
+                     unsigned char *rgb_out, long long *indices_out,
+                     int *n_out) {
+    Video *v = (Video *)h;
+    *n_out = 0;
+    if (step < 1) step = 1;
+    const size_t frame_bytes = (size_t)v->out_w * v->out_h * 3;
+    int ret = 0;
+    while (*n_out < max_frames && !v->done) {
+        // pull every decoded frame; convert only the sampled ones
+        ret = avcodec_receive_frame(v->dec, v->frame);
+        if (ret == AVERROR(EAGAIN)) {
+            if (v->draining) { v->done = true; break; }
+            ret = av_read_frame(v->fmt, v->pkt);
+            if (ret == AVERROR_EOF) {
+                v->draining = true;
+                avcodec_send_packet(v->dec, nullptr);
+                continue;
+            }
+            if (ret < 0) return ret;
+            if (v->pkt->stream_index != v->stream) {
+                av_packet_unref(v->pkt);
+                continue;
+            }
+            ret = avcodec_send_packet(v->dec, v->pkt);
+            av_packet_unref(v->pkt);
+            if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
+            continue;
+        }
+        if (ret == AVERROR_EOF) { v->done = true; break; }
+        if (ret < 0) return ret;
+
+        long long idx = v->next_index++;
+        if (idx % step == 0) {
+            if (!v->sws) {
+                v->sws = sws_getContext(
+                    v->frame->width, v->frame->height,
+                    (AVPixelFormat)v->frame->format, v->out_w, v->out_h,
+                    AV_PIX_FMT_RGB24,
+                    v->frame->width >= v->out_w ? SWS_AREA : SWS_BILINEAR,
+                    nullptr, nullptr, nullptr);
+                if (!v->sws) return AVERROR(ENOMEM);
+            }
+            uint8_t *dst[1] = {rgb_out + (size_t)(*n_out) * frame_bytes};
+            const int dst_stride[1] = {v->out_w * 3};
+            sws_scale(v->sws, v->frame->data, v->frame->linesize, 0,
+                      v->frame->height, dst, dst_stride);
+            indices_out[*n_out] = idx;
+            (*n_out)++;
+        }
+        av_frame_unref(v->frame);
+    }
+    return v->done ? 1 : 0;
+}
+
+}  // extern "C"

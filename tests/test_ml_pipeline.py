@@ -40,6 +40,64 @@ def scene_video(tmp_path):
     return path
 
 
+class TestNativeDecode:
+    def test_matches_cv2_path(self, tmp_path, monkeypatch):
+        """The native decoder must sample the same frames with the same
+        indices/timestamps as the cv2 path, at full and resized geometry."""
+        from eioku_tpu.ml import video_io
+        if video_io.native_video_lib() is None:
+            pytest.skip("native video decoder unavailable in this image")
+        path = str(tmp_path / "v.mp4")
+        write_video(path, [(25, (200, 30, 30)), (30, (30, 200, 30))])
+
+        def collect(native, resize):
+            monkeypatch.setenv("EIOKU_NATIVE_DECODE", "1" if native else "0")
+            out = []
+            for b in video_io.iter_frame_batches(
+                    path, batch_size=8, frame_interval_s=0.3,
+                    resize_hw=resize, decode_threads=1):
+                for s in range(b.valid):
+                    out.append((int(b.frame_indices[s]),
+                                int(b.timestamps_ms[s]),
+                                b.frames[s].astype(np.int32)))
+            return out
+
+        for resize in (None, (48, 64)):
+            ref = collect(False, resize)
+            nat = collect(True, resize)
+            assert [x[:2] for x in ref] == [x[:2] for x in nat]
+            for (_, _, fa), (_, _, fb) in zip(ref, nat):
+                assert fa.shape == fb.shape
+                # different resize kernels (INTER_AREA vs SWS_AREA) may
+                # differ by a hair; content must match closely
+                assert float(np.abs(fa - fb).mean()) < 3.0
+
+    def test_lowres_engages_only_for_small_targets(self, tmp_path):
+        """mpeg4 supports DCT-domain lowres; a small target triggers it
+        without changing the emitted geometry, and content stays right."""
+        from eioku_tpu.ml import video_io
+        if video_io.native_video_lib() is None:
+            pytest.skip("native video decoder unavailable in this image")
+        path = str(tmp_path / "big.mp4")
+        write_video(path, [(12, (220, 10, 10))], size=(640, 480))
+        batches = list(video_io._decode_serial_native(
+            path, 10.0, 5, 4, (60, 80), None))
+        assert batches and batches[0].frames.shape == (4, 60, 80, 3)
+        frame = batches[0].frames[0].astype(np.float32)
+        assert frame[..., 0].mean() > 150  # red channel survived lowres
+        assert frame[..., 1].mean() < 80
+
+    def test_max_frames_cap(self, tmp_path):
+        from eioku_tpu.ml import video_io
+        if video_io.native_video_lib() is None:
+            pytest.skip("native video decoder unavailable in this image")
+        path = str(tmp_path / "cap.mp4")
+        write_video(path, [(40, (50, 50, 200))])
+        total = sum(b.valid for b in video_io._decode_serial_native(
+            path, 10.0, 2, 8, None, 5))
+        assert total == 5
+
+
 class TestVideoIO:
     def test_probe(self, scene_video):
         from eioku_tpu.ml.video_io import probe
