@@ -75,8 +75,11 @@ def _configure_video_lib(lib) -> None:
         ctypes.POINTER(ctypes.c_longlong)]
     lib.eioku_video_read.restype = ctypes.c_int
     lib.eioku_video_read.argtypes = [
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int)]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.eioku_video_seek.restype = ctypes.c_int
+    lib.eioku_video_seek.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
     lib.eioku_video_close.restype = None
     lib.eioku_video_close.argtypes = [ctypes.c_void_p]
 
@@ -89,12 +92,20 @@ def native_video_lib():
         link_libs=("avformat", "avcodec", "swscale", "avutil"))
 
 
-def _decode_serial_native(path, fps, step, batch_size, resize_hw, max_frames
-                          ) -> Iterator[FrameBatch]:
-    """Serial sampled decode through the native shim. Mirrors _decode_segment's
-    whole-video contract (start 0, no striping): same sampled frame set, same
-    batch shapes. lowres only engages when resize_hw is much smaller than the
-    source, so output geometry always equals the cv2 path's."""
+def _native_enabled() -> bool:
+    return native_video_lib() is not None and \
+        os.environ.get("EIOKU_NATIVE_DECODE", "1") != "0"
+
+
+def _decode_native(path, fps, step, batch_size, resize_hw, max_frames,
+                   start_frame: int = 0, end_frame: int = -1
+                   ) -> Iterator[FrameBatch]:
+    """Sampled decode of [start_frame, end_frame) through the native shim.
+    Mirrors _decode_segment's contract: same sampled frame set (indices are
+    multiples of `step` counted from frame 0), same batch shapes. lowres only
+    engages when resize_hw is much smaller than the source, so output
+    geometry always equals the cv2 path's. ctypes releases the GIL during
+    decode, so stripe workers and the prefetch thread truly overlap."""
     import ctypes
     lib = native_video_lib()
     target_h, target_w = resize_hw if resize_hw is not None else (0, 0)
@@ -113,6 +124,10 @@ def _decode_serial_native(path, fps, step, batch_size, resize_hw, max_frames
     if ret != 0:
         raise IOError(f"cannot open video: {path} (averror {ret})")
     try:
+        if start_frame:
+            ret = lib.eioku_video_seek(h, start_frame)
+            if ret != 0:
+                raise IOError(f"video seek failed: {path} (averror {ret})")
         emitted = 0
         while True:
             want = batch_size
@@ -124,7 +139,8 @@ def _decode_serial_native(path, fps, step, batch_size, resize_hw, max_frames
             idx = np.empty((batch_size,), np.int64)
             n = ctypes.c_int()
             ret = lib.eioku_video_read(
-                h, step, want, buf.ctypes.data_as(ctypes.c_char_p),
+                h, step, want, end_frame,
+                buf.ctypes.data_as(ctypes.c_char_p),
                 idx.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
                 ctypes.byref(n))
             if ret < 0:
@@ -143,6 +159,13 @@ def _decode_serial_native(path, fps, step, batch_size, resize_hw, max_frames
                 return
     finally:
         lib.eioku_video_close(h)
+
+
+def _decode_native_list(path, fps, step, batch_size, resize_hw,
+                        start_frame: int, end_frame: int) -> list[FrameBatch]:
+    """Stripe-worker entry point (one segment -> its batches)."""
+    return list(_decode_native(path, fps, step, batch_size, resize_hw, None,
+                               start_frame, end_frame))
 
 
 def probe(path: str) -> VideoInfo:
@@ -198,10 +221,9 @@ def iter_frame_batches(
                                          resize_hw, n_workers,
                                          use_procs=use_procs)
         return
-    if native_video_lib() is not None and \
-            os.environ.get("EIOKU_NATIVE_DECODE", "1") != "0":
-        yield from _decode_serial_native(path, info.fps, step, batch_size,
-                                         resize_hw, max_frames)
+    if _native_enabled():
+        yield from _decode_native(path, info.fps, step, batch_size,
+                                  resize_hw, max_frames)
         return
     yield from _decode_segment(path, info.fps, step, batch_size, resize_hw,
                                max_frames, start_frame=0, end_frame=None)
@@ -304,8 +326,12 @@ def _iter_batches_striped(path, info, step, batch_size, resize_hw,
                                          step, batch_size, resize_hw, *rng)
         owned = None
     else:
+        # stripe workers use the native decoder when it's available: decode
+        # runs with the GIL released, plus lowres/fused-convert per stripe
+        worker = _decode_native_list if _native_enabled() \
+            else _decode_segment_list
         owned = ThreadPoolExecutor(max_workers=n_workers)
-        submit = lambda rng: owned.submit(_decode_segment_list, path, info.fps,
+        submit = lambda rng: owned.submit(worker, path, info.fps,
                                           step, batch_size, resize_hw, *rng)
     try:
         pending: deque = deque()

@@ -20,10 +20,15 @@
 //       target 0x0 keeps the decoded geometry (lowres still applies).
 //       max_lowres caps the DCT-domain downscale; the codec's own max and the
 //       target size (stay >= ~1.2x target) bound it further.
-//   eioku_video_read(h, step, max_frames, rgb_out, indices_out, &n) -> 0 ok /
-//       1 EOF reached (n may still be > 0). Samples source frames whose index
-//       is a multiple of `step`, converts to RGB24 at out_w x out_h into
-//       rgb_out (max_frames*out_h*out_w*3 bytes), writes source frame indices.
+//   eioku_video_read(h, step, max_frames, end_frame, rgb_out, indices_out,
+//                    &n) -> 0 ok / 1 EOF-or-end reached (n may still be > 0).
+//       Samples source frames whose index is a multiple of `step`, converts
+//       to RGB24 at out_w x out_h into rgb_out (max_frames*out_h*out_w*3
+//       bytes), writes source frame indices. end_frame < 0 = to EOF;
+//       otherwise stops before that presentation index (stripe segments).
+//   eioku_video_seek(h, frame_index) -> 0 ok. Seeks to the keyframe at or
+//       before frame_index, then decodes forward discarding frames until the
+//       next emitted frame is frame_index (exact, stripe-aligned).
 //   eioku_video_close(h)
 //
 // Build: g++ -O2 -shared -fPIC -std=c++17 video_decode.cpp
@@ -48,9 +53,11 @@ struct Video {
     AVFrame *frame = nullptr;
     int stream = -1;
     int out_w = 0, out_h = 0;
+    double fps = 30.0;
     long long next_index = 0;  // presentation index of the next decoded frame
     bool draining = false;
     bool done = false;
+    bool pending = false;  // v->frame holds an undelivered post-seek frame
 };
 
 void video_free(Video *v) {
@@ -126,6 +133,7 @@ int eioku_video_open(const char *path, int target_w, int target_h,
     if (r <= 0 && st->r_frame_rate.den)
         r = (double)st->r_frame_rate.num / st->r_frame_rate.den;
     *fps = r > 0 ? r : 30.0;
+    v->fps = *fps;
     long long nf = st->nb_frames;
     if (nf <= 0 && v->fmt->duration > 0)
         nf = (long long)(*fps * v->fmt->duration / AV_TIME_BASE + 0.5);
@@ -138,7 +146,7 @@ int eioku_video_open(const char *path, int target_w, int target_h,
     return 0;
 }
 
-int eioku_video_read(void *h, int step, int max_frames,
+int eioku_video_read(void *h, int step, int max_frames, long long end_frame,
                      unsigned char *rgb_out, long long *indices_out,
                      int *n_out) {
     Video *v = (Video *)h;
@@ -147,8 +155,14 @@ int eioku_video_read(void *h, int step, int max_frames,
     const size_t frame_bytes = (size_t)v->out_w * v->out_h * 3;
     int ret = 0;
     while (*n_out < max_frames && !v->done) {
+        if (end_frame >= 0 && v->next_index >= end_frame) return 1;
         // pull every decoded frame; convert only the sampled ones
-        ret = avcodec_receive_frame(v->dec, v->frame);
+        if (v->pending) {
+            v->pending = false;
+            ret = 0;
+        } else {
+            ret = avcodec_receive_frame(v->dec, v->frame);
+        }
         if (ret == AVERROR(EAGAIN)) {
             if (v->draining) { v->done = true; break; }
             ret = av_read_frame(v->fmt, v->pkt);
@@ -191,6 +205,57 @@ int eioku_video_read(void *h, int step, int max_frames,
         av_frame_unref(v->frame);
     }
     return v->done ? 1 : 0;
+}
+
+int eioku_video_seek(void *h, long long frame_index) {
+    Video *v = (Video *)h;
+    AVStream *st = v->fmt->streams[v->stream];
+    double tb = av_q2d(st->time_base);
+    int64_t start = st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
+    int64_t ts = start + (int64_t)(frame_index / v->fps / tb + 0.5);
+    int ret = av_seek_frame(v->fmt, v->stream, ts, AVSEEK_FLAG_BACKWARD);
+    if (ret < 0) return ret;
+    avcodec_flush_buffers(v->dec);
+    v->draining = false;
+    v->done = false;
+    v->next_index = -1;  // unknown until the first post-seek frame arrives
+    // decode forward, discarding everything before frame_index; the first
+    // decoded frame's timestamp recovers the presentation index
+    while (true) {
+        ret = avcodec_receive_frame(v->dec, v->frame);
+        if (ret == AVERROR(EAGAIN)) {
+            ret = av_read_frame(v->fmt, v->pkt);
+            if (ret == AVERROR_EOF) {
+                v->draining = true;
+                avcodec_send_packet(v->dec, nullptr);
+                continue;
+            }
+            if (ret < 0) return ret;
+            if (v->pkt->stream_index != v->stream) {
+                av_packet_unref(v->pkt);
+                continue;
+            }
+            ret = avcodec_send_packet(v->dec, v->pkt);
+            av_packet_unref(v->pkt);
+            if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
+            continue;
+        }
+        if (ret == AVERROR_EOF) { v->done = true; return 0; }
+        if (ret < 0) return ret;
+        if (v->next_index < 0) {
+            int64_t pts = v->frame->best_effort_timestamp;
+            if (pts == AV_NOPTS_VALUE) pts = start;
+            v->next_index =
+                (long long)((pts - start) * tb * v->fps + 0.5);
+        }
+        if (v->next_index >= frame_index) break;
+        v->next_index++;
+        av_frame_unref(v->frame);
+    }
+    // the loop exits holding the first in-range frame in v->frame; read()
+    // consumes it before pulling the decoder again
+    v->pending = true;
+    return 0;
 }
 
 }  // extern "C"

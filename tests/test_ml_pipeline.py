@@ -80,7 +80,7 @@ class TestNativeDecode:
             pytest.skip("native video decoder unavailable in this image")
         path = str(tmp_path / "big.mp4")
         write_video(path, [(12, (220, 10, 10))], size=(640, 480))
-        batches = list(video_io._decode_serial_native(
+        batches = list(video_io._decode_native(
             path, 10.0, 5, 4, (60, 80), None))
         assert batches and batches[0].frames.shape == (4, 60, 80, 3)
         frame = batches[0].frames[0].astype(np.float32)
@@ -93,7 +93,7 @@ class TestNativeDecode:
             pytest.skip("native video decoder unavailable in this image")
         path = str(tmp_path / "cap.mp4")
         write_video(path, [(40, (50, 50, 200))])
-        total = sum(b.valid for b in video_io._decode_serial_native(
+        total = sum(b.valid for b in video_io._decode_native(
             path, 10.0, 2, 8, None, 5))
         assert total == 5
 
@@ -332,6 +332,30 @@ class TestStripedDecode:
         s_frames = np.concatenate([b.frames[:b.valid] for b in serial])
         p_frames = np.concatenate([b.frames[:b.valid] for b in striped])
         np.testing.assert_array_equal(s_frames, p_frames)
+
+    def test_native_stripes_match_cv2_stripes(self, tmp_path, monkeypatch):
+        """Native stripe workers (seek + bounded read) must produce the same
+        sampled set as cv2 stripe workers."""
+        from eioku_tpu.ml import video_io
+        if video_io.native_video_lib() is None:
+            pytest.skip("native video decoder unavailable in this image")
+        path = str(tmp_path / "long3.mp4")
+        write_video(path, [(60, (10, 200, 40)), (60, (220, 10, 10))], fps=12)
+        info = video_io.probe(path)
+        step = max(int(round(info.fps * 0.25)), 1)
+
+        def stripes(native):
+            monkeypatch.setenv("EIOKU_NATIVE_DECODE", "1" if native else "0")
+            return list(video_io._iter_batches_striped(
+                path, info, step, 8, None, n_workers=3))
+
+        ref, nat = stripes(False), stripes(True)
+        r_idx = np.concatenate([b.frame_indices[:b.valid] for b in ref])
+        n_idx = np.concatenate([b.frame_indices[:b.valid] for b in nat])
+        np.testing.assert_array_equal(r_idx, n_idx)
+        r_f = np.concatenate([b.frames[:b.valid] for b in ref])
+        n_f = np.concatenate([b.frames[:b.valid] for b in nat])
+        np.testing.assert_array_equal(r_f, n_f)  # full res: bit-exact
 
     def test_striped_falls_back_on_short_video(self, scene_video):
         from eioku_tpu.ml.video_io import iter_frame_batches
