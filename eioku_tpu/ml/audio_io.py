@@ -242,19 +242,30 @@ def load_audio(path: str, target_sr: int = SAMPLE_RATE) -> np.ndarray:
     raise RuntimeError(f"no audio stream found in {path!r}")
 
 
+def _decodable_extensions() -> tuple[str, ...]:
+    """Audio extensions the current process can actually decode: .m4a/.aac
+    need the native shim; without it they must not be selected as sources
+    (an undecodable pick would fail the task instead of degrading to an
+    empty transcript)."""
+    if native_decoder() is not None:
+        return AUDIO_EXTENSIONS
+    return tuple(e for e in AUDIO_EXTENSIONS if e not in (".m4a", ".aac"))
+
+
 def find_audio_for_video(video_path: str) -> str | None:
     """Locate the audio source for a video: the file itself when it is an
     audio file or a container with an embedded audio track (native shim
     probe — the reference's ffmpeg demux equivalent), else a sidecar audio
     file with the same basename (wav preferred)."""
-    if video_path.lower().endswith(AUDIO_EXTENSIONS):
+    exts = _decodable_extensions()
+    if video_path.lower().endswith(exts):
         return video_path
     lib = native_decoder()
     if lib is not None and os.path.isfile(video_path) and \
             lib.eioku_audio_probe(video_path.encode()) == 1:
         return video_path
     base = os.path.splitext(video_path)[0]
-    for ext in AUDIO_EXTENSIONS:
+    for ext in exts:
         for cand in (base + ext, base + ext.upper()):
             if os.path.isfile(cand):
                 return cand

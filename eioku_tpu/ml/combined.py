@@ -148,9 +148,9 @@ class _OcrConsumer:
             _STD,
             DETECT_H,
             DETECT_W,
-            extract_quads,
+            detect_text_crops,
+            quad_to_source_polygon,
             recognize_crops,
-            warp_quad_crop,
         )
         from eioku_tpu.models.ocr.craft import craft_forward
 
@@ -167,20 +167,9 @@ class _OcrConsumer:
         sx = self.src_w / DETECT_W
         sy = self.src_h / DETECT_H
         for i in range(valid):
-            quads = extract_quads(scores[i, :, :, 0], scores[i, :, :, 1])
-            if not quads:
-                continue
             gray = cv2.cvtColor(stack[i], cv2.COLOR_RGB2GRAY)
-            crops, metas = [], []
-            for (x0, y0, x1, y1), quad in quads:
-                crop = warp_quad_crop(gray, quad * 2.0)
-                if crop is None:
-                    crop = gray[y0 * 2:y1 * 2, x0 * 2:x1 * 2]
-                if crop.size == 0:
-                    continue
-                h, w = crop.shape
-                crops.append(cv2.resize(crop, (max(int(w * 32.0 / h), 8), 32)))
-                metas.append(quad * 2.0)  # detector-input coords
+            crops, metas = detect_text_crops(gray, scores[i, :, :, 0],
+                                             scores[i, :, :, 1])
             if not crops:
                 continue
             frame_idx, t_ms = self._meta[i]
@@ -189,11 +178,11 @@ class _OcrConsumer:
                         metas, recognize_crops(crnn, crops, charset)):
                     if not text or conf < self.min_conf:
                         continue
-                    poly = [[float(max(px * sx, 0.0)), float(max(py * sy, 0.0))]
-                            for px, py in quad]
                     self.results.append({
                         "payload": {"text": text, "confidence": min(conf, 1.0),
-                                    "polygon": poly, "languages": langs,
+                                    "polygon": quad_to_source_polygon(
+                                        quad, sx, sy),
+                                    "languages": langs,
                                     "frame_index": frame_idx},
                         "span_start_ms": t_ms,
                         "span_end_ms": t_ms + self.frame_ms,
@@ -215,13 +204,25 @@ def run_visual_analysis(video_path: str, config: dict,
     info = video_io.probe(video_path)
     fps = info.fps or 30.0
     frame_ms = int(round(1000.0 / fps))
-    scfg = config.get("scene_detection", {})
-    ocfg = config.get("object_detection", {})
-    fcfg = config.get("face_detection", {})
-    pcfg = config.get("place_classification", {})
+    # each sub-task runs only when its sub-config is present — discovery
+    # includes exactly the active task types, so e.g. an OCR-only fold does
+    # no detection/scene/place work
+    scfg = config.get("scene_detection")
+    ocfg = config.get("object_detection")
+    fcfg = config.get("face_detection")
+    pcfg = config.get("place_classification")
+    xcfg = config.get("ocr")
 
-    sample_fps = float(scfg.get("sample_fps", 4.0))
-    interval_s = 1.0 / max(sample_fps, 1e-6)
+    # base sampling grid: the scene cadence when scenes run, else the
+    # fastest active consumer cadence
+    if scfg is not None:
+        sample_fps = float(scfg.get("sample_fps", 4.0))
+        interval_s = 1.0 / max(sample_fps, 1e-6)
+    else:
+        candidates = [float(c.get("frame_interval_s", d))
+                      for c, d in ((ocfg, 1.0), (fcfg, 3.0), (pcfg, 1.0),
+                                   (xcfg, 2.0)) if c is not None]
+        interval_s = min(candidates) if candidates else 1.0
     base_step = max(int(round(fps * interval_s)), 1)
 
     def substep(seconds: float) -> int:
@@ -250,7 +251,8 @@ def run_visual_analysis(video_path: str, config: dict,
         int(ocfg.get("batch_size", 64)), model_cache_dir,
         lambda label, conf, box, fi: {"label": label, "confidence": conf,
                                       "bounding_box": box, "frame_number": fi},
-        frame_ms, (info.width, info.height), coord_scale)
+        frame_ms, (info.width, info.height), coord_scale) \
+        if ocfg is not None else None
     faces = _DetectionConsumer(
         fcfg.get("model", "yolov8n-face"), 1, [],
         float(fcfg.get("confidence_threshold", 0.7)),
@@ -258,21 +260,24 @@ def run_visual_analysis(video_path: str, config: dict,
         int(fcfg.get("batch_size", 64)), model_cache_dir,
         lambda label, conf, box, fi: {"cluster_id": None, "confidence": conf,
                                       "bounding_box": box, "frame_number": fi},
-        frame_ms, (info.width, info.height), coord_scale)
+        frame_ms, (info.width, info.height), coord_scale) \
+        if fcfg is not None else None
 
-    xcfg = config.get("ocr")
     ocr = _OcrConsumer(
         xcfg, substep(float(xcfg.get("frame_interval_s", 2.0))),
         int(xcfg.get("batch_size", 16)), model_cache_dir,
         (info.width, info.height), frame_ms) if xcfg is not None else None
 
-    place_params, place_labels = load_places(model_cache_dir)
-    place_step = substep(float(pcfg.get("frame_interval_s", 1.0)))
-    place_topk = int(pcfg.get("top_k", 5))
+    if pcfg is not None:
+        place_params, place_labels = load_places(model_cache_dir)
+        place_step = substep(float(pcfg.get("frame_interval_s", 1.0)))
+        place_topk = int(pcfg.get("top_k", 5))
+        place_bs = int(pcfg.get("batch_size", 64))
+    else:
+        place_step = 0
     place_batch: list[np.ndarray] = []
     place_meta: list[tuple[int, int]] = []
     place_results: list[dict] = []
-    place_bs = int(pcfg.get("batch_size", 64))
 
     def flush_places():
         import cv2
@@ -299,7 +304,7 @@ def run_visual_analysis(video_path: str, config: dict,
         place_meta.clear()
 
     # scene state
-    threshold = float(scfg.get("threshold", 0.1))
+    threshold = float(scfg.get("threshold", 0.1)) if scfg is not None else 0.0
     prev_plane = jnp.zeros((SCENE_H * SCENE_W * 3,), jnp.float32)
     boundaries: list[tuple[int, float]] = []
     first = True
@@ -311,58 +316,66 @@ def run_visual_analysis(video_path: str, config: dict,
             video_path, batch_size=batch_size, frame_interval_s=interval_s,
             resize_hw=dec_hw, decode_threads=decode_threads,
             decode_procs=decode_procs)):
-        # Scene scoring needs only 96x160: resize on host so the device upload
-        # is ~40x smaller than shipping full-resolution frames (host->device
-        # bandwidth is the scarce resource; measured 3x regression otherwise).
-        import cv2
-        small_np = np.stack([
-            cv2.resize(batch.frames[i], (SCENE_W, SCENE_H),
-                       interpolation=cv2.INTER_AREA)
-            for i in range(batch.frames.shape[0])])
-        planes = frames_to_hsv_planes(jnp.asarray(small_np))
-        scores = np.asarray(scene_scores(prev_plane, planes))
-        prev_plane = planes[max(batch.valid - 1, 0)]
+        if scfg is not None:
+            # Scene scoring needs only 96x160: resize on host so the device
+            # upload is ~40x smaller than shipping full-resolution frames
+            # (host->device bandwidth is the scarce resource; measured 3x
+            # regression otherwise).
+            import cv2
+            small_np = np.stack([
+                cv2.resize(batch.frames[i], (SCENE_W, SCENE_H),
+                           interpolation=cv2.INTER_AREA)
+                for i in range(batch.frames.shape[0])])
+            planes = frames_to_hsv_planes(jnp.asarray(small_np))
+            scores = np.asarray(scene_scores(prev_plane, planes))
+            prev_plane = planes[max(batch.valid - 1, 0)]
         for slot in range(batch.valid):
             fi = int(batch.frame_indices[slot])
             t_ms = int(batch.timestamps_ms[slot])
-            if first and slot == 0:
-                first = False
-            elif scores[slot] > threshold:
-                boundaries.append((t_ms, float(scores[slot])))
-            objects.offer(batch.frames[slot], fi, t_ms)
-            faces.offer(batch.frames[slot], fi, t_ms)
+            if scfg is not None:
+                if first and slot == 0:
+                    first = False
+                elif scores[slot] > threshold:
+                    boundaries.append((t_ms, float(scores[slot])))
+            if objects is not None:
+                objects.offer(batch.frames[slot], fi, t_ms)
+            if faces is not None:
+                faces.offer(batch.frames[slot], fi, t_ms)
             if ocr is not None:
                 ocr.offer(batch.frames[slot], fi, t_ms)
-            if fi % place_step == 0:
+            if place_step and fi % place_step == 0:
                 place_batch.append(batch.frames[slot])
                 place_meta.append((fi, t_ms))
                 if len(place_batch) == place_bs:
                     flush_places()
-    objects.flush()
-    faces.flush()
+    if objects is not None:
+        objects.flush()
+    if faces is not None:
+        faces.flush()
     flush_places()
     if ocr is not None:
         ocr.flush()
 
-    scenes = assemble_scenes(boundaries, info.duration_ms,
-                             float(scfg.get("min_scene_len_s", 0.5)))
-    scene_results = [
-        {"payload": {"scene_index": s.scene_index, "start_ms": s.start_ms,
-                     "end_ms": s.end_ms, "duration_ms": s.duration_ms,
-                     "score": round(s.score, 4)},
-         "span_start_ms": s.start_ms, "span_end_ms": s.end_ms}
-        for s in scenes
-    ]
-    # face clustering over the merged face results
-    from eioku_tpu.ml.detection import _assign_face_clusters
-    _assign_face_clusters(faces.results)
-
-    out = {
-        "scene_detection": scene_results,
-        "object_detection": objects.results,
-        "face_detection": faces.results,
-        "place_classification": place_results,
-    }
+    out: dict[str, list[dict]] = {}
+    if scfg is not None:
+        scenes = assemble_scenes(boundaries, info.duration_ms,
+                                 float(scfg.get("min_scene_len_s", 0.5)))
+        out["scene_detection"] = [
+            {"payload": {"scene_index": s.scene_index, "start_ms": s.start_ms,
+                         "end_ms": s.end_ms, "duration_ms": s.duration_ms,
+                         "score": round(s.score, 4)},
+             "span_start_ms": s.start_ms, "span_end_ms": s.end_ms}
+            for s in scenes
+        ]
+    if objects is not None:
+        out["object_detection"] = objects.results
+    if faces is not None:
+        # face clustering over the merged face results
+        from eioku_tpu.ml.detection import _assign_face_clusters
+        _assign_face_clusters(faces.results)
+        out["face_detection"] = faces.results
+    if pcfg is not None:
+        out["place_classification"] = place_results
     if ocr is not None:
         out["ocr"] = ocr.results
     return out

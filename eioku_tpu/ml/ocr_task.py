@@ -142,6 +142,44 @@ def recognize_crops(crnn_params, crops: list[np.ndarray],
     return results  # type: ignore[return-value]
 
 
+def detect_text_crops(gray: np.ndarray, region: np.ndarray,
+                      affinity: np.ndarray
+                      ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Quads -> rectified 32-px-high crops for ONE frame at detector geometry.
+
+    `gray` is the detector-input grayscale frame; region/affinity are the
+    CRAFT score maps (half detector resolution). Returns (crops, quads) with
+    quads in detector-input coordinates — the shared front half of the
+    standalone task and the combined-pass OCR consumer.
+    """
+    import cv2
+
+    quads = extract_quads(region, affinity)
+    crops: list[np.ndarray] = []
+    metas: list[np.ndarray] = []
+    for (x0, y0, x1, y1), quad in quads:
+        # slanted text: rectify along the minAreaRect quad before
+        # recognition (EasyOCR's warp); axis-aligned uses the slice
+        crop = warp_quad_crop(gray, quad * 2.0)
+        if crop is None:
+            crop = gray[y0 * 2:y1 * 2, x0 * 2:x1 * 2]
+        if crop.size == 0:
+            continue
+        h, w = crop.shape
+        crops.append(cv2.resize(crop, (max(int(w * 32.0 / h), 8), 32)))
+        metas.append(quad * 2.0)  # detector-input coords
+    return crops, metas
+
+
+def quad_to_source_polygon(quad: np.ndarray, sx: float, sy: float
+                           ) -> list[list[float]]:
+    """Detector-input quad -> clipped source-pixel polygon payload (the
+    reference's easyocr emits rotated quads; minAreaRect corners can poke
+    past the frame, so clip at 0)."""
+    return [[float(max(px * sx, 0.0)), float(max(py * sy, 0.0))]
+            for px, py in quad]
+
+
 def run_ocr(video_path: str, config: dict,
             model_cache_dir: str | None = None) -> list[dict]:
     interval = float(config.get("frame_interval_s", 2.0))
@@ -157,8 +195,8 @@ def run_ocr(video_path: str, config: dict,
                                                              recognizer)
     info = video_io.probe(video_path)
     frame_ms = int(round(1000.0 / info.fps)) if info.fps else 33
-    sx = info.width / DETECT_W * 2.0   # score map is half detect resolution
-    sy = info.height / DETECT_H * 2.0
+    sx = info.width / DETECT_W   # detector-input coords -> source pixels
+    sy = info.height / DETECT_H
 
     results: list[dict] = []
     decode_threads = int(config.get("decode_threads", 4))
@@ -171,25 +209,9 @@ def run_ocr(video_path: str, config: dict,
         scores = np.asarray(craft_forward(craft_params, jnp.asarray(x)),
                             np.float32)
         for i in range(batch.valid):
-            quads = extract_quads(scores[i, :, :, 0], scores[i, :, :, 1])
-            if not quads:
-                continue
             gray = cv2.cvtColor(batch.frames[i], cv2.COLOR_RGB2GRAY)
-            crops, metas = [], []
-            for (x0, y0, x1, y1), quad in quads:
-                # score map coords -> detector-input coords (x2)
-                fx0, fy0, fx1, fy1 = x0 * 2, y0 * 2, x1 * 2, y1 * 2
-                # slanted text: rectify along the minAreaRect quad before
-                # recognition (EasyOCR's warp); axis-aligned uses the slice
-                crop = warp_quad_crop(gray, quad * 2.0)
-                if crop is None:
-                    crop = gray[fy0:fy1, fx0:fx1]
-                if crop.size == 0:
-                    continue
-                h, w = crop.shape
-                new_w = max(int(w * 32.0 / h), 8)
-                crops.append(cv2.resize(crop, (new_w, 32)))
-                metas.append(quad * 2.0)  # detector-input coords
+            crops, metas = detect_text_crops(gray, scores[i, :, :, 0],
+                                             scores[i, :, :, 1])
             if not crops:
                 continue
             texts = recognize_crops(crnn_params, crops, charset)
@@ -197,14 +219,10 @@ def run_ocr(video_path: str, config: dict,
             for quad, (text, conf) in zip(metas, texts):
                 if not text or conf < min_conf:
                     continue
-                # detector-input coords -> source pixel coords; the payload
-                # polygon is the rotated quad, as the reference's easyocr
-                # emits (minAreaRect corners can poke past the frame: clip)
-                poly = [[float(max(px * sx / 2, 0.0)),
-                         float(max(py * sy / 2, 0.0))] for px, py in quad]
                 results.append({
                     "payload": {"text": text, "confidence": min(conf, 1.0),
-                                "polygon": poly, "languages": languages,
+                                "polygon": quad_to_source_polygon(quad, sx, sy),
+                                "languages": languages,
                                 "frame_index": int(batch.frame_indices[i])},
                     "span_start_ms": t0, "span_end_ms": t0 + frame_ms,
                 })

@@ -93,8 +93,9 @@ def native_video_lib():
 
 
 def _native_enabled() -> bool:
-    return native_video_lib() is not None and \
-        os.environ.get("EIOKU_NATIVE_DECODE", "1") != "0"
+    # env first: the kill switch must short-circuit the build/dlopen entirely
+    return os.environ.get("EIOKU_NATIVE_DECODE", "1") != "0" and \
+        native_video_lib() is not None
 
 
 def _decode_native(path, fps, step, batch_size, resize_hw, max_frames,
@@ -143,9 +144,13 @@ def _decode_native(path, fps, step, batch_size, resize_hw, max_frames,
                 buf.ctypes.data_as(ctypes.c_char_p),
                 idx.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
                 ctypes.byref(n))
-            if ret < 0:
-                raise IOError(f"video decode failed: {path} (averror {ret})")
             valid = n.value
+            if ret < 0:
+                # hard mid-stream error: keep what decoded, like the cv2
+                # path's `if not ok: break` — partial results beat a failed
+                # task on a truncated recording
+                log.warning("video decode error on %s (averror %d); "
+                            "keeping %d frames of this read", path, ret, valid)
             if valid:
                 buf[valid:] = 0
                 indices = np.zeros((batch_size,), np.int32)
@@ -155,7 +160,7 @@ def _decode_native(path, fps, step, batch_size, resize_hw, max_frames,
                 yield FrameBatch(frames=buf, frame_indices=indices,
                                  timestamps_ms=stamps, valid=valid)
                 emitted += valid
-            if ret == 1 and valid < want:
+            if ret < 0 or (ret == 1 and valid < want):
                 return
     finally:
         lib.eioku_video_close(h)

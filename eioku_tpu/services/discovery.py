@@ -151,13 +151,15 @@ class VideoDiscoveryService:
             if self.tasks.exists(video.id, task_type, language):
                 continue
             if task_type == "visual_analysis":
-                # carries one sub-config per visual consumer (ml/combined.py);
-                # OCR joins the pass only when it was an active task type
+                # carries one sub-config per ACTIVE visual consumer
+                # (ml/combined.py runs exactly the sub-tasks whose config is
+                # present — an OCR-only fold must not run detection)
+                active = set(self.config.active_task_types or ACTIVE_TASK_TYPES)
                 config = {sub: self.config.settings_for(sub)
                           for sub in ("scene_detection", "object_detection",
-                                      "face_detection", "place_classification")}
-                if "ocr" in (self.config.active_task_types or ACTIVE_TASK_TYPES):
-                    config["ocr"] = self.config.settings_for("ocr")
+                                      "face_detection", "place_classification",
+                                      "ocr")
+                          if sub in active}
             else:
                 config = self.config.settings_for(task_type)
             if language is not None:

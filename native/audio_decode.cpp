@@ -86,9 +86,14 @@ int eioku_audio_probe(const char *path) {
     AVFormatContext *fmt = nullptr;
     if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
     int found = 0;
-    if (avformat_find_stream_info(fmt, nullptr) >= 0 &&
-        av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0) >= 0)
-        found = 1;
+    if (avformat_find_stream_info(fmt, nullptr) >= 0) {
+        // require a *decodable* stream (same test decode applies), so an
+        // undecodable track never shadows a usable sidecar file
+        const AVCodec *codec = nullptr;
+        if (av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec,
+                                0) >= 0 && codec)
+            found = 1;
+    }
     avformat_close_input(&fmt);
     return found;
 }
@@ -130,23 +135,23 @@ int eioku_audio_decode(const char *path, int target_sr, float **out_buf,
     bool eof = false;
     while (!eof) {
         ret = av_read_frame(c.fmt, c.pkt);
-        if (ret == AVERROR_EOF) {
+        if (ret < 0) {
+            // EOF, or a truncated/corrupt tail: flush and keep what decoded
             eof = true;
-        } else if (ret < 0) {
-            return ret;
         } else if (c.pkt->stream_index != stream) {
             av_packet_unref(c.pkt);
             continue;
         }
         ret = avcodec_send_packet(c.dec, eof ? nullptr : c.pkt);
         av_packet_unref(c.pkt);
-        if (ret < 0 && ret != AVERROR_EOF) return ret;
+        if (ret < 0 && ret != AVERROR_EOF && !eof)
+            continue;  // skip a corrupt packet, keep decoding
         while ((ret = avcodec_receive_frame(c.dec, c.frame)) >= 0) {
             if ((ret = convert_into(c.swr, pcm, c.frame, target_sr)) < 0)
                 return ret;
             av_frame_unref(c.frame);
         }
-        if (ret != AVERROR(EAGAIN) && ret != AVERROR_EOF) return ret;
+        if (ret != AVERROR(EAGAIN) && ret != AVERROR_EOF && !eof) return ret;
     }
     // flush the resampler's delay line
     if ((ret = convert_into(c.swr, pcm, nullptr, target_sr)) < 0) return ret;
@@ -182,6 +187,7 @@ int eioku_media_encode(const char *path, const unsigned char *rgb,
     AVFrame *vframe = nullptr, *aframe = nullptr;
     AVPacket *pkt = av_packet_alloc();
     bool opened_io = false;
+    bool header_written = false;
     ret = pkt ? 0 : AVERROR(ENOMEM);
 
     const bool want_video = rgb && n_frames > 0;
@@ -264,7 +270,10 @@ int eioku_media_encode(const char *path, const unsigned char *rgb,
         ret = avio_open(&oc->pb, path, AVIO_FLAG_WRITE);
         opened_io = ret >= 0;
     }
-    if (ret >= 0) ret = avformat_write_header(oc, nullptr);
+    if (ret >= 0) {
+        ret = avformat_write_header(oc, nullptr);
+        header_written = ret >= 0;
+    }
 
     // drain one encoder's ready packets into the muxer
     auto drain = [&](AVCodecContext *enc, AVStream *st) {
@@ -331,8 +340,8 @@ int eioku_media_encode(const char *path, const unsigned char *rgb,
             ret == AVERROR_EOF)
             ret = drain(aenc, ast);
     }
-    if (ret >= 0) ret = av_write_trailer(oc);
-    else if (opened_io) av_write_trailer(oc);
+    // av_write_trailer is only valid after a successful write_header
+    if (header_written) av_write_trailer(oc);
 
     if (vframe) av_frame_free(&vframe);
     if (aframe) av_frame_free(&aframe);

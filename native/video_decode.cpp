@@ -166,19 +166,19 @@ int eioku_video_read(void *h, int step, int max_frames, long long end_frame,
         if (ret == AVERROR(EAGAIN)) {
             if (v->draining) { v->done = true; break; }
             ret = av_read_frame(v->fmt, v->pkt);
-            if (ret == AVERROR_EOF) {
+            if (ret < 0) {
+                // EOF or truncated/corrupt tail: flush, keep decoded frames
                 v->draining = true;
                 avcodec_send_packet(v->dec, nullptr);
                 continue;
             }
-            if (ret < 0) return ret;
             if (v->pkt->stream_index != v->stream) {
                 av_packet_unref(v->pkt);
                 continue;
             }
             ret = avcodec_send_packet(v->dec, v->pkt);
             av_packet_unref(v->pkt);
-            if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
+            // a corrupt packet is skipped, not fatal (cv2-path behavior)
             continue;
         }
         if (ret == AVERROR_EOF) { v->done = true; break; }
@@ -224,20 +224,19 @@ int eioku_video_seek(void *h, long long frame_index) {
     while (true) {
         ret = avcodec_receive_frame(v->dec, v->frame);
         if (ret == AVERROR(EAGAIN)) {
+            if (v->draining) { v->done = true; return 0; }
             ret = av_read_frame(v->fmt, v->pkt);
-            if (ret == AVERROR_EOF) {
+            if (ret < 0) {
                 v->draining = true;
                 avcodec_send_packet(v->dec, nullptr);
                 continue;
             }
-            if (ret < 0) return ret;
             if (v->pkt->stream_index != v->stream) {
                 av_packet_unref(v->pkt);
                 continue;
             }
-            ret = avcodec_send_packet(v->dec, v->pkt);
+            avcodec_send_packet(v->dec, v->pkt);  // corrupt packets skipped
             av_packet_unref(v->pkt);
-            if (ret < 0 && ret != AVERROR(EAGAIN)) return ret;
             continue;
         }
         if (ret == AVERROR_EOF) { v->done = true; return 0; }

@@ -410,6 +410,31 @@ class TestCombinedVisual:
             SchemaRegistry.validate("ocr.text", 1, r["payload"])
             assert r["payload"]["languages"] == ["en"]
 
+    def test_ocr_only_fold_skips_other_visual_tasks(self, tmp_path,
+                                                    scene_video):
+        """combined_visual with only OCR active must not run (or emit)
+        detection/scene/place work."""
+        from eioku_tpu.domain.models import PathConfig
+        from eioku_tpu.ml.combined import run_visual_analysis
+        results = run_visual_analysis(scene_video, {
+            "ocr": {"languages": ["en"], "frame_interval_s": 2.0,
+                    "batch_size": 4}})
+        assert set(results) == {"ocr"}
+
+        config = AppConfig(
+            scan_paths=[], auto_discover=False, combined_visual=True,
+            active_task_types=["ocr"])
+        db = Database(f"sqlite:///{tmp_path}/ocronly.db")
+        ctx = build_context(config, db=db)
+        try:
+            ctx.paths.save(PathConfig(path=str(tmp_path)))
+            ctx.discovery.discover()
+            tasks = ctx.tasks.find(limit=10)
+            assert [t.task_type for t in tasks] == ["visual_analysis"]
+            assert set(tasks[0].config) == {"ocr"}
+        finally:
+            db.close()
+
     def test_combined_discovery_folds_ocr(self, tmp_path, scene_video):
         from eioku_tpu.domain.models import PathConfig
         config = AppConfig(

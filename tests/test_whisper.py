@@ -194,6 +194,21 @@ class TestAudioIO:
         wav = self._write_wav(tmp_path / "movie.wav")
         assert audio_io.find_audio_for_video(video) == wav
 
+    def test_m4a_sidecar_ignored_without_shim(self, tmp_path, monkeypatch):
+        """Without the native shim, an .m4a sidecar must be skipped (not
+        selected then failed): the task degrades to wav-or-nothing."""
+        if audio_io.native_decoder() is not None:
+            sr = 16000
+            tone = (0.3 * np.sin(np.arange(sr) * 0.2)).astype(np.float32)
+            audio_io.native_encode(str(tmp_path / "movie.m4a"), tone, sr)
+        else:
+            (tmp_path / "movie.m4a").write_bytes(b"fake")
+        (tmp_path / "movie.mp4").write_bytes(b"x")
+        monkeypatch.setattr(audio_io, "native_decoder", lambda: None)
+        assert audio_io.find_audio_for_video(str(tmp_path / "movie.mp4")) is None
+        wav = self._write_wav(tmp_path / "movie.wav")
+        assert audio_io.find_audio_for_video(str(tmp_path / "movie.mp4")) == wav
+
     def test_vad_detects_silence(self):
         sr = 16000
         silent = np.zeros(sr, np.float32)
