@@ -107,6 +107,35 @@ def cmd_finetune(args) -> int:
     return 0
 
 
+def cmd_extract_audio(args) -> int:
+    """Demux+decode a video's audio track (native libav shim) and write it
+    back out — wav (PCM) or AAC in m4a/mp4/mov, by output extension."""
+    from eioku_tpu.ml import audio_io
+
+    src = audio_io.find_audio_for_video(args.video)
+    if src is None:
+        print(json.dumps({"error": "no audio stream or sidecar found",
+                          "video": args.video}))
+        return 1
+    audio = audio_io.load_audio(src)
+    out = args.out
+    if out.lower().endswith(".wav"):
+        import wave
+
+        import numpy as np
+        with wave.open(out, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(audio_io.SAMPLE_RATE)
+            w.writeframes((np.clip(audio, -1, 1) * 32767)
+                          .astype(np.int16).tobytes())
+    else:
+        audio_io.native_encode(out, audio)
+    print(json.dumps({"source": src, "out": out,
+                      "seconds": round(len(audio) / audio_io.SAMPLE_RATE, 2)}))
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(prog="eioku", description="eioku-tpu ops CLI")
     parser.add_argument("--db", default=None, help="database URL")
@@ -136,6 +165,12 @@ def main() -> int:
 
     p = sub.add_parser("discover", help="scan configured paths now")
     p.set_defaults(fn=cmd_discover)
+
+    p = sub.add_parser("extract-audio",
+                       help="decode a video's audio track to wav/m4a")
+    p.add_argument("video")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_extract_audio)
 
     p = sub.add_parser("finetune",
                        help="fine-tune the embedder on indexed transcripts")

@@ -97,6 +97,28 @@ class TestNativeDecode:
             path, 10.0, 2, 8, None, 5))
         assert total == 5
 
+    def test_truncated_file_yields_partial_frames(self, tmp_path):
+        """A tail-truncated recording must yield the frames that decoded,
+        not raise and fail the whole task (cv2-path behavior parity)."""
+        from eioku_tpu.ml import audio_io, video_io
+        if video_io.native_video_lib() is None:
+            pytest.skip("native video decoder unavailable in this image")
+        # MPEG-TS: a streamable container, so a truncated prefix stays
+        # readable (an mp4 would lose its tail moov index entirely)
+        path = str(tmp_path / "full.ts")
+        frames = np.zeros((40, 96, 128, 3), np.uint8)
+        for i in range(40):
+            frames[i, :, : (i + 1) * 3] = 200
+        audio_io.native_media_encode(path, frames, fps=10.0)
+        data = open(path, "rb").read()
+        cut = str(tmp_path / "cut.ts")
+        open(cut, "wb").write(data[: int(len(data) * 0.6)])
+        got = sum(b.valid for b in video_io._decode_native(
+            cut, 10.0, 1, 8, None, None))
+        full = sum(b.valid for b in video_io._decode_native(
+            path, 10.0, 1, 8, None, None))
+        assert 0 < got < full
+
 
 class TestVideoIO:
     def test_probe(self, scene_video):
