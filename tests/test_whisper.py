@@ -375,6 +375,54 @@ class TestConverter:
         assert out.shape == (1, 1500, d)
 
 
+class TestHFParity:
+    def test_encoder_and_decoder_match_torch_whisper(self):
+        """Numerical parity vs the HuggingFace torch Whisper implementation
+        (random weights, tiny dims): converter + architecture fidelity in one
+        check — the guarantee that real checkpoints transcribe identically
+        (SURVEY.md hard-part 4)."""
+        transformers = pytest.importorskip("transformers")
+        torch = pytest.importorskip("torch")
+
+        hf_cfg = transformers.WhisperConfig(
+            vocab_size=TINY.vocab_size, num_mel_bins=80, d_model=384,
+            encoder_layers=4, decoder_layers=4, encoder_attention_heads=6,
+            decoder_attention_heads=6, encoder_ffn_dim=1536,
+            decoder_ffn_dim=1536, max_source_positions=1500,
+            max_target_positions=448, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0)
+        torch.manual_seed(0)
+        model = transformers.WhisperModel(hf_cfg).eval()
+        # pin the encoder positions to our sinusoid table so the comparison
+        # is insensitive to the HF init path for the non-trainable embedding
+        with torch.no_grad():
+            model.encoder.embed_positions.weight.copy_(
+                torch.from_numpy(np.asarray(sinusoids(1500, 384))))
+
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = convert_whisper_state_dict(sd, TINY)
+
+        rng = np.random.default_rng(0)
+        mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            hf_enc = model.encoder(torch.from_numpy(mel)).last_hidden_state
+        ours_enc = whisper_encode(params, jnp.asarray(mel), TINY)
+        np.testing.assert_allclose(np.asarray(ours_enc), hf_enc.numpy(),
+                                   atol=2e-3, rtol=1e-3)
+
+        toks = rng.integers(0, TINY.vocab_size, (1, 6)).astype(np.int64)
+        with torch.no_grad():
+            hf_hidden = model.decoder(
+                input_ids=torch.from_numpy(toks),
+                encoder_hidden_states=hf_enc).last_hidden_state
+            # HF ties the LM head to the token embedding
+            hf_logits = hf_hidden @ model.decoder.embed_tokens.weight.T
+        ours_logits = whisper_decode_full(params, jnp.asarray(toks, jnp.int32),
+                                          ours_enc, TINY)
+        np.testing.assert_allclose(np.asarray(ours_logits), hf_logits.numpy(),
+                                   atol=5e-3, rtol=1e-3)
+
+
 class TestTranscribePipeline:
     def test_no_audio_returns_empty(self, tmp_path):
         from eioku_tpu.ml.transcribe import run_transcription
