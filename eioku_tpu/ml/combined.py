@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eioku_tpu.ml import video_io
-from eioku_tpu.ml.detection import _load_model, letterbox_batch
+from eioku_tpu.ml.detection import INPUT_SIZE, _load_model, letterbox_batch
 from eioku_tpu.models.yolo.classes import COCO_CLASSES
 from eioku_tpu.models.yolo.postprocess import detect
 from eioku_tpu.ops.colorspace import frames_to_hsv_planes
@@ -56,6 +56,7 @@ class _DetectionConsumer:
         self.coord_scale = coord_scale
         self._frames: list[np.ndarray] = []
         self._meta: list[tuple[int, int]] = []  # (frame_idx, t_ms)
+        self._pending: list[tuple] = []  # dispatched, not yet fetched
         self.results: list[dict] = []
 
     def offer(self, frame: np.ndarray, frame_idx: int, t_ms: int) -> None:
@@ -66,40 +67,74 @@ class _DetectionConsumer:
         if len(self._frames) == self.batch_size:
             self.flush()
 
+    # bounds queued device work: each undrained flush pins its uploaded
+    # input batch (batch x HxWx3) until the device executes it
+    MAX_PENDING = 16
+
     def flush(self) -> None:
+        """Dispatch the batch to the device WITHOUT fetching results: JAX
+        dispatch is async, so detection overlaps decode and the other
+        consumers. drain() forces the transfers (per-batch blocking round
+        trips dominated the combined pass on high-latency links)."""
+        from eioku_tpu.models.yolo.postprocess import pad_offsets_for
+
         if not self._frames:
             return
         valid = len(self._frames)
+        # bucket partial batches to the next power of two: a final 20-frame
+        # flush uploads a 32-slot batch, not the full 64 (few extra compiles)
+        bucket = self.batch_size
+        for c in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            if valid <= c <= self.batch_size:
+                bucket = c
+                break
         stack = np.stack(self._frames + [np.zeros_like(self._frames[0])]
-                         * (self.batch_size - valid))
-        boxed, scale, (pad_x, pad_y) = letterbox_batch(stack, valid)
+                         * (bucket - valid))
+        h, w = stack.shape[1:3]
+        if max(h, w) == INPUT_SIZE:
+            # decode already delivered detector-scale frames: upload the real
+            # pixels only and let detect() pad to stride alignment on device
+            # (a 360x640 frame letterboxed on host to 640x640 wastes 44% of
+            # the upload on gray padding)
+            scale, (pad_x, pad_y) = 1.0, pad_offsets_for(h, w)
+            boxed = stack
+        else:
+            boxed, scale, (pad_x, pad_y) = letterbox_batch(stack, valid)
         out = detect(self.params, boxed, self.cfg, conf_threshold=self.conf)
-        boxes = np.asarray(out["boxes"])
-        scores = np.asarray(out["scores"])
-        classes = np.asarray(out["classes"])
-        ok = np.asarray(out["valid"])
-        for i in range(valid):
-            frame_idx, t_ms = self._meta[i]
-            for j in np.nonzero(ok[i])[0]:
-                x1, y1, x2, y2 = boxes[i, j]
-                cs = self.coord_scale
-                x1 = float(np.clip((x1 - pad_x) / scale * cs, 0, self.src_w))
-                x2 = float(np.clip((x2 - pad_x) / scale * cs, 0, self.src_w))
-                y1 = float(np.clip((y1 - pad_y) / scale * cs, 0, self.src_h))
-                y2 = float(np.clip((y2 - pad_y) / scale * cs, 0, self.src_h))
-                if x2 <= x1 or y2 <= y1:
-                    continue
-                label = self.class_names[int(classes[i, j])] \
-                    if self.class_names else "face"
-                self.results.append({
-                    "payload": self.payload_builder(
-                        label, float(scores[i, j]),
-                        {"x": x1, "y": y1, "width": x2 - x1, "height": y2 - y1},
-                        frame_idx),
-                    "span_start_ms": t_ms,
-                    "span_end_ms": t_ms + self.frame_ms,
-                })
+        self._pending.append((out, self._meta, scale, (pad_x, pad_y), valid))
         self._frames, self._meta = [], []
+        if len(self._pending) >= self.MAX_PENDING:
+            self.drain()
+
+    def drain(self) -> None:
+        for out, meta, scale, (pad_x, pad_y), valid in self._pending:
+            boxes = np.asarray(out["boxes"])
+            scores = np.asarray(out["scores"])
+            classes = np.asarray(out["classes"])
+            ok = np.asarray(out["valid"])
+            for i in range(valid):
+                frame_idx, t_ms = meta[i]
+                for j in np.nonzero(ok[i])[0]:
+                    x1, y1, x2, y2 = boxes[i, j]
+                    cs = self.coord_scale
+                    x1 = float(np.clip((x1 - pad_x) / scale * cs, 0, self.src_w))
+                    x2 = float(np.clip((x2 - pad_x) / scale * cs, 0, self.src_w))
+                    y1 = float(np.clip((y1 - pad_y) / scale * cs, 0, self.src_h))
+                    y2 = float(np.clip((y2 - pad_y) / scale * cs, 0, self.src_h))
+                    if x2 <= x1 or y2 <= y1:
+                        continue
+                    label = self.class_names[int(classes[i, j])] \
+                        if self.class_names else "face"
+                    self.results.append({
+                        "payload": self.payload_builder(
+                            label, float(scores[i, j]),
+                            {"x": x1, "y": y1,
+                             "width": x2 - x1, "height": y2 - y1},
+                            frame_idx),
+                        "span_start_ms": t_ms,
+                        "span_end_ms": t_ms + self.frame_ms,
+                    })
+        self._pending = []
 
 
 class _OcrConsumer:
@@ -130,6 +165,7 @@ class _OcrConsumer:
         self.src_w, self.src_h = src_wh
         self._frames: list[np.ndarray] = []
         self._meta: list[tuple[int, int]] = []
+        self._pending: list[tuple] = []  # dispatched CRAFT, not yet fetched
         self.results: list[dict] = []
 
     def offer(self, frame: np.ndarray, frame_idx: int, t_ms: int) -> None:
@@ -140,18 +176,15 @@ class _OcrConsumer:
         if len(self._frames) == self.batch_size:
             self.flush()
 
+    MAX_PENDING = 8  # grayscale staging for undrained CRAFT batches
+
     def flush(self) -> None:
+        """Dispatch CRAFT detection async (like _DetectionConsumer.flush);
+        quad extraction and recognition — which need the scores on host —
+        happen in drain()."""
         import cv2
 
-        from eioku_tpu.ml.ocr_task import (
-            _MEAN,
-            _STD,
-            DETECT_H,
-            DETECT_W,
-            detect_text_crops,
-            quad_to_source_polygon,
-            recognize_crops,
-        )
+        from eioku_tpu.ml.ocr_task import _MEAN, _STD, DETECT_H, DETECT_W
         from eioku_tpu.models.ocr.craft import craft_forward
 
         if not self._frames:
@@ -162,32 +195,49 @@ class _OcrConsumer:
         det += [np.zeros_like(det[0])] * (self.batch_size - valid)
         stack = np.stack(det)
         x = (stack.astype(np.float32) / 255.0 - _MEAN) / _STD
-        scores = np.asarray(craft_forward(self.craft_params, jnp.asarray(x)),
-                            np.float32)
+        scores = craft_forward(self.craft_params, jnp.asarray(x))
+        grays = [cv2.cvtColor(stack[i], cv2.COLOR_RGB2GRAY)
+                 for i in range(valid)]
+        self._pending.append((scores, grays, self._meta))
+        self._frames, self._meta = [], []
+        if len(self._pending) >= self.MAX_PENDING:
+            self.drain()
+
+    def drain(self) -> None:
+        from eioku_tpu.ml.ocr_task import (
+            DETECT_H,
+            DETECT_W,
+            detect_text_crops,
+            quad_to_source_polygon,
+            recognize_crops,
+        )
+
         sx = self.src_w / DETECT_W
         sy = self.src_h / DETECT_H
-        for i in range(valid):
-            gray = cv2.cvtColor(stack[i], cv2.COLOR_RGB2GRAY)
-            crops, metas = detect_text_crops(gray, scores[i, :, :, 0],
-                                             scores[i, :, :, 1])
-            if not crops:
-                continue
-            frame_idx, t_ms = self._meta[i]
-            for crnn, charset, langs in self.recognizers:
-                for quad, (text, conf) in zip(
-                        metas, recognize_crops(crnn, crops, charset)):
-                    if not text or conf < self.min_conf:
-                        continue
-                    self.results.append({
-                        "payload": {"text": text, "confidence": min(conf, 1.0),
-                                    "polygon": quad_to_source_polygon(
-                                        quad, sx, sy),
-                                    "languages": langs,
-                                    "frame_index": frame_idx},
-                        "span_start_ms": t_ms,
-                        "span_end_ms": t_ms + self.frame_ms,
-                    })
-        self._frames, self._meta = [], []
+        for scores_dev, grays, meta in self._pending:
+            scores = np.asarray(scores_dev, np.float32)
+            for i, gray in enumerate(grays):
+                crops, metas = detect_text_crops(gray, scores[i, :, :, 0],
+                                                 scores[i, :, :, 1])
+                if not crops:
+                    continue
+                frame_idx, t_ms = meta[i]
+                for crnn, charset, langs in self.recognizers:
+                    for quad, (text, conf) in zip(
+                            metas, recognize_crops(crnn, crops, charset)):
+                        if not text or conf < self.min_conf:
+                            continue
+                        self.results.append({
+                            "payload": {"text": text,
+                                        "confidence": min(conf, 1.0),
+                                        "polygon": quad_to_source_polygon(
+                                            quad, sx, sy),
+                                        "languages": langs,
+                                        "frame_index": frame_idx},
+                            "span_start_ms": t_ms,
+                            "span_end_ms": t_ms + self.frame_ms,
+                        })
+        self._pending = []
 
 
 def run_visual_analysis(video_path: str, config: dict,
@@ -277,9 +327,11 @@ def run_visual_analysis(video_path: str, config: dict,
         place_step = 0
     place_batch: list[np.ndarray] = []
     place_meta: list[tuple[int, int]] = []
+    place_pending: list[tuple] = []  # (sc_dev, idx_dev, meta, valid)
     place_results: list[dict] = []
 
     def flush_places():
+        """Dispatch async; drain_places() fetches (see consumer flush note)."""
         import cv2
         if not place_batch:
             return
@@ -292,22 +344,31 @@ def run_visual_analysis(video_path: str, config: dict,
         logits = resnet18_forward(place_params, preprocess(jnp.asarray(stack)))
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         sc, idx = jax.lax.top_k(probs, place_topk)
-        sc, idx = np.asarray(sc), np.asarray(idx)
-        for i in range(valid):
-            fi, t_ms = place_meta[i]
-            preds = [{"label": place_labels[int(idx[i, j])],
-                      "confidence": float(sc[i, j])} for j in range(place_topk)]
-            place_results.append({
-                "payload": {"predictions": preds, "frame_number": fi},
-                "span_start_ms": t_ms, "span_end_ms": t_ms + frame_ms})
+        place_pending.append((sc, idx, list(place_meta), valid))
         place_batch.clear()
         place_meta.clear()
+        if len(place_pending) >= 48:
+            drain_places()
 
-    # scene state
+    def drain_places():
+        for sc_dev, idx_dev, meta, valid in place_pending:
+            sc, idx = np.asarray(sc_dev), np.asarray(idx_dev)
+            for i in range(valid):
+                fi, t_ms = meta[i]
+                preds = [{"label": place_labels[int(idx[i, j])],
+                          "confidence": float(sc[i, j])}
+                         for j in range(place_topk)]
+                place_results.append({
+                    "payload": {"predictions": preds, "frame_number": fi},
+                    "span_start_ms": t_ms, "span_end_ms": t_ms + frame_ms})
+        place_pending.clear()
+
+    # scene state: per-batch score arrays stay on device until the post-pass
+    # (prev-plane chaining is device-side, so dispatch never blocks)
     threshold = float(scfg.get("threshold", 0.1)) if scfg is not None else 0.0
     prev_plane = jnp.zeros((SCENE_H * SCENE_W * 3,), jnp.float32)
+    scene_pending: list[tuple] = []  # (scores_dev, timestamps, valid)
     boundaries: list[tuple[int, float]] = []
-    first = True
 
     batch_size = int(config.get("batch_size", 32))
     decode_threads = int(config.get("decode_threads", 4))
@@ -327,16 +388,12 @@ def run_visual_analysis(video_path: str, config: dict,
                            interpolation=cv2.INTER_AREA)
                 for i in range(batch.frames.shape[0])])
             planes = frames_to_hsv_planes(jnp.asarray(small_np))
-            scores = np.asarray(scene_scores(prev_plane, planes))
+            scene_pending.append((scene_scores(prev_plane, planes),
+                                  batch.timestamps_ms.copy(), batch.valid))
             prev_plane = planes[max(batch.valid - 1, 0)]
         for slot in range(batch.valid):
             fi = int(batch.frame_indices[slot])
             t_ms = int(batch.timestamps_ms[slot])
-            if scfg is not None:
-                if first and slot == 0:
-                    first = False
-                elif scores[slot] > threshold:
-                    boundaries.append((t_ms, float(scores[slot])))
             if objects is not None:
                 objects.offer(batch.frames[slot], fi, t_ms)
             if faces is not None:
@@ -348,16 +405,31 @@ def run_visual_analysis(video_path: str, config: dict,
                 place_meta.append((fi, t_ms))
                 if len(place_batch) == place_bs:
                     flush_places()
+    # final partial batches dispatch, then everything drains: transfers all
+    # happen after the full video's device work is queued
     if objects is not None:
         objects.flush()
+        objects.drain()
     if faces is not None:
         faces.flush()
+        faces.drain()
     flush_places()
+    drain_places()
     if ocr is not None:
         ocr.flush()
+        ocr.drain()
 
     out: dict[str, list[dict]] = {}
     if scfg is not None:
+        first = True
+        for scores_dev, stamps, valid in scene_pending:
+            scores = np.asarray(scores_dev)
+            for slot in range(valid):
+                if first and slot == 0:
+                    first = False
+                elif scores[slot] > threshold:
+                    boundaries.append((int(stamps[slot]),
+                                       float(scores[slot])))
         scenes = assemble_scenes(boundaries, info.duration_ms,
                                  float(scfg.get("min_scene_len_s", 0.5)))
         out["scene_detection"] = [

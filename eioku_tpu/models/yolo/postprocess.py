@@ -93,6 +93,11 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
     }
 
 
+def pad_offsets_for(h: int, w: int) -> tuple[int, int]:
+    """(pad_x, pad_y) that detect() applies to align (h, w) to stride 32."""
+    return ((-w) % 32) // 2, ((-h) % 32) // 2
+
+
 @partial(jax.jit, static_argnames=("cfg", "top_k", "max_det"))
 def detect(params: Params, images: jnp.ndarray, cfg: YoloConfig,
            conf_threshold: float = 0.25, iou_threshold: float = 0.45,
@@ -105,6 +110,15 @@ def detect(params: Params, images: jnp.ndarray, cfg: YoloConfig,
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.bfloat16) / 255.0
     b, h, w, _ = images.shape
+    if h % 32 or w % 32:
+        # pad to stride alignment ON DEVICE (letterbox gray), centered — the
+        # host then uploads only real pixels; callers account for the offset
+        # via pad_offsets_for()
+        ph, pw = (-h) % 32, (-w) % 32
+        images = jnp.pad(images, ((0, 0), (ph // 2, ph - ph // 2),
+                                  (pw // 2, pw - pw // 2), (0, 0)),
+                         constant_values=114.0 / 255.0)
+        h, w = h + ph, w + pw
     box_logits, cls_logits = yolo_forward(params, images, cfg)
     anchors, strides = anchor_points(h, w, cfg.strides)
     boxes = decode_boxes(box_logits, anchors, strides, cfg.reg_max)
