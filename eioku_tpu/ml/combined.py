@@ -395,13 +395,15 @@ def run_visual_analysis(video_path: str, config: dict,
             fi = int(batch.frame_indices[slot])
             t_ms = int(batch.timestamps_ms[slot])
             if objects is not None:
-                objects.offer(batch.frames[slot], fi, t_ms)
+                # .copy(): a buffered view would pin the whole decode
+                # batch in memory until the consumer's next flush
+                objects.offer(batch.frames[slot].copy(), fi, t_ms)
             if faces is not None:
-                faces.offer(batch.frames[slot], fi, t_ms)
+                faces.offer(batch.frames[slot].copy(), fi, t_ms)
             if ocr is not None:
-                ocr.offer(batch.frames[slot], fi, t_ms)
+                ocr.offer(batch.frames[slot].copy(), fi, t_ms)
             if place_step and fi % place_step == 0:
-                place_batch.append(batch.frames[slot])
+                place_batch.append(batch.frames[slot].copy())
                 place_meta.append((fi, t_ms))
                 if len(place_batch) == place_bs:
                     flush_places()
@@ -444,7 +446,7 @@ def run_visual_analysis(video_path: str, config: dict,
     if faces is not None:
         # face clustering over the merged face results
         from eioku_tpu.ml.detection import _assign_face_clusters
-        _assign_face_clusters(faces.results)
+        _assign_face_clusters(faces.results, frame_step=faces.step)
         out["face_detection"] = faces.results
     if pcfg is not None:
         out["place_classification"] = place_results

@@ -182,17 +182,27 @@ def run_face_detection(video_path: str, config: dict,
     return results
 
 
-def _assign_face_clusters(results: list[dict]) -> None:
+def _assign_face_clusters(results: list[dict],
+                          frame_step: int | None = None) -> None:
     """Cross-frame IoU tracking -> cluster ids (the capability the reference
-    declared but never implemented; see ml/face_tracking.py)."""
+    declared but never implemented; see ml/face_tracking.py).
+
+    frame_step: source frames per sample; estimated from the detection frame
+    numbers when not provided (frames with no faces never reach the tracker,
+    so gaps must be measured in source-frame distance)."""
     from eioku_tpu.ml.face_tracking import FaceTracker
 
-    tracker = FaceTracker()
+    frames = sorted({r["payload"]["frame_number"] for r in results})
+    if frame_step is None:
+        diffs = [b - a for a, b in zip(frames, frames[1:]) if b > a]
+        frame_step = min(diffs) if diffs else 1
+    tracker = FaceTracker(frame_step=max(frame_step, 1))
     by_frame: dict[int, list[dict]] = {}
     for r in results:
         by_frame.setdefault(r["payload"]["frame_number"], []).append(r)
-    for frame in sorted(by_frame):
+    for frame in frames:
         group = by_frame[frame]
-        ids = tracker.assign([r["payload"]["bounding_box"] for r in group])
+        ids = tracker.assign([r["payload"]["bounding_box"] for r in group],
+                             frame_index=frame)
         for r, cid in zip(group, ids):
             r["payload"]["cluster_id"] = cid

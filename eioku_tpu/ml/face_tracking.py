@@ -39,17 +39,25 @@ class FaceTracker:
 
     iou_threshold: float = 0.3
     max_gap_frames: int = 3  # sampled frames a track may skip before closing
+    frame_step: int = 1  # source frames between samples (gap is measured in
+    #                      source-frame distance: face-free stretches must
+    #                      expire tracks even though they produce no assigns)
     _tracks: list[_Track] = field(default_factory=list)
     _next_id: int = 0
     _frame_counter: int = 0
 
-    def assign(self, detections: list[dict]) -> list[str]:
+    def assign(self, detections: list[dict],
+               frame_index: int | None = None) -> list[str]:
         """detections: bounding_box dicts for one sampled frame (time order).
-        Returns a cluster id per detection."""
+        frame_index: the source frame number — tracks expire by source-frame
+        distance, so identities separated by minutes of face-free video never
+        merge. Falls back to call counting when omitted."""
         self._frame_counter += 1
-        now = self._frame_counter
+        now = frame_index if frame_index is not None else self._frame_counter
+        horizon = self.max_gap_frames * \
+            (self.frame_step if frame_index is not None else 1)
         self._tracks = [t for t in self._tracks
-                        if now - t.last_frame <= self.max_gap_frames]
+                        if now - t.last_frame <= horizon]
         ids: list[str] = []
         used: set[int] = set()
         for det in detections:

@@ -74,12 +74,7 @@ def extract_metadata(path: str) -> dict:
                  "extra": {}}
     try:
         with open(path, "rb") as f:
-            data = f.read(64 * 1024 * 1024)  # moov is at head or tail of typical files
-        if len(data) == 64 * 1024 * 1024:
-            size = os.path.getsize(path)
-            with open(path, "rb") as f:
-                f.seek(max(size - 32 * 1024 * 1024, 0))
-                data += f.read()
+            data = _read_top_level_boxes(f, os.path.getsize(path))
         _parse_mp4(data, out)
     except Exception:
         log.exception("mp4 parse failed", extra={"path": path})
@@ -91,6 +86,45 @@ def extract_metadata(path: str) -> dict:
             mtime, _dt.timezone.utc).isoformat()
         out["extra"]["create_date_source"] = "file_mtime"
     return out
+
+
+def _read_top_level_boxes(f, filesize: int,
+                          max_bytes: int = 256 * 1024 * 1024) -> bytes:
+    """Collect every top-level box EXCEPT mdat by seeking through the file.
+
+    Media payloads routinely dwarf any fixed read window (the common
+    non-faststart layout puts a multi-GB mdat before the tail moov), so the
+    only reliable way to reach moov is to skip mdat via its header size.
+    Complete top-level boxes concatenate into a valid box stream for
+    _parse_mp4/_walk.
+    """
+    import struct as _struct
+
+    chunks: list[bytes] = []
+    collected = 0
+    pos = 0
+    while pos + 8 <= filesize and collected < max_bytes:
+        f.seek(pos)
+        hdr = f.read(16)
+        if len(hdr) < 8:
+            break
+        size, = _struct.unpack(">I", hdr[:4])
+        box_type = hdr[4:8]
+        hdr_len = 8
+        if size == 1 and len(hdr) >= 16:  # 64-bit largesize
+            size, = _struct.unpack(">Q", hdr[8:16])
+            hdr_len = 16
+        elif size == 0:  # box extends to EOF
+            size = filesize - pos
+        if size < hdr_len:
+            break
+        if box_type != b"mdat" and size <= max_bytes - collected:
+            f.seek(pos)
+            chunk = f.read(min(size, filesize - pos))
+            chunks.append(chunk)
+            collected += len(chunk)
+        pos += size
+    return b"".join(chunks)
 
 
 def _parse_mp4(data: bytes, out: dict) -> None:

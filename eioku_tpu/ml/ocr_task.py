@@ -29,7 +29,7 @@ from eioku_tpu.models.ocr.weights import (
 log = logging.getLogger(__name__)
 
 DETECT_H, DETECT_W = 384, 640  # /32-divisible CRAFT input
-CROP_WIDTHS = (32, 64, 128, 256)  # recognizer width buckets
+CROP_WIDTHS = (32, 64, 128, 256, 512)  # recognizer width buckets
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
 
@@ -132,9 +132,13 @@ def recognize_crops(crnn_params, crops: list[np.ndarray],
         batch = np.full((len(indices), 32, bucket, 1), -1.0, np.float32)
         for row, i in enumerate(indices):
             c = crops[i]
-            w = min(c.shape[1], bucket)
-            resized = cv2.resize(c, (w, 32)) if c.shape[0] != 32 else c[:, :w]
-            batch[row, :, :w, 0] = resized[:, :w].astype(np.float32) / 127.5 - 1.0
+            if c.shape[1] > bucket:
+                # wider than the largest bucket: squeeze to fit — truncation
+                # would silently drop the trailing characters of long lines
+                c = cv2.resize(c, (bucket, 32))
+            w = c.shape[1]
+            resized = c if c.shape[0] == 32 else cv2.resize(c, (w, 32))
+            batch[row, :, :w, 0] = resized.astype(np.float32) / 127.5 - 1.0
         logits = np.asarray(crnn_forward(crnn_params, jnp.asarray(batch)),
                             np.float32)
         for row, i in enumerate(indices):

@@ -315,7 +315,8 @@ def _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
         out, avg_lp, no_speech = whisper_decode_windows(
             params, enc, init, suppress_always, suppress_begin, cfg,
             max_len=len(prompt) + max_tokens, beam_size=beam_size,
-            timestamps=use_timestamps)
+            timestamps=use_timestamps,
+            sot_index=len(prompt) - len(sot))  # silence gate reads SOT's step
         align = None
         if want_words:
             align = alignment(out, enc,

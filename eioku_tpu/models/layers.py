@@ -60,9 +60,21 @@ class KeyGen:
 
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
-           stride: int = 1, padding="SAME", groups: int = 1,
+           stride: int = 1, padding="TORCH", groups: int = 1,
            dilation: int = 1) -> jnp.ndarray:
-    """NHWC conv with HWIO weights; fp32 accumulation on MXU."""
+    """NHWC conv with HWIO weights; fp32 accumulation on MXU.
+
+    Default padding "TORCH" = symmetric (k-1)//2 per spatial dim — the
+    padding every converted torch checkpoint (ultralytics autopad k//2,
+    torchvision/EasyOCR p=k//2) was trained with. XLA "SAME" is NOT
+    equivalent for stride > 1: it pads asymmetrically ((0,1) for k3s2,
+    (2,3) for k7s2), sampling a one-pixel-shifted grid that compounds
+    through every downsampling layer.
+    """
+    if padding == "TORCH":
+        ph = dilation * (w.shape[0] - 1) // 2
+        pw = dilation * (w.shape[1] - 1) // 2
+        padding = [(ph, ph), (pw, pw)]
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),
@@ -119,7 +131,13 @@ def init_layernorm(dim: int) -> Params:
     return {"gamma": jnp.ones(dim), "beta": jnp.zeros(dim)}
 
 
-def max_pool(x: jnp.ndarray, k: int, stride: int = 1, padding="SAME") -> jnp.ndarray:
+def max_pool(x: jnp.ndarray, k: int, stride: int = 1,
+             padding="TORCH") -> jnp.ndarray:
+    """Default "TORCH" = symmetric (k-1)//2 (torch's p=k//2 for odd k, p=0
+    for the k=2 VGG pools) — see conv2d on why XLA "SAME" mismatches."""
+    if padding == "TORCH":
+        p = (k - 1) // 2
+        padding = [(0, 0), (p, p), (p, p), (0, 0)]
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, k, k, 1), window_strides=(1, stride, stride, 1),
@@ -131,10 +149,17 @@ def avg_pool_global(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-neighbor 2x upsample, NHWC."""
+    """Nearest-neighbor 2x upsample, NHWC (ultralytics' Upsample mode)."""
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsample, NHWC, half-pixel centers — torch
+    F.interpolate(mode='bilinear', align_corners=False), CRAFT's mode."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
 
 
 def silu(x: jnp.ndarray) -> jnp.ndarray:

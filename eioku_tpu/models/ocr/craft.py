@@ -21,7 +21,7 @@ from eioku_tpu.models.layers import (
     init_batchnorm,
     kaiming,
     max_pool,
-    upsample2x,
+    upsample2x_bilinear,
 )
 
 # VGG16-BN trunk as CRAFT slices it: 12 convs (stage 5 keeps only two convs,
@@ -84,32 +84,42 @@ def _double_conv(x, p):
 @jax.jit
 def craft_forward(params: Params, images: jnp.ndarray) -> jnp.ndarray:
     """images [B, H, W, 3] normalized (H, W divisible by 32) ->
-    score maps [B, H/2, W/2, 2] (region, affinity)."""
+    score maps [B, H/2, W/2, 2] (region, affinity).
+
+    Faithful to the public checkpoint's quirks (clovaai basenet/vgg16_bn.py):
+    each slice ends at a BatchNorm, so the U-Net skips are PRE-ReLU bn
+    outputs (the misleading h_relu* names notwithstanding), slice5 consumes
+    the pre-ReLU bn5_2, and its fc6/fc7 convs carry no activation at all.
+    """
     x = images
     skips = {}
     conv_i = 0
     for (_c_out, pool), pconv in zip(_VGG_PLAN, params["vgg"]):
-        x = _convbn(x, pconv)
         conv_i += 1
+        pre = batchnorm(conv2d(x, pconv["w"], pconv["b"]), pconv["bn"],
+                        eps=1e-5)
         if conv_i in _SKIP_AFTER_CONV:
-            skips[_SKIP_AFTER_CONV[conv_i]] = x
+            skips[_SKIP_AFTER_CONV[conv_i]] = pre
+        # the trunk continues through ReLU (each next slice starts with one),
+        # except after the last conv: slice5 consumes bn5_2 pre-ReLU
+        x = pre if conv_i == len(_VGG_PLAN) else jax.nn.relu(pre)
         if pool:
             x = max_pool(x, 2, stride=2)
-    # slice5: maxpool3 s1 + dilated fc6 + fc7
+    # slice5: maxpool3 s1 + dilated fc6 + fc7 — no activations
     y = max_pool(x, 3, stride=1)
-    y = jax.nn.relu(conv2d(y, params["fc"]["fc6"]["w"], params["fc"]["fc6"]["b"],
-                           padding=[(6, 6), (6, 6)], dilation=6))
-    y = jax.nn.relu(conv2d(y, params["fc"]["fc7"]["w"], params["fc"]["fc7"]["b"]))
+    y = conv2d(y, params["fc"]["fc6"]["w"], params["fc"]["fc6"]["b"],
+               padding=[(6, 6), (6, 6)], dilation=6)
+    y = conv2d(y, params["fc"]["fc7"]["w"], params["fc"]["fc7"]["b"])
 
     y = jnp.concatenate([y, skips["relu5_3"]], axis=-1)
     y = _double_conv(y, params["up"][0])
-    y = upsample2x(y)
+    y = upsample2x_bilinear(y)
     y = jnp.concatenate([y, skips["relu4_3"]], axis=-1)
     y = _double_conv(y, params["up"][1])
-    y = upsample2x(y)
+    y = upsample2x_bilinear(y)
     y = jnp.concatenate([y, skips["relu3_2"]], axis=-1)
     y = _double_conv(y, params["up"][2])
-    y = upsample2x(y)
+    y = upsample2x_bilinear(y)
     y = jnp.concatenate([y, skips["relu2_2"]], axis=-1)
     feat = _double_conv(y, params["up"][3])
 

@@ -148,9 +148,12 @@ def load_places365(cache_dir: str | None, seed: int = 0
     if cache_dir:
         cat = os.path.join(cache_dir, "categories_places365.txt")
         if os.path.isfile(cat):
+            # "/a/apartment_building/outdoor 8" -> "apartment_building/outdoor"
+            # (strip only the alphabetical-bucket prefix; the reference keeps
+            # the indoor/outdoor qualifier, which disambiguates class pairs)
             with open(cat) as f:
-                labels = [line.split(" ")[0].split("/")[2]
-                          if line.startswith("/") and line.count("/") >= 2
+                labels = [line.split(" ")[0][3:]
+                          if line.startswith("/") and len(line) > 3
                           else line.split(" ")[0]
                           for line in f.read().strip().splitlines()]
         for name in ("resnet18_places365.pth.tar", "resnet18_places365.pth"):

@@ -94,10 +94,15 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
                            suppress_begin: jnp.ndarray,
                            cfg: WhisperConfig, max_len: int = 224,
                            beam_size: int = 1, timestamps: bool = True,
-                           max_initial_ts_index: int = 50):
+                           max_initial_ts_index: int = 50,
+                           sot_index: int = 0):
     """Decode a batch of encoded 30 s windows with beam search + logit rules.
 
     enc_out [B, 1500, d]; initial_tokens [B, n_init] SOT sequences.
+    sot_index: position of the SOT token in the prompt — 0 for plain
+    prompts, 1+len(prev) when a sot_prev context precedes it (the silence
+    gate must read the distribution emitted AFTER consuming SOT, as
+    openai-whisper's probs_at_sot does).
     Returns (tokens [B, max_len] int32 — the best beam per window, prompt
     included and EOT-padded; avg_logprob [B] float32 over generated tokens
     incl. EOT; no_speech_prob [B] float32 from the SOT-position logits).
@@ -131,7 +136,7 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
         logits, sk, sv = decoder_step(params, cross_k, cross_v, tokens,
                                       sk, sv, pos, cfg)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        nsp = jnp.where(pos == 0, probs[:, no_speech_id], nsp)
+        nsp = jnp.where(pos == sot_index, probs[:, no_speech_id], nsp)
         return tokens, sk, sv, nsp
 
     tokens, self_k, self_v, no_speech = jax.lax.fori_loop(

@@ -212,6 +212,29 @@ class TestMetadata:
         register_all_schemas()
         SchemaRegistry.validate("video.metadata", 1, extract_metadata(scene_video))
 
+    def test_moov_deep_behind_large_payload(self, tmp_path, scene_video):
+        """The common non-faststart layout (moov after a huge mdat) must
+        still yield full metadata: top-level boxes are walked by seeking,
+        never by a fixed read window."""
+        import struct
+        from eioku_tpu.ml.metadata import extract_metadata
+        data = open(scene_video, "rb").read()
+        boxes, pos = [], 0
+        while pos + 8 <= len(data):
+            size, = struct.unpack(">I", data[pos:pos + 4])
+            boxes.append((data[pos + 4:pos + 8], data[pos:pos + size]))
+            pos += size
+        rest = [b for t, b in boxes if t != b"moov"]
+        moov = [b for t, b in boxes if t == b"moov"]
+        pad = 70 * 1024 * 1024  # push moov past any plausible head window
+        filler = struct.pack(">I", 8 + pad) + b"free" + b"\0" * pad
+        p = tmp_path / "tailmoov.mp4"
+        p.write_bytes(b"".join(rest) + filler + b"".join(moov))
+        meta = extract_metadata(str(p))
+        assert meta["duration_ms"] == 7000
+        assert meta["width"] == 64
+        assert meta["create_date"] is not None
+
     def test_iso6709_gps(self):
         from eioku_tpu.ml.metadata import _parse_iso6709
         assert _parse_iso6709("+35.6580+139.6994/") == {

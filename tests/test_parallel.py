@@ -125,6 +125,35 @@ class TestFaceTracking:
         t.assign([])
         assert t.assign([box]) == ["face_1"]  # old track expired
 
+    def test_track_expires_across_facefree_stretch(self):
+        """Frames with no faces never call assign(); expiry must be measured
+        in source-frame distance so distinct identities separated by minutes
+        never merge into one track."""
+        from eioku_tpu.ml.face_tracking import FaceTracker
+        t = FaceTracker(max_gap_frames=3, frame_step=30)
+        box = {"x": 0, "y": 0, "width": 30, "height": 30}
+        assert t.assign([box], frame_index=100) == ["face_0"]
+        # same screen position 4900 source frames later: new identity
+        assert t.assign([box], frame_index=5000) == ["face_1"]
+        # within the gap horizon (3 sampled steps x 30): same track
+        assert t.assign([box], frame_index=5060) == ["face_1"]
+
+    def test_cluster_assignment_measures_source_gap(self):
+        from eioku_tpu.ml.detection import _assign_face_clusters
+        box = {"x": 5, "y": 5, "width": 50, "height": 50}
+
+        def det(frame):
+            return {"payload": {"cluster_id": None, "confidence": 0.9,
+                                "bounding_box": dict(box),
+                                "frame_number": frame},
+                    "span_start_ms": 0, "span_end_ms": 33}
+
+        results = [det(0), det(30), det(5000)]  # 30-frame sampling, long gap
+        _assign_face_clusters(results)
+        ids = [r["payload"]["cluster_id"] for r in results]
+        assert ids[0] == ids[1]
+        assert ids[2] != ids[0]
+
     def test_cluster_assignment_in_results(self):
         from eioku_tpu.ml.detection import _assign_face_clusters
         box = {"x": 5, "y": 5, "width": 50, "height": 50}
