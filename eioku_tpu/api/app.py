@@ -73,7 +73,8 @@ def build_context(config: AppConfig | None = None,
     runs = RunRepository(db)
     policies = SelectionPolicyManager(db)
     producer = producer or JobProducer(SqliteJobQueue(db))
-    discovery = VideoDiscoveryService(config, videos, tasks, paths, producer)
+    discovery = VideoDiscoveryService(config, videos, tasks, paths, producer,
+                                  artifacts=artifacts, projection_sync=sync)
     ctx = AppContext(
         config=config, db=db, videos=videos, tasks=tasks, artifacts=artifacts,
         runs=runs, paths=paths, policies=policies, producer=producer,

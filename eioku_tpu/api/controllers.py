@@ -172,8 +172,12 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
     @app.get(PREFIX + "/videos")
     async def list_videos(request: Request):
         status = request.query_params.get("status")
+        try:
+            status_filter = VideoStatus(status) if status else None
+        except ValueError:
+            raise HTTPException(422, f"unknown status: {status}")
         videos = ctx.videos.list(
-            status=VideoStatus(status) if status else None,
+            status=status_filter,
             limit=request.query_int("limit", 1000),
             offset=request.query_int("offset", 0))
         return {"videos": [v.to_dict() for v in videos], "total": ctx.videos.count()}
@@ -386,9 +390,13 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         q = request.query_params
         limit = min(request.query_int("limit", 100), 100)  # reference caps at 100
         status = q.get("status")
+        try:
+            status_filter = TaskStatus(status) if status else None
+        except ValueError:
+            raise HTTPException(422, f"unknown status: {status}")
         tasks = ctx.tasks.find(
             video_id=q.get("video_id"),
-            status=TaskStatus(status) if status else None,
+            status=status_filter,
             task_type=q.get("task_type"),
             language=q.get("language"),
             sort_by=q.get("sort_by", "created_at"),

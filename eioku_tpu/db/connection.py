@@ -45,9 +45,14 @@ class Database:
             d = os.path.dirname(os.path.abspath(self.path))
             os.makedirs(d, exist_ok=True)
         self._lock = threading.RLock()
+        self._txn_depth = 0
+        # isolation_level=None: full manual transaction control. The module's
+        # legacy auto-BEGIN starts DEFERRED transactions only before DML, so
+        # read-check-then-write sequences would not be atomic across
+        # processes; transaction() below issues BEGIN IMMEDIATE instead.
         self._conn = sqlite3.connect(
             self.path, check_same_thread=False, timeout=30.0,
-            uri=self.path.startswith("file:"),
+            isolation_level=None, uri=self.path.startswith("file:"),
         )
         self._conn.row_factory = sqlite3.Row
         self._conn.execute("PRAGMA foreign_keys=ON")
@@ -58,25 +63,35 @@ class Database:
 
     @contextmanager
     def transaction(self) -> Iterator[sqlite3.Connection]:
-        """Serialized transaction scope; commits on success, rolls back on error."""
+        """Serialized transaction scope; commits on success, rolls back on
+        error. BEGIN IMMEDIATE takes the write lock up front so
+        read-check-then-write sequences (job dedup, claim-once) are atomic
+        against other processes. Re-entrant: nested scopes (and execute()
+        calls inside a scope) join the outer transaction instead of
+        committing it mid-flight."""
         with self._lock:
+            outermost = self._txn_depth == 0
+            if outermost:
+                self._conn.execute("BEGIN IMMEDIATE")
+            self._txn_depth += 1
             try:
                 yield self._conn
-                self._conn.commit()
             except BaseException:
-                self._conn.rollback()
+                self._txn_depth -= 1
+                if outermost:
+                    self._conn.rollback()
                 raise
+            self._txn_depth -= 1
+            if outermost:
+                self._conn.commit()
 
     def execute(self, sql: str, params: tuple | dict = ()) -> sqlite3.Cursor:
         with self._lock:
-            cur = self._conn.execute(sql, params)
-            self._conn.commit()
-            return cur
+            return self._conn.execute(sql, params)
 
     def executemany(self, sql: str, seq: list[tuple]) -> None:
         with self._lock:
             self._conn.executemany(sql, seq)
-            self._conn.commit()
 
     def query(self, sql: str, params: tuple | dict = ()) -> list[sqlite3.Row]:
         with self._lock:
@@ -93,6 +108,29 @@ class Database:
     def close(self) -> None:
         with self._lock:
             self._conn.close()
+
+
+def execute_script(conn: sqlite3.Connection, script: str) -> None:
+    """Run a multi-statement SQL script INSIDE the current transaction.
+
+    sqlite3's executescript() implicitly COMMITs any pending transaction
+    (even with isolation_level=None), which would break the per-migration
+    atomicity: a failure mid-script would leave partial schema with no
+    version row, wedging every subsequent startup on 'table already
+    exists'. Statements are split with sqlite3.complete_statement so
+    semicolons inside trigger bodies (FTS sync triggers) survive.
+    """
+    buf = ""
+    for line in script.splitlines(keepends=True):
+        buf += line
+        if sqlite3.complete_statement(buf):
+            stmt = buf.strip()
+            if stmt:
+                conn.execute(stmt)
+            buf = ""
+    if buf.strip():
+        conn.execute(buf)
+
 
 
 _global_db: Database | None = None

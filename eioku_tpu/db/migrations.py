@@ -10,7 +10,7 @@ from __future__ import annotations
 import logging
 import sqlite3
 
-from eioku_tpu.db.connection import Database
+from eioku_tpu.db.connection import Database, execute_script  # noqa: F401  (re-export)
 from eioku_tpu.db.migrations_defs import MIGRATIONS
 
 log = logging.getLogger(__name__)

@@ -14,11 +14,13 @@ matching the reference's SQLite branch
 """
 from __future__ import annotations
 
+from eioku_tpu.db.connection import execute_script
+
 import sqlite3
 
 
 def m0001_core_tables(conn: sqlite3.Connection) -> None:
-    conn.executescript(
+    execute_script(conn, 
         """
         CREATE TABLE videos (
             id TEXT PRIMARY KEY,
@@ -65,7 +67,7 @@ def m0001_core_tables(conn: sqlite3.Connection) -> None:
 
 
 def m0002_artifact_envelope(conn: sqlite3.Connection) -> None:
-    conn.executescript(
+    execute_script(conn, 
         """
         CREATE TABLE runs (
             run_id TEXT PRIMARY KEY,
@@ -116,7 +118,7 @@ def m0002_artifact_envelope(conn: sqlite3.Connection) -> None:
 
 
 def m0003_fts_projections(conn: sqlite3.Connection) -> None:
-    conn.executescript(
+    execute_script(conn, 
         """
         CREATE VIRTUAL TABLE transcript_fts USING fts5(
             text, tokenize='porter unicode61'
@@ -150,7 +152,7 @@ def m0003_fts_projections(conn: sqlite3.Connection) -> None:
 
 
 def m0004_nav_projections(conn: sqlite3.Connection) -> None:
-    conn.executescript(
+    execute_script(conn, 
         """
         CREATE TABLE scene_ranges (
             artifact_id TEXT PRIMARY KEY,
@@ -207,7 +209,7 @@ def m0004_nav_projections(conn: sqlite3.Connection) -> None:
 
 
 def m0005_job_queue(conn: sqlite3.Connection) -> None:
-    conn.executescript(
+    execute_script(conn, 
         """
         CREATE TABLE jobs (
             job_id TEXT PRIMARY KEY,
@@ -235,7 +237,7 @@ def m0005_job_queue(conn: sqlite3.Connection) -> None:
 
 
 def m0006_semantic_index(conn: sqlite3.Connection) -> None:
-    conn.executescript(
+    execute_script(conn, 
         """
         CREATE TABLE embedding_chunks (
             slot INTEGER PRIMARY KEY,

@@ -30,14 +30,17 @@ class TaskStatus(str, enum.Enum):
 
 
 # Legal task status transitions; retry resets failed/cancelled back to pending
-# (reference: backend/src/api/task_routes.py:288-361).
+# (reference: backend/src/api/task_routes.py:288-361). COMPLETED -> PENDING
+# covers deliberate re-runs — semantic re-indexing after a new transcript
+# lands, or re-processing with new settings; every run keeps full provenance
+# under its own run_id, so re-running never loses history.
 _TASK_TRANSITIONS: dict[TaskStatus, set[TaskStatus]] = {
     TaskStatus.PENDING: {TaskStatus.RUNNING, TaskStatus.CANCELLED},
     TaskStatus.RUNNING: {TaskStatus.COMPLETED, TaskStatus.FAILED, TaskStatus.CANCELLED,
                          TaskStatus.PENDING},  # PENDING = reconciler reset
     TaskStatus.FAILED: {TaskStatus.PENDING},
     TaskStatus.CANCELLED: {TaskStatus.PENDING},
-    TaskStatus.COMPLETED: set(),
+    TaskStatus.COMPLETED: {TaskStatus.PENDING},
 }
 
 

@@ -19,8 +19,18 @@ PROCESS_FUNCTION = "process_ml_task"
 
 
 class JobProducer:
-    def __init__(self, queue, default_timeout_s: float = 3600.0, max_tries: int = 1):
+    def __init__(self, queue, default_timeout_s: float | None = None,
+                 max_tries: int | None = None):
+        import os
         self.queue = queue
+        # env defaults mirror the reference's worker knobs
+        # (ml-service/src/main_worker.py:124-126) so WORKER_JOB_TIMEOUT /
+        # WORKER_MAX_TRIES actually govern the jobs that get enqueued
+        if default_timeout_s is None:
+            default_timeout_s = float(os.environ.get("WORKER_JOB_TIMEOUT",
+                                                     "3600"))
+        if max_tries is None:
+            max_tries = int(os.environ.get("WORKER_MAX_TRIES", "1"))
         self.default_timeout_s = default_timeout_s
         self.max_tries = max_tries
 

@@ -40,6 +40,10 @@ class CronJob:
 class WorkerSettings:
     queue_name: str = "ml_jobs"
     max_jobs: int = int(os.environ.get("WORKER_MAX_JOBS", "1"))
+    # informational mirrors of the enqueue-side knobs: per-job timeout and
+    # try budget ride ON THE JOB ROW, stamped by JobProducer (which reads
+    # the same WORKER_JOB_TIMEOUT / WORKER_MAX_TRIES env vars), so changing
+    # them here does not retroactively affect already-enqueued jobs
     job_timeout_s: float = float(os.environ.get("WORKER_JOB_TIMEOUT", "3600"))
     max_tries: int = int(os.environ.get("WORKER_MAX_TRIES", "1"))
     poll_delay_s: float = 0.1

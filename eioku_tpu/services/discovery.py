@@ -47,12 +47,15 @@ class DiscoveryReport:
 
 class VideoDiscoveryService:
     def __init__(self, config: AppConfig, videos: VideoRepository, tasks: TaskRepository,
-                 paths: PathConfigRepository, producer: JobProducer | None):
+                 paths: PathConfigRepository, producer: JobProducer | None,
+                 artifacts=None, projection_sync=None):
         self.config = config
         self.videos = videos
         self.tasks = tasks
         self.paths = paths
         self.producer = producer
+        self.artifacts = artifacts
+        self.projection_sync = projection_sync
 
     # -- scanning ---------------------------------------------------------------
 
@@ -191,6 +194,14 @@ class VideoDiscoveryService:
                     if task.status in (TaskStatus.PENDING, TaskStatus.RUNNING):
                         if self.producer is not None:
                             self.producer.abort_task(task.id)
+                # full cleanup like DELETE /videos/{id}: artifacts and
+                # projections too, or search/find keep returning hits whose
+                # video 404s
+                self.tasks.delete_for_video(video.id)
+                if self.artifacts is not None:
+                    self.artifacts.delete_for_asset(video.id)
+                if self.projection_sync is not None:
+                    self.projection_sync.delete_for_asset(video.id)
                 self.videos.delete(video.id)
                 report.videos_removed += 1
         return report

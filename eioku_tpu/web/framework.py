@@ -194,9 +194,15 @@ class FileResponse(Response):
                     await Response(b"", 416,
                                    {"content-range": f"bytes */{size}"}).send(send)
                     return
-                status = 206
-                headers.append(
-                    (b"content-range", f"bytes {start}-{end}/{size}".encode()))
+                if end < start:
+                    # RFC 9110: an invalid (inverted) range is ignored —
+                    # serve the full representation with 200
+                    start, end = 0, size - 1
+                else:
+                    status = 206
+                    headers.append(
+                        (b"content-range",
+                         f"bytes {start}-{end}/{size}".encode()))
         length = end - start + 1
         headers.append((b"content-length", str(length).encode()))
         await send({"type": "http.response.start", "status": status, "headers": headers})

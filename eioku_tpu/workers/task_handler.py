@@ -63,6 +63,11 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
         # Task row may not exist for ad-hoc jobs; synthesize one for bookkeeping.
         task = Task(id=task_id, video_id=video_id, task_type=task_type, config=config)
         app.tasks.save(task)
+    if task.status in (TaskStatus.FAILED, TaskStatus.CANCELLED):
+        # a requeued retry attempt arrives with the prior attempt's terminal
+        # status; step through PENDING so the completion below stays legal
+        app.tasks.update_status(task_id, TaskStatus.PENDING)
+        task = app.tasks.get(task_id)
     if task.status is TaskStatus.PENDING:
         app.tasks.update_status(task_id, TaskStatus.RUNNING)
     try:
@@ -76,6 +81,7 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
         # Guard against the file changing between discovery and processing
         # (reference: ml-service/src/utils/input_validation.py:17-70).
         video = app.videos.get(video_id)
+        current = None  # full-file hash, reused as input_hash below (one read)
         if video is not None and video.file_hash:
             from eioku_tpu.utils.hashing import hash_file
             try:
@@ -93,7 +99,8 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
                                               video_path, config)
         config_hash = compute_config_hash(config or {})
         try:
-            input_hash = compute_input_hash(video_path)
+            input_hash = current[:16] if current is not None \
+                else compute_input_hash(video_path)
         except OSError:
             input_hash = "missing"
         # combined tasks return {sub_task_type: results}; emit one run per sub

@@ -190,6 +190,14 @@ class TestStreaming:
         r = client.get(f"/api/v1/videos/{v.id}/stream",
                        headers={"range": f"bytes={len(payload) + 10}-"})
         assert r.status_code == 416
+        # RFC 9110: inverted range is ignored -> 200 with the full body
+        r = client.get(f"/api/v1/videos/{v.id}/stream",
+                       headers={"range": "bytes=500-100"})
+        assert r.status_code == 200 and r.content == payload
+
+    def test_invalid_status_filters_return_422(self, client):
+        assert client.get("/api/v1/videos?status=bogus").status_code == 422
+        assert client.get("/api/v1/tasks?status=bogus").status_code == 422
 
     def test_stream_missing_file(self, client, ctx):
         v = seed_video(ctx, "/definitely/not/here.mp4")

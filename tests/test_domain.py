@@ -141,6 +141,20 @@ class TestTaskTransitions:
         t.transition(TaskStatus.PENDING)
         assert t.status is TaskStatus.PENDING
 
+    def test_completed_rerun_path(self):
+        """COMPLETED -> PENDING is legal (semantic re-indexing after a new
+        transcript, deliberate re-runs); FAILED -> COMPLETED stays illegal."""
+        t = Task(video_id="v", task_type="semantic_indexing")
+        t.transition(TaskStatus.RUNNING)
+        t.transition(TaskStatus.COMPLETED)
+        t.transition(TaskStatus.PENDING)
+        assert t.status is TaskStatus.PENDING
+        t2 = Task(video_id="v", task_type="ocr")
+        t2.transition(TaskStatus.RUNNING)
+        t2.transition(TaskStatus.FAILED)
+        with pytest.raises(ValueError):
+            t2.transition(TaskStatus.COMPLETED)
+
 
 class TestTaskRegistry:
     def test_language_modes(self):

@@ -542,6 +542,46 @@ class TestCombinedVisual:
         finally:
             db.close()
 
+    def test_failed_first_attempt_retries_to_completion(self, tmp_path,
+                                                        scene_video):
+        """With a try budget of 2, a transient first-attempt failure must end
+        COMPLETED: the handler steps the FAILED task back through PENDING."""
+        from eioku_tpu.domain.models import PathConfig
+        from eioku_tpu.queue.producer import JobProducer
+        from eioku_tpu.queue.queue import SqliteJobQueue
+        from eioku_tpu.queue.worker import WorkerSettings
+        from eioku_tpu.workers.main import build_worker
+
+        class FlakyEngine:
+            producer_name = "stub-engine"
+            producer_version = "0"
+            model_profile = "balanced"
+            calls = 0
+
+            def run_task(self, task_type, video_path, config):
+                FlakyEngine.calls += 1
+                if FlakyEngine.calls == 1:
+                    raise RuntimeError("transient failure")
+                return []
+
+        config = AppConfig(scan_paths=[], auto_discover=False,
+                           active_task_types=["scene_detection"])
+        db = Database(f"sqlite:///{tmp_path}/retry.db")
+        ctx = build_context(config, db=db)
+        ctx.producer.max_tries = 2
+        try:
+            ctx.paths.save(PathConfig(path=str(tmp_path)))
+            ctx.discovery.discover()
+            worker = build_worker(app_ctx=ctx, engine=FlakyEngine(),
+                                  settings=WorkerSettings(max_jobs=1,
+                                                          poll_delay_s=0.01))
+            asyncio.run(worker.drain())
+            task = ctx.tasks.find(limit=1)[0]
+            assert FlakyEngine.calls == 2
+            assert task.status is TaskStatus.COMPLETED, task.error
+        finally:
+            db.close()
+
     def test_combined_e2e_through_worker(self, tmp_path, scene_video):
         from eioku_tpu.queue.worker import WorkerSettings
         from eioku_tpu.workers.main import build_worker

@@ -1,3 +1,4 @@
+import pytest
 import time
 
 from eioku_tpu.db.migrations import current_version
@@ -104,6 +105,25 @@ class TestArtifactRepository:
         got = repo.get_by_asset("a1", artifact_type="object.detection")
         assert len(got) == 50
         assert got[0].span_start_ms == 0  # ordered by span
+
+    def test_batch_create_rolls_back_on_projection_failure(self, db):
+        """All-or-nothing: a projection sync error mid-batch must leave NO
+        artifacts behind (nested execute() calls join the outer transaction
+        instead of committing it)."""
+        calls = []
+
+        def failing_sync(env):
+            # route through the db like real projection handlers do
+            db.execute("SELECT 1")
+            calls.append(env.artifact_id)
+            if len(calls) == 3:
+                raise RuntimeError("projection exploded")
+
+        repo = ArtifactRepository(db, projection_sync=failing_sync)
+        envs = [_obj_env(start=i * 33) for i in range(5)]
+        with pytest.raises(RuntimeError):
+            repo.batch_create(envs)
+        assert repo.get_by_asset("a1", artifact_type="object.detection") == []
 
     def test_time_and_payload_filters(self, db):
         repo = ArtifactRepository(db)
