@@ -93,9 +93,13 @@ class AppConfig:
 
 
 def _search_config_path(explicit: str | None) -> str | None:
-    candidates = []
+    # an explicitly requested config must exist — silently falling back to
+    # env/home/system configs would run against the wrong paths/database
     if explicit:
-        candidates.append(explicit)
+        if not os.path.isfile(explicit):
+            raise FileNotFoundError(f"config file not found: {explicit}")
+        return explicit
+    candidates = []
     env = os.environ.get("EIOKU_CONFIG_PATH")
     if env:
         candidates.append(env)
@@ -104,8 +108,6 @@ def _search_config_path(explicit: str | None) -> str | None:
     for c in candidates:
         if os.path.isfile(c):
             return c
-    if explicit:
-        raise FileNotFoundError(f"config file not found: {explicit}")
     return None
 
 

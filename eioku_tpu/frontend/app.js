@@ -11,6 +11,7 @@ const $ = (id) => document.getElementById(id);
 const state = {
   video: null, tab: "transcript", artifacts: {}, runs: [], run: null,
   overlays: { objects: false, faces: false, ocr: false }, tasksTimer: null,
+  overlayRaf: null,
 };
 
 async function api(path, opts) {
@@ -58,7 +59,7 @@ async function doSearch() {
 }
 
 /* ---------- player ---------- */
-async function openVideo(id, seekMs) {
+async function openVideo(id, seekMs, fromHistory) {
   state.video = await api(`/videos/${id}`);
   state.artifacts = {}; state.runs = []; state.run = null;
   $("gallery-view").classList.add("hidden");
@@ -66,16 +67,21 @@ async function openVideo(id, seekMs) {
   const video = $("video");
   video.src = `${API}/videos/${id}/stream`;
   if (seekMs != null) video.currentTime = seekMs / 1000;
-  history.pushState({ video: id }, "", `#v=${id}`);
+  if (!fromHistory) history.pushState({ video: id }, "", `#v=${id}`);
   selectTab(state.tab);
   startTaskPolling();
+  if (state.overlayRaf) cancelAnimationFrame(state.overlayRaf);
+  overlayLoop();
 }
-function closeVideo() {
+function closeVideo(fromHistory) {
   $("video").pause();
+  $("video").removeAttribute("src");
+  if (state.overlayRaf) { cancelAnimationFrame(state.overlayRaf); state.overlayRaf = null; }
+  state.video = null;
   $("player-view").classList.add("hidden");
   $("gallery-view").classList.remove("hidden");
   clearInterval(state.tasksTimer);
-  history.pushState({}, "", "#");
+  if (fromHistory !== true) history.pushState({}, "", "#");
   loadGallery();
 }
 const seek = (ms) => { $("video").currentTime = ms / 1000; $("video").play(); };
@@ -207,10 +213,15 @@ async function findInVideo() {
   const from = Math.round($("video").currentTime * 1000);
   const { matches } = await api(
     `/videos/${state.video.id}/find?q=${encodeURIComponent(q)}&from_ms=0`);
+  // snippets are raw transcript/OCR text with FTS <b> markers: escape
+  // everything, then re-enable just the markers (XSS: indexed content is
+  // attacker-controllable via what a video says or shows on screen)
+  const snip = (t) => esc(t).replaceAll("&lt;b&gt;", "<b>")
+                            .replaceAll("&lt;/b&gt;", "</b>");
   $("find-results").innerHTML = matches.map(m => `
     <div class="seg" data-ms="${m.jump_to.start_ms}">
       <span class="t">${fmtMs(m.jump_to.start_ms)}</span>
-      <span class="chip">${m.source}</span> ${m.snippet}
+      <span class="chip">${esc(m.source)}</span> ${snip(m.snippet)}
     </div>`).join("") || "<p>No matches.</p>";
   for (const el of $("find-results").querySelectorAll(".seg"))
     el.onclick = () => seek(+el.dataset.ms);
@@ -222,6 +233,10 @@ async function findInVideo() {
 function drawOverlays() {
   const video = $("video"), canvas = $("overlay");
   if (!state.video || video.videoWidth === 0) return;
+  if (!state.overlays.objects && !state.overlays.faces && !state.overlays.ocr) {
+    canvas.getContext("2d").clearRect(0, 0, canvas.width, canvas.height);
+    return;
+  }
   canvas.width = video.videoWidth; canvas.height = video.videoHeight;
   const ctx = canvas.getContext("2d");
   ctx.clearRect(0, 0, canvas.width, canvas.height);
@@ -249,11 +264,16 @@ function drawOverlays() {
         width: Math.max(...xs) - Math.min(...xs),
         height: Math.max(...ys) - Math.min(...ys) };
     }, p => p.text.slice(0, 20));
-  requestAnimationFrame(drawOverlays);
+}
+function overlayLoop() {
+  // one persistent rAF loop per open video; drawOverlays itself is a pure
+  // render (an early return must not kill the loop before metadata loads)
+  drawOverlays();
+  state.overlayRaf = requestAnimationFrame(overlayLoop);
 }
 async function toggleOverlay(name, type) {
   state.overlays[name] = $(`toggle-${name}`).checked;
-  if (state.overlays[name]) { await fetchArtifacts(type); drawOverlays(); }
+  if (state.overlays[name]) await fetchArtifacts(type);
 }
 
 /* ---------- transcript sync highlight ---------- */
@@ -272,10 +292,10 @@ window.addEventListener("DOMContentLoaded", () => {
   loadGallery();
   $("search-btn").onclick = doSearch;
   $("search-input").onkeydown = (e) => { if (e.key === "Enter") doSearch(); };
-  $("back-btn").onclick = closeVideo;
+  $("back-btn").onclick = () => closeVideo();
   window.onpopstate = () => {
     const m = location.hash.match(/#v=(.+)/);
-    if (m) openVideo(m[1]); else if (state.video) closeVideo();
+    if (m) openVideo(m[1], null, true); else if (state.video) closeVideo(true);
   };
   for (const b of document.querySelectorAll("#tabs button"))
     b.onclick = () => selectTab(b.dataset.tab);

@@ -175,7 +175,10 @@ class SemanticIndex:
                 return None
             if self._corpus_rows != n:
                 raw = np.fromfile(self.vec_path, dtype=np.float16)
-                self._corpus_device = jnp.asarray(raw.reshape(n, self.dim))
+                # a crash mid-append can leave a partial trailing row; the
+                # slice keeps the index usable instead of failing reshape
+                self._corpus_device = jnp.asarray(
+                    raw[:n * self.dim].reshape(n, self.dim))
                 self._corpus_rows = n
             return self._corpus_device
 
@@ -310,7 +313,18 @@ class SemanticIndex:
         if corpus is None:
             return []
         q = self.embed_texts([query])[0]
-        k = min(top_k * 4 if asset_id else top_k, corpus.shape[0])
+        # over-fetch: the vector file retains slots from superseded runs (and
+        # other assets when filtering), which are dropped during the row
+        # join below — escalate k until top_k live hits or corpus exhausted
+        k = min(top_k * 4, corpus.shape[0])
+        while True:
+            out = self._candidates(corpus, q, k, top_k, asset_id)
+            if len(out) >= top_k or k >= corpus.shape[0]:
+                return out[:top_k]
+            k = min(k * 4, corpus.shape[0])
+
+    def _candidates(self, corpus, q, k: int, top_k: int,
+                    asset_id: str | None) -> list[dict]:
         ivf = self._ivf(corpus)
         if ivf is not None:
             scores, idx = ivf.search(q, top_k=k)

@@ -59,7 +59,17 @@ def finetune_embedder(ctx, steps: int = 100, batch_size: int = 16,
     tokenizer = WordPieceTokenizer.from_cache_dir(cache, max_len=128)
 
     n_dev = len(jax.devices())
-    mp = model_parallel if n_dev % max(model_parallel, 1) == 0 else 1
+    mp = max(model_parallel, 1)
+    if n_dev % mp != 0:
+        mp = 1
+    # every sharded weight dim must divide too (tok_emb rows 30522 = 2*3*5087,
+    # head dims 12): mp beyond 2 would fail placement mid-run
+    for dim in (cfg.vocab_size, cfg.n_heads, cfg.dim):
+        if dim % mp != 0:
+            log.warning("model_parallel=%d does not divide %d; running mp=1",
+                        mp, dim)
+            mp = 1
+            break
     mesh = make_mesh(n_dev, model_parallel=mp)
     n_data = mesh.shape["data"]
     # the batch shards over the data axis: round up to a multiple of it

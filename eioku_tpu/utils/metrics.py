@@ -43,7 +43,9 @@ class _Histogram:
             "mean": self.total / self.count if self.count else 0.0,
             "min": self.min if self.count else 0.0,
             "max": self.max,
-            "buckets": {f"le_{b}": c for b, c in zip(_BUCKETS, self.counts)},
+            "buckets": {**{f"le_{b}": c
+                           for b, c in zip(_BUCKETS, self.counts)},
+                        "le_inf": self.counts[-1]},  # overflow bucket
         }
 
 
