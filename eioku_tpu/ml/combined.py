@@ -363,12 +363,31 @@ def run_visual_analysis(video_path: str, config: dict,
                     "span_start_ms": t_ms, "span_end_ms": t_ms + frame_ms})
         place_pending.clear()
 
-    # scene state: per-batch score arrays stay on device until the post-pass
-    # (prev-plane chaining is device-side, so dispatch never blocks)
+    # scene state: sampled frames accumulate into fixed 256-slot chunks so a
+    # whole bench-sized clip needs ONE scene device call (per-decode-batch
+    # calls cost a round trip each on high-latency links); score arrays stay
+    # on device until the post-pass, prev-plane chaining is device-side
     threshold = float(scfg.get("threshold", 0.1)) if scfg is not None else 0.0
     prev_plane = jnp.zeros((SCENE_H * SCENE_W * 3,), jnp.float32)
+    SCENE_CHUNK = 256
+    scene_buf: list[np.ndarray] = []  # 96x160 frames awaiting scoring
+    scene_stamps: list[int] = []
     scene_pending: list[tuple] = []  # (scores_dev, timestamps, valid)
     boundaries: list[tuple[int, float]] = []
+
+    def flush_scenes():
+        nonlocal prev_plane
+        if not scene_buf:
+            return
+        valid = len(scene_buf)
+        stack = np.stack(scene_buf + [np.zeros_like(scene_buf[0])]
+                         * (SCENE_CHUNK - valid))
+        planes = frames_to_hsv_planes(jnp.asarray(stack))
+        scene_pending.append((scene_scores(prev_plane, planes),
+                              list(scene_stamps), valid))
+        prev_plane = planes[valid - 1]
+        scene_buf.clear()
+        scene_stamps.clear()
 
     batch_size = int(config.get("batch_size", 32))
     decode_threads = int(config.get("decode_threads", 4))
@@ -383,14 +402,13 @@ def run_visual_analysis(video_path: str, config: dict,
             # (host->device bandwidth is the scarce resource; measured 3x
             # regression otherwise).
             import cv2
-            small_np = np.stack([
-                cv2.resize(batch.frames[i], (SCENE_W, SCENE_H),
-                           interpolation=cv2.INTER_AREA)
-                for i in range(batch.frames.shape[0])])
-            planes = frames_to_hsv_planes(jnp.asarray(small_np))
-            scene_pending.append((scene_scores(prev_plane, planes),
-                                  batch.timestamps_ms.copy(), batch.valid))
-            prev_plane = planes[max(batch.valid - 1, 0)]
+            for i in range(batch.valid):
+                scene_buf.append(cv2.resize(batch.frames[i],
+                                            (SCENE_W, SCENE_H),
+                                            interpolation=cv2.INTER_AREA))
+                scene_stamps.append(int(batch.timestamps_ms[i]))
+                if len(scene_buf) == SCENE_CHUNK:
+                    flush_scenes()
         for slot in range(batch.valid):
             fi = int(batch.frame_indices[slot])
             t_ms = int(batch.timestamps_ms[slot])
@@ -409,6 +427,8 @@ def run_visual_analysis(video_path: str, config: dict,
                     flush_places()
     # final partial batches dispatch, then everything drains: transfers all
     # happen after the full video's device work is queued
+    if scfg is not None:
+        flush_scenes()
     if objects is not None:
         objects.flush()
         objects.drain()
