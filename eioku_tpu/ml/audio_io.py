@@ -95,7 +95,7 @@ def _configure_av(lib) -> None:
     lib.eioku_media_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
-        ctypes.c_longlong, ctypes.c_int]
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_char_p]
 
 
 def native_decoder():
@@ -152,10 +152,13 @@ def native_encode(path: str, samples: np.ndarray,
 def native_media_encode(path: str, frames: np.ndarray | None,
                         fps: float = 10.0,
                         samples: np.ndarray | None = None,
-                        sr: int = SAMPLE_RATE) -> None:
-    """Mux H.264 video (frames: (N,H,W,3) uint8 RGB) and/or an AAC audio
+                        sr: int = SAMPLE_RATE,
+                        video_codec: str | None = None) -> None:
+    """Mux video (frames: (N,H,W,3) uint8 RGB) and/or an AAC audio
     track (mono float32 PCM) into one container at `path` — the shape
-    real-world library files take. Either stream may be omitted."""
+    real-world library files take. Either stream may be omitted.
+    video_codec picks the encoder by libav name (default libx264;
+    e.g. "libx265", "libvpx-vp9" for decode-breadth fixtures)."""
     import ctypes
     lib = native_decoder()
     if lib is None:
@@ -172,7 +175,8 @@ def native_media_encode(path: str, frames: np.ndarray | None,
     else:
         pcm, n_pcm = None, 0
     ret = lib.eioku_media_encode(path.encode(), rgb, n_frames, w, h,
-                                 float(fps), pcm, n_pcm, sr)
+                                 float(fps), pcm, n_pcm, sr,
+                                 video_codec.encode() if video_codec else None)
     if ret != 0:
         raise RuntimeError(f"native media encode failed for {path!r} "
                            f"(averror {ret})")

@@ -16,11 +16,12 @@
 //       (zero-egress image: no sample media exists to test against otherwise)
 //       and by the CLI to extract/re-mux audio tracks.
 //
-//   eioku_media_encode(path, rgb, n_frames, w, h, fps, samples, n, sr) -> 0
-//       ok / <0 failure. Muxes H.264 video (libx264) and/or an AAC-LC audio
-//       track into one container — the shape real-world library files take
-//       (the reference's inputs are camera/screen-recorder mp4s). Tests use
-//       it to build realistic fixtures; the CLI to export clips.
+//   eioku_media_encode(path, rgb, n_frames, w, h, fps, samples, n, sr,
+//       video_codec) -> 0 ok / <0 failure. Muxes video (encoder by libav
+//       name, NULL = libx264) and/or an AAC-LC audio track into one
+//       container — the shape real-world library files take (the
+//       reference's inputs are camera/screen-recorder mp4s). Tests build
+//       H.264/HEVC/VP9 fixtures with it; the CLI exports clips.
 //
 // Build: g++ -O2 -shared -fPIC -std=c++17 audio_decode.cpp
 //        -lavformat -lavcodec -lswresample -lswscale -lavutil
@@ -166,16 +167,19 @@ int eioku_audio_decode(const char *path, int target_sr, float **out_buf,
 
 int eioku_media_encode(const char *path, const unsigned char *rgb,
                        int n_frames, int w, int h, double fps,
-                       const float *samples, long long n_samples, int sr);
+                       const float *samples, long long n_samples, int sr,
+                       const char *video_codec);
 
 int eioku_audio_encode(const char *path, const float *samples, long long n,
                        int sr) {
-    return eioku_media_encode(path, nullptr, 0, 0, 0, 0.0, samples, n, sr);
+    return eioku_media_encode(path, nullptr, 0, 0, 0, 0.0, samples, n, sr,
+                              nullptr);
 }
 
 int eioku_media_encode(const char *path, const unsigned char *rgb,
                        int n_frames, int w, int h, double fps,
-                       const float *samples, long long n_samples, int sr) {
+                       const float *samples, long long n_samples, int sr,
+                       const char *video_codec) {
     AVFormatContext *oc = nullptr;
     int ret = avformat_alloc_output_context2(&oc, nullptr, nullptr, path);
     if (ret < 0 || !oc) return ret < 0 ? ret : AVERROR(EINVAL);
@@ -195,7 +199,11 @@ int eioku_media_encode(const char *path, const unsigned char *rgb,
     const AVRational vtb{1, (int)(fps * 1000 + 0.5)};  // ms-scale video tb
 
     if (ret >= 0 && want_video) {
-        const AVCodec *vc = avcodec_find_encoder_by_name("libx264");
+        // codec by name (hevc/vp9/av1 fixtures for decode-breadth tests);
+        // default H.264, the dominant real-world library codec
+        const AVCodec *vc = video_codec
+            ? avcodec_find_encoder_by_name(video_codec) : nullptr;
+        if (!vc) vc = avcodec_find_encoder_by_name("libx264");
         if (!vc) vc = avcodec_find_encoder_by_name("mpeg4");
         venc = vc ? avcodec_alloc_context3(vc) : nullptr;
         if (!venc) ret = AVERROR(ENOMEM);
@@ -207,8 +215,12 @@ int eioku_media_encode(const char *path, const unsigned char *rgb,
             venc->framerate = AVRational{(int)(fps * 1000 + 0.5), 1000};
             if (oc->oformat->flags & AVFMT_GLOBALHEADER)
                 venc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-            if (venc->priv_data)
+            venc->bit_rate = 800000;  // vp9/av1 default to constrained-q
+            if (venc->priv_data) {
                 av_opt_set(venc->priv_data, "preset", "ultrafast", 0);
+                av_opt_set(venc->priv_data, "deadline", "realtime", 0);
+                av_opt_set(venc->priv_data, "cpu-used", "8", 0);
+            }
             ret = avcodec_open2(venc, vc, nullptr);
             if (ret >= 0) {
                 vst = avformat_new_stream(oc, nullptr);

@@ -97,6 +97,33 @@ class TestNativeDecode:
             path, 10.0, 2, 8, None, 5))
         assert total == 5
 
+    @pytest.mark.parametrize("codec,ext", [
+        ("libx265", "hevc.mp4"),        # HEVC with B-frame reordering
+        ("libvpx-vp9", "vp9.webm"),     # VP9 in webm
+        (None, "h264.mp4"),             # default H.264
+    ])
+    def test_modern_codec_decode_breadth(self, tmp_path, codec, ext):
+        """Real-world library files come in many codecs; both decode paths
+        (native shim and cv2 over the same system libav) must read them."""
+        import cv2
+        from eioku_tpu.ml import audio_io, video_io
+        if audio_io.native_decoder() is None or \
+                video_io.native_video_lib() is None:
+            pytest.skip("native shims unavailable in this image")
+        frames = np.zeros((20, 96, 128, 3), np.uint8)
+        for i in range(20):
+            frames[i, :, :(i + 1) * 6] = 220
+        p = str(tmp_path / ext)
+        audio_io.native_media_encode(p, frames, fps=10.0, video_codec=codec)
+        n_native = sum(b.valid for b in video_io._decode_native(
+            p, 10.0, 1, 8, None, None))
+        cap = cv2.VideoCapture(p)
+        n_cv = 0
+        while cap.read()[0]:
+            n_cv += 1
+        cap.release()
+        assert n_native >= 18 and n_cv >= 18  # demuxers may drop a tail frame
+
     def test_truncated_file_yields_partial_frames(self, tmp_path):
         """A tail-truncated recording must yield the frames that decoded,
         not raise and fail the whole task (cv2-path behavior parity)."""
