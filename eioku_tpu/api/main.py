@@ -23,6 +23,8 @@ def main() -> None:
                         help="skip startup video discovery")
     args = parser.parse_args()
 
+    from eioku_tpu.utils.device import maybe_force_cpu
+    maybe_force_cpu()  # EIOKU_FORCE_CPU=1: spawned test servers stay off the TPU tunnel
     setup_logging("eioku-api")
     config = load_config(args.config)
     if args.db:

@@ -23,7 +23,7 @@ import numpy as np
 
 from eioku_tpu.ml import video_io
 from eioku_tpu.models.yolo.classes import COCO_CLASSES
-from eioku_tpu.models.yolo.model import YoloConfig, init_yolo_params
+from eioku_tpu.models.yolo.model import YoloConfig, fold_batchnorm, init_yolo_params
 from eioku_tpu.models.yolo.postprocess import detect
 from eioku_tpu.models.yolo.weights import load_yolo_checkpoint
 
@@ -64,7 +64,7 @@ def _load_model(model_name: str, num_classes: int, cache_dir: str | None):
         params = init_yolo_params(cfg, seed=0)
         log.warning("no checkpoint found; using random-init weights",
                     extra={"model": model_name, "cache_dir": cache_dir})
-    return params, cfg
+    return fold_batchnorm(params), cfg
 
 
 @lru_cache(maxsize=4)

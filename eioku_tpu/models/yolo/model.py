@@ -140,7 +140,9 @@ def init_yolo_params(cfg: YoloConfig, seed: int = 0) -> Params:
 
 
 def _convbn(x, p: Params, stride: int = 1) -> jnp.ndarray:
-    return silu(batchnorm(conv2d(x, p["w"], stride=stride), p["bn"]))
+    if "bn" in p:
+        return silu(batchnorm(conv2d(x, p["w"], stride=stride), p["bn"]))
+    return silu(conv2d(x, p["w"], p["b"], stride=stride))  # folded (see fold_batchnorm)
 
 
 def _bottleneck(x, p: Params, shortcut: bool) -> jnp.ndarray:
@@ -209,6 +211,34 @@ def yolo_forward(params: Params, images: jnp.ndarray,
         box_out.append(box.reshape(b, -1, 4 * cfg.reg_max))
         cls_out.append(cls.reshape(b, -1, cfg.num_classes))
     return jnp.concatenate(box_out, axis=1), jnp.concatenate(cls_out, axis=1)
+
+
+def fold_batchnorm(params: Params, eps: float = 1e-3) -> Params:
+    """Fold inference-mode batchnorm into the preceding conv weights.
+
+    Every conv in this architecture is conv -> BN -> SiLU, so the BN affine
+    y = x*s + t (s = gamma/sqrt(var+eps), t = beta - mean*s) folds exactly into
+    w' = w * s (broadcast over the HWIO output channel) and bias b' = t.
+    Done once at load time in fp32; the per-call forward then runs one fewer
+    elementwise pass per conv and XLA sees a plain conv+bias+SiLU it fuses
+    cleanly (VERDICT r1 item 4: detection MFU). eps must match
+    layers.batchnorm's default (1e-3, the ultralytics BN eps).
+    """
+    def walk(p):
+        if isinstance(p, dict):
+            if "bn" in p and "w" in p and p["w"].ndim == 4:
+                bn = p["bn"]
+                s = bn["gamma"] / jnp.sqrt(bn["var"] + eps)
+                out = {"w": p["w"] * s, "b": bn["beta"] - bn["mean"] * s}
+                out.update({k: walk(v) for k, v in p.items()
+                            if k not in ("w", "bn")})
+                return out
+            return {k: walk(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [walk(v) for v in p]
+        return p
+
+    return walk(params)
 
 
 def anchor_points(h: int, w: int, strides: tuple[int, ...]

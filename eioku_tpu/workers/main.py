@@ -53,6 +53,8 @@ def main() -> None:
                         help="drain the queue then exit")
     args = parser.parse_args()
 
+    from eioku_tpu.utils.device import maybe_force_cpu
+    maybe_force_cpu()  # EIOKU_FORCE_CPU=1: tests spawning real workers stay off the TPU tunnel
     setup_logging("eioku-ml-worker")
     from eioku_tpu.parallel.mesh import initialize_distributed
     initialize_distributed()  # multi-host no-op unless EIOKU_COORDINATOR set

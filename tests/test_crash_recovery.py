@@ -47,7 +47,7 @@ def test_worker_sigkill_then_reconcile_completes(tmp_path):
     report = ctx.discovery.discover(enqueue=True)
     assert report.tasks_enqueued == 1
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
+    env = dict(os.environ, JAX_PLATFORMS="cpu", EIOKU_FORCE_CPU="1",
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     worker = subprocess.Popen(
         [sys.executable, "-m", "eioku_tpu.workers.main", "--config",

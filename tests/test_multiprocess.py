@@ -24,7 +24,11 @@ def _get(url: str):
 @pytest.fixture()
 def env(tmp_path):
     e = dict(os.environ)
+    # EIOKU_FORCE_CPU applies the full backend-override recipe in the child:
+    # the image's sitecustomize pins the TPU platform via jax.config, so the
+    # env var alone is not enough (utils/device.py).
     e["JAX_PLATFORMS"] = "cpu"
+    e["EIOKU_FORCE_CPU"] = "1"
     e["PYTHONPATH"] = REPO + os.pathsep + e.get("PYTHONPATH", "")
     return e
 

@@ -8,6 +8,7 @@ from eioku_tpu.models.yolo.model import (
     YoloConfig,
     anchor_points,
     count_anchors,
+    fold_batchnorm,
     init_yolo_params,
     yolo_forward,
 )
@@ -44,6 +45,44 @@ class TestArchitecture:
         n = param_count(params)
         # ultralytics yolov8n is ~3.2M params; ours should be in that ballpark
         assert 2.5e6 < n < 4.0e6, n
+
+    def test_fold_batchnorm_parity(self, nano):
+        # folded conv+bias must match conv->BN->SiLU to fp32 rounding; the
+        # folded tree must carry no bn leaves (all affines absorbed)
+        cfg, params = nano
+        # non-trivial BN stats so the fold actually moves numbers
+        rng = np.random.default_rng(3)
+
+        def perturb(p):
+            if isinstance(p, dict):
+                out = {}
+                for k, v in p.items():
+                    if k == "bn":
+                        n = v["gamma"].shape[0]
+                        out[k] = {
+                            "gamma": jnp.asarray(rng.uniform(0.5, 1.5, n), jnp.float32),
+                            "beta": jnp.asarray(rng.normal(0, 0.1, n), jnp.float32),
+                            "mean": jnp.asarray(rng.normal(0, 0.1, n), jnp.float32),
+                            "var": jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32),
+                        }
+                    else:
+                        out[k] = perturb(v)
+                return out
+            if isinstance(p, list):
+                return [perturb(v) for v in p]
+            return p
+
+        params = perturb(params)
+        folded = fold_batchnorm(params)
+        leaves = jax.tree_util.tree_leaves_with_path(folded)
+        assert not any("bn" in str(path) for path, _ in leaves)
+        x = jnp.asarray(rng.standard_normal((1, 96, 96, 3)), jnp.float32)
+        b0, c0 = yolo_forward(params, x, cfg)
+        b1, c1 = yolo_forward(folded, x, cfg)
+        np.testing.assert_allclose(np.asarray(b0), np.asarray(b1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(c0), np.asarray(c1),
+                                   rtol=1e-4, atol=1e-4)
 
     def test_face_variant_single_class(self):
         cfg = YoloConfig("yolov8n", num_classes=1)
