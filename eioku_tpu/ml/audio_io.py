@@ -307,13 +307,35 @@ def energy_vad(audio: np.ndarray, sr: int = SAMPLE_RATE,
     return (db > threshold_db) & (rms > 1e-4)
 
 
+def compute_vad(audio: np.ndarray, sr: int = SAMPLE_RATE,
+                model_cache_dir: str | None = None) -> np.ndarray:
+    """Boolean voice activity per VAD_FRAME_MS frame.
+
+    Uses the Silero-style model VAD (models/vad) when its checkpoint exists
+    under model_cache_dir — the reference's faster-whisper vad_filter behavior
+    (/root/reference/ml-service/src/services/model_manager.py:437-444) — else
+    the energy VAD (random VAD weights would gate speech arbitrarily)."""
+    if model_cache_dir:
+        from eioku_tpu.models.vad.weights import load_vad
+
+        params = load_vad(model_cache_dir)
+        if params is not None:
+            from eioku_tpu.models.vad.model import vad_activity
+
+            return vad_activity(params, audio, frame_ms=VAD_FRAME_MS)
+    return energy_vad(audio, sr)
+
+
 def split_windows(audio: np.ndarray, sr: int = SAMPLE_RATE, window_s: float = 30.0,
-                  vad: bool = True) -> list[tuple[int, np.ndarray]]:
+                  vad: bool = True,
+                  model_cache_dir: str | None = None) -> list[tuple[int, np.ndarray]]:
     """Split audio into fixed windows of window_s seconds (zero-padded last).
-    Returns [(start_ms, samples[window])] — silent windows dropped when vad."""
+    Returns [(start_ms, samples[window])] — silent windows dropped when vad
+    (model VAD when a silero checkpoint is cached, else energy VAD)."""
     win = int(sr * window_s)
     out: list[tuple[int, np.ndarray]] = []
-    activity = energy_vad(audio, sr) if vad and len(audio) else None
+    activity = compute_vad(audio, sr, model_cache_dir) if vad and len(audio) \
+        else None
     for start in range(0, max(len(audio), 1), win):
         chunk = audio[start:start + win]
         if len(chunk) == 0:

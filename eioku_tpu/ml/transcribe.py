@@ -135,7 +135,8 @@ def run_transcription(video_path: str, config: dict,
         return []
     language = config.get("language")
     vad = bool(config.get("vad_filter", True))
-    windows = audio_io.split_windows(audio, window_s=WINDOW_S, vad=vad)
+    windows = audio_io.split_windows(audio, window_s=WINDOW_S, vad=vad,
+                                     model_cache_dir=model_cache_dir)
     if not windows:
         return []
 

@@ -1,0 +1,97 @@
+"""Silero-VAD checkpoint conversion.
+
+Maps the public Silero VAD v5 parameter layout (the jit/ONNX export's tensor
+names, reverse-engineered shape-for-shape) onto model.py's pytree:
+
+  _model.stft.forward_basis_buffer        [2*bins, 1, n_fft] -> stft_basis
+  _model.encoder.{i}.reparam_conv.weight  [C_out, C_in, 3]   -> encoder[i].w
+  _model.encoder.{i}.reparam_conv.bias    [C_out]            -> encoder[i].b
+  _model.decoder.rnn.weight_ih/weight_hh/bias_ih/bias_hh     -> lstm.*
+  _model.decoder.decoder.2.weight         [1, H, 1]          -> out.w
+  _model.decoder.decoder.2.bias           [1]                -> out.b
+
+Zero-egress environments have no checkpoint: load_vad falls back to None and
+the caller keeps using the energy VAD (random VAD weights would gate speech
+arbitrarily, unlike the other models where random weights still exercise the
+pipeline shape).
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from eioku_tpu.models.layers import Params
+from eioku_tpu.models.vad.model import VadConfig
+
+log = logging.getLogger(__name__)
+
+CHECKPOINT_NAME = "silero_vad.ckpt"
+
+
+def _strip(sd: dict) -> dict:
+    return {k.removeprefix("_model."): np.asarray(v) for k, v in sd.items()}
+
+
+def convert_silero_state_dict(sd: dict, cfg: VadConfig = VadConfig()) -> Params:
+    """Torch state_dict (jit export key layout above) -> model.py pytree."""
+    sd = _strip(sd)
+    basis = sd["stft.forward_basis_buffer"]
+    if basis.ndim == 3:  # [2*bins, 1, n_fft] conv layout
+        basis = basis[:, 0, :]
+    p: Params = {"stft_basis": jnp.asarray(basis, jnp.float32)}
+    enc = []
+    i = 0
+    while f"encoder.{i}.reparam_conv.weight" in sd:
+        w = sd[f"encoder.{i}.reparam_conv.weight"]  # [C_out, C_in, K] torch
+        enc.append({"w": jnp.asarray(w.transpose(2, 1, 0), jnp.float32),
+                    "b": jnp.asarray(sd[f"encoder.{i}.reparam_conv.bias"],
+                                     jnp.float32)})
+        i += 1
+    if not enc:
+        raise ValueError("no encoder convs found in state dict")
+    p["encoder"] = enc
+    p["lstm"] = {"w_ih": jnp.asarray(sd["decoder.rnn.weight_ih"], jnp.float32),
+                 "w_hh": jnp.asarray(sd["decoder.rnn.weight_hh"], jnp.float32),
+                 "b_ih": jnp.asarray(sd["decoder.rnn.bias_ih"], jnp.float32),
+                 "b_hh": jnp.asarray(sd["decoder.rnn.bias_hh"], jnp.float32)}
+    ow = sd["decoder.decoder.2.weight"]  # [1, H, 1] conv1d k=1
+    p["out"] = {"w": jnp.asarray(ow[:, :, 0].T, jnp.float32),
+                "b": jnp.asarray(sd["decoder.decoder.2.bias"], jnp.float32)}
+    return p
+
+
+def export_silero_state_dict(params: Params) -> dict:
+    """Inverse of convert (round-trip testing without a real checkpoint)."""
+    sd = {"_model.stft.forward_basis_buffer":
+          np.asarray(params["stft_basis"])[:, None, :]}
+    for i, layer in enumerate(params["encoder"]):
+        sd[f"_model.encoder.{i}.reparam_conv.weight"] = \
+            np.asarray(layer["w"]).transpose(2, 1, 0)
+        sd[f"_model.encoder.{i}.reparam_conv.bias"] = np.asarray(layer["b"])
+    for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+        sd[f"_model.decoder.rnn.{k}"] = \
+            np.asarray(params["lstm"][k.replace("weight", "w").replace("bias", "b")])
+    sd["_model.decoder.decoder.2.weight"] = \
+        np.asarray(params["out"]["w"]).T[:, :, None]
+    sd["_model.decoder.decoder.2.bias"] = np.asarray(params["out"]["b"])
+    return sd
+
+
+def load_vad(cache_dir: str | None,
+             cfg: VadConfig = VadConfig()) -> Params | None:
+    """Returns converted params when {cache_dir}/silero_vad.ckpt exists, else
+    None (caller falls back to the energy VAD)."""
+    if not cache_dir:
+        return None
+    path = os.path.join(cache_dir, CHECKPOINT_NAME)
+    if not os.path.isfile(path):
+        return None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    log.info("loading silero VAD weights from %s", path)
+    return convert_silero_state_dict(sd, cfg)

@@ -19,6 +19,8 @@ import pytest
 
 from tests.test_ml_pipeline import write_video
 
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast selection
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

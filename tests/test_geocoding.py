@@ -1,0 +1,78 @@
+"""Offline reverse geocoding: city/state/country resolution over the embedded
+dataset (reference behavior: country/state/city from Nominatim,
+/root/reference/backend/src/services/reverse_geocoding_service.py:12-54)."""
+import numpy as np
+
+from eioku_tpu.services.geo_data import CITIES, city_coords, haversine_km
+from eioku_tpu.services.geocoding import OfflineReverseGeocoder
+
+
+class TestOfflineGeocoder:
+    def setup_method(self):
+        self.geo = OfflineReverseGeocoder()
+
+    def test_city_level_known_coordinates(self):
+        cases = [
+            ((40.73, -73.99), ("United States", "New York", "New York")),
+            ((48.85, 2.34), ("France", "Ile-de-France", "Paris")),
+            ((35.66, 139.73), ("Japan", "Tokyo", "Tokyo")),
+            ((-33.86, 151.20), ("Australia", "New South Wales", "Sydney")),
+            ((52.51, 13.40), ("Germany", "Berlin", "Berlin")),
+            ((19.41, -99.14), ("Mexico", "Mexico City", "Mexico City")),
+            ((-23.53, -46.62), ("Brazil", "Sao Paulo", "Sao Paulo")),
+            ((-1.30, 36.80), ("Kenya", "Nairobi", "Nairobi")),
+            ((28.63, 77.22), ("India", "Delhi", "Delhi")),
+            ((1.30, 103.85), ("Singapore", "Singapore", "Singapore")),
+        ]
+        for (lat, lon), (country, state, city) in cases:
+            info = self.geo.get_location_info(lat, lon)
+            assert info == {"country": country, "state": state, "city": city}, \
+                (lat, lon, info)
+
+    def test_state_without_city_at_mid_distance(self):
+        # Fresno->Bakersfield corridor, ~100 km from any dataset city:
+        # state-level only
+        info = self.geo.get_location_info(35.9, -119.6)
+        assert info["country"] == "United States"
+        assert info["city"] is None and info["state"] is not None
+
+    def test_country_box_fallback_open_country(self):
+        # central Australian outback: no nearby city, box answers the country
+        info = self.geo.get_location_info(-25.0, 135.0)
+        assert info == {"country": "Australia", "state": None, "city": None}
+
+    def test_open_ocean_resolves_nothing(self):
+        info = self.geo.get_location_info(-40.0, -20.0)  # south Atlantic
+        assert info == {"country": None, "state": None, "city": None}
+
+    def test_cached_lookup_is_stable(self):
+        a = self.geo.get_location_info(51.507, -0.128)
+        b = self.geo.get_location_info(51.513, -0.131)  # same 0.01-deg cell? no — both resolve London
+        assert a["city"] == b["city"] == "London"
+
+
+class TestDataset:
+    def test_no_duplicate_city_country_rows(self):
+        seen = set()
+        for city, state, country, _, _ in CITIES:
+            key = (city, state, country)
+            assert key not in seen, key
+            seen.add(key)
+
+    def test_coordinates_in_range(self):
+        coords = city_coords()
+        assert (np.abs(coords[:, 0]) <= 90).all()
+        assert (np.abs(coords[:, 1]) <= 180).all()
+
+    def test_haversine_sanity(self):
+        # London -> Paris is ~344 km
+        coords = np.asarray([[48.86, 2.35]], np.float32)
+        d = haversine_km(51.51, -0.13, coords)
+        assert 320 < float(d[0]) < 370
+
+    def test_every_city_resolves_to_itself(self):
+        geo = OfflineReverseGeocoder()
+        for city, state, country, lat, lon in CITIES:
+            info = geo.get_location_info(lat, lon)
+            # a denser neighbor may win (e.g. suburbs), but country must hold
+            assert info["country"] == country, (city, info)

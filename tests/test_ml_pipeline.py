@@ -239,6 +239,7 @@ class TestMetadata:
         register_all_schemas()
         SchemaRegistry.validate("video.metadata", 1, extract_metadata(scene_video))
 
+    @pytest.mark.slow
     def test_moov_deep_behind_large_payload(self, tmp_path, scene_video):
         """The common non-faststart layout (moov after a huge mdat) must
         still yield full metadata: top-level boxes are walked by seeking,
@@ -383,6 +384,7 @@ class TestStripedDecode:
         p_frames = np.concatenate([b.frames[:b.valid] for b in striped])
         np.testing.assert_array_equal(s_frames, p_frames)
 
+    @pytest.mark.slow
     def test_process_pool_matches_serial(self, tmp_path):
         from eioku_tpu.ml import video_io
         path = str(tmp_path / "long2.mp4")
@@ -524,6 +526,7 @@ class TestCombinedVisual:
         finally:
             db.close()
 
+    @pytest.mark.slow
     def test_realworld_video_e2e_through_worker(self, tmp_path):
         """A reference-style input — one H.264 mp4 with an embedded AAC
         track, no sidecar — runs discovery -> worker -> transcription +

@@ -13,6 +13,8 @@ import urllib.request
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast selection
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -240,6 +240,7 @@ class TestFinetune:
         short = "one two"
         assert crop_pair(short, rng) == (short, short)
 
+    @pytest.mark.slow
     def test_finetune_end_to_end(self, tmp_path, monkeypatch):
         """Fine-tune on indexed chunks, save, and verify load_minilm picks the
         native checkpoint up."""

@@ -61,6 +61,9 @@ class TestProjectionSync:
                         0, 60000))
         row = db.query_one("SELECT * FROM video_locations WHERE asset_id='a1'")
         assert row is not None and row["country"] == "Japan"
+        # city-level resolution like the reference's Nominatim results
+        # (reverse_geocoding_service.py:12-54): 35.68,139.69 is central Tokyo
+        assert row["city"] == "Tokyo" and row["state"] == "Tokyo"
 
     def test_place_has_no_projection(self, db):
         repo, _ = make_repo(db)

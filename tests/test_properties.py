@@ -5,6 +5,7 @@ The reference's specs call for property-based tests but none were implemented
 invariants unit examples can miss.
 """
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 import jax.numpy as jnp
@@ -15,6 +16,8 @@ from eioku_tpu.ml.scenes import assemble_scenes
 from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
 from eioku_tpu.models.yolo.postprocess import _iou_matrix, nms_fixed
 from eioku_tpu.services.find_service import _fts_query
+
+pytestmark = pytest.mark.slow  # heavy e2e: excluded from the default fast selection
 
 spans = st.tuples(st.integers(0, 10_000), st.integers(0, 10_000)).map(
     lambda t: (min(t), max(t) + 1))

@@ -375,6 +375,7 @@ class TestConverter:
         assert out.shape == (1, 1500, d)
 
 
+@pytest.mark.slow
 class TestHFParity:
     def test_encoder_and_decoder_match_torch_whisper(self):
         """Numerical parity vs the HuggingFace torch Whisper implementation
@@ -470,6 +471,7 @@ class TestTranscribePipeline:
                 assert p_["start_ms"] - 20 <= wd["start_ms"]
                 assert wd["end_ms"] >= wd["start_ms"]
 
+    @pytest.mark.slow
     def test_condition_on_previous_text(self, tmp_path, monkeypatch):
         """Sequential conditioned decode (sot_prev prompting, faster-whisper's
         default mode) runs end-to-end over multiple windows."""
