@@ -269,6 +269,11 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             return {"found": False, "jump_to": None}
         return {"found": True, "jump_to": hit}
 
+    @app.get(PREFIX + "/videos/{video_id}/jump-options")
+    async def jump_options(request: Request):
+        v = _get_video(request.path_params["video_id"])
+        return ctx.jump.jump_options(v.id)
+
     @app.get(PREFIX + "/videos/{video_id}/find")
     async def find(request: Request):
         v = _get_video(request.path_params["video_id"])

@@ -69,6 +69,7 @@ async function openVideo(id, seekMs, fromHistory) {
   if (seekMs != null) video.currentTime = seekMs / 1000;
   if (!fromHistory) history.pushState({ video: id }, "", `#v=${id}`);
   selectTab(state.tab);
+  loadJumpOptions();
   startTaskPolling();
   if (state.overlayRaf) cancelAnimationFrame(state.overlayRaf);
   overlayLoop();
@@ -193,15 +194,55 @@ function startTaskPolling() {
   }, 5000);
 }
 
-/* ---------- jump ---------- */
+/* ---------- jump ----------
+ * Aggregated options (reference JumpNavigationControl.tsx:23-140): kinds with
+ * counts, per-label object options, per-cluster face options, a confidence
+ * slider. One /jump-options request per opened video. */
+const KIND_LABELS = { scene: "Scene", object: "Object", face: "Face",
+  transcript: "Transcript", ocr: "OCR", place: "Place", speaker: "Speaker" };
+
+async function loadJumpOptions() {
+  state.jumpOptions = { kinds: [] };
+  try {
+    state.jumpOptions = await api(`/videos/${state.video.id}/jump-options`);
+  } catch (e) { /* keep static kind list */ }
+  const kinds = state.jumpOptions.kinds;
+  if (kinds.length) {
+    $("jump-kind").innerHTML = kinds.map(k =>
+      `<option value="${k.kind}">${KIND_LABELS[k.kind] || k.kind} (${k.count})</option>`
+    ).join("");
+  }
+  renderJumpTargets();
+}
+
+function renderJumpTargets() {
+  const kind = $("jump-kind").value;
+  const entry = (state.jumpOptions?.kinds || []).find(k => k.kind === kind);
+  const sel = $("jump-target");
+  const opts = entry?.labels
+    ? entry.labels.map(l => ({ v: l.label, t: `${l.label} (${l.count})` }))
+    : entry?.clusters
+      ? entry.clusters.map(c => ({ v: c.cluster_id, t: `cluster ${c.cluster_id} (${c.count})` }))
+      : entry?.speakers
+        ? entry.speakers.map(s => ({ v: s.speaker, t: `${s.speaker} (${s.count})` }))
+        : [];
+  if (!opts.length) { sel.classList.add("hidden"); sel.innerHTML = ""; return; }
+  sel.classList.remove("hidden");
+  sel.innerHTML = `<option value="">any (${entry.count})</option>` +
+    opts.map(o => `<option value="${esc(String(o.v))}">${esc(o.t)}</option>`).join("");
+}
+
 async function jump(direction) {
   const kind = $("jump-kind").value;
   const params = new URLSearchParams({ kind, direction,
     from_ms: String(Math.round($("video").currentTime * 1000)) });
-  const label = $("jump-label").value.trim();
-  if (label) params.set("label", label);
-  const conf = $("jump-conf").value;
-  if (conf) params.set("min_confidence", conf);
+  const target = $("jump-target").value;
+  if (target) {
+    const entry = (state.jumpOptions?.kinds || []).find(k => k.kind === kind);
+    params.set(entry?.clusters ? "cluster_id" : "label", target);
+  }
+  const conf = +$("jump-conf").value;
+  if (conf > 0) params.set("min_confidence", String(conf));
   const res = await api(`/videos/${state.video.id}/jump?${params}`);
   if (res.found) seek(res.jump_to.start_ms);
 }
@@ -302,6 +343,8 @@ window.addEventListener("DOMContentLoaded", () => {
   $("run-selector").onchange = () => { state.run = $("run-selector").value; renderTab(); };
   $("jump-next").onclick = () => jump("next");
   $("jump-prev").onclick = () => jump("prev");
+  $("jump-kind").onchange = renderJumpTargets;
+  $("jump-conf").oninput = () => { $("jump-conf-val").textContent = $("jump-conf").value; };
   $("find-btn").onclick = findInVideo;
   $("find-input").onkeydown = (e) => { if (e.key === "Enter") findInVideo(); };
   $("toggle-objects").onchange = () => toggleOverlay("objects", "object.detection");

@@ -70,6 +70,52 @@ class JumpNavigationService:
             "run_id": target.run_id,
         }
 
+    def jump_options(self, asset_id: str) -> dict[str, Any]:
+        """Aggregated jump targets for the UI: per-kind counts, object labels
+        with counts, face clusters with counts, place labels with counts.
+
+        Capability parity: the reference's JumpNavigationControl discovers
+        artifact types and builds per-label/cluster/scene options client-side
+        (/root/reference/frontend/src/components/JumpNavigationControl.tsx:23-140);
+        here the aggregation is served so the SPA does one request."""
+        from collections import Counter
+
+        present = set(self.artifacts.list_types_for_asset(asset_id))
+        kinds: list[dict[str, Any]] = []
+        for kind, atype in KIND_TO_ARTIFACT_TYPE.items():
+            if atype not in present:
+                continue
+            policy = self.policies.get_policy(asset_id, atype)
+            envs = self.artifacts.get_by_asset(asset_id, artifact_type=atype,
+                                               selection=policy)
+            if not envs:
+                continue
+            entry: dict[str, Any] = {"kind": kind, "count": len(envs)}
+            if kind == "object":
+                c = Counter(e.payload_json.get("label") for e in envs
+                            if e.payload_json.get("label"))
+                entry["labels"] = [{"label": k, "count": n}
+                                   for k, n in c.most_common()]
+            elif kind == "face":
+                c = Counter(e.payload_json.get("cluster_id") for e in envs
+                            if e.payload_json.get("cluster_id") is not None)
+                entry["clusters"] = [{"cluster_id": k, "count": n}
+                                     for k, n in c.most_common()]
+            elif kind == "place":
+                c = Counter(
+                    (e.payload_json.get("predictions") or [{}])[0].get("label")
+                    for e in envs)
+                c.pop(None, None)
+                entry["labels"] = [{"label": k, "count": n}
+                                   for k, n in c.most_common()]
+            elif kind == "speaker":
+                c = Counter(e.payload_json.get("speaker") for e in envs
+                            if e.payload_json.get("speaker") is not None)
+                entry["speakers"] = [{"speaker": k, "count": n}
+                                     for k, n in c.most_common()]
+            kinds.append(entry)
+        return {"kinds": kinds}
+
     @staticmethod
     def _max_prediction_conf(env) -> float:
         preds = env.payload_json.get("predictions")
