@@ -1,12 +1,22 @@
-"""Container metadata extraction: first-party ISO BMFF (MP4/MOV) box parser.
+"""Container metadata extraction: first-party MP4/MOV, MKV, and AVI parsers.
 
 Capability parity: /root/reference/ml-service/src/services/metadata_extractor.py:13-221,
 which shells out to exiftool for 16 composite fields (duration, geometry, codec,
 creation date, GPS, camera make/model). exiftool does not exist in this
-environment, so this module walks the MP4 box tree directly: mvhd (duration,
-creation time), tkhd/stsd (geometry, codecs), stts (frame count -> fps), udta
-(C) xyz (ISO 6709 GPS), and falls back to a cv2 probe for non-MP4 containers.
-I/O-bound, stays on host (SURVEY.md component table).
+environment, so this module parses containers directly:
+
+  - ISO BMFF (MP4/MOV): mvhd (duration, creation time), tkhd/stsd (geometry,
+    codecs), stts (frame count -> fps), udta (C)xyz (ISO 6709 GPS) +
+    (C)mak/(C)mod camera tags, and the iPhone-style meta/keys/ilst tree
+    (com.apple.quicktime.make/model/creationdate/location.ISO6709).
+  - Matroska (MKV/WebM): EBML walk — Info (TimecodeScale, Duration, DateUTC,
+    MuxingApp/WritingApp), TrackEntry (CodecID, DefaultDuration -> fps),
+    Video (PixelWidth/Height), Audio (SamplingFrequency, Channels).
+  - AVI (RIFF): avih (geometry, frame timing), strh/strf per stream
+    (video fourcc + fps, audio format/channels/rate).
+
+cv2 probe remains the last-resort fallback. I/O-bound, stays on host
+(SURVEY.md component table).
 """
 from __future__ import annotations
 
@@ -47,6 +57,9 @@ def _walk(data: bytes, start: int, end: int, path: tuple = ()):
         yield path + (box_type,), body_start, body_end
         if box_type in _CONTAINER_BOXES:
             yield from _walk(data, body_start, body_end, path + (box_type,))
+        elif box_type == b"meta":
+            # FullBox: 4 version/flags bytes precede the child boxes
+            yield from _walk(data, body_start + 4, body_end, path + (box_type,))
 
 
 def _mp4_time(seconds_since_1904: int) -> str | None:
@@ -74,10 +87,17 @@ def extract_metadata(path: str) -> dict:
                  "extra": {}}
     try:
         with open(path, "rb") as f:
-            data = _read_top_level_boxes(f, os.path.getsize(path))
-        _parse_mp4(data, out)
+            magic = f.read(12)
+            f.seek(0)
+            if magic[:4] == b"\x1aE\xdf\xa3":
+                _parse_mkv(f, os.path.getsize(path), out)
+            elif magic[:4] == b"RIFF" and magic[8:12] == b"AVI ":
+                _parse_avi(f.read(4 * 1024 * 1024), out)
+            else:
+                data = _read_top_level_boxes(f, os.path.getsize(path))
+                _parse_mp4(data, out)
     except Exception:
-        log.exception("mp4 parse failed", extra={"path": path})
+        log.exception("container parse failed", extra={"path": path})
     if out.get("duration_ms") is None or out.get("width") is None:
         _cv2_fallback(path, out)
     if out.get("create_date") is None:
@@ -153,6 +173,19 @@ def _parse_mp4(data: bytes, out: dict) -> None:
             gps = _parse_iso6709(body[4:4 + str_len].decode("latin-1", "replace"))
             if gps:
                 out["gps"] = gps
+        elif box in (b"\xa9mak", b"\xa9mod", b"\xa9day") and len(body) >= 4:
+            # udta international-text box: 16-bit length + 16-bit language
+            str_len, = struct.unpack(">H", body[0:2])
+            text = body[4:4 + str_len].decode("utf-8", "replace").strip("\x00")
+            if text:
+                key = {b"\xa9mak": "camera_make", b"\xa9mod": "camera_model",
+                       b"\xa9day": "create_date"}[box]
+                out.setdefault(key, text)
+        elif box == b"keys":
+            _meta_keys = _parse_keys_box(body)
+            out["extra"]["_meta_keys"] = _meta_keys
+        elif box == b"ilst":
+            _apply_ilst(body, out)
         elif current is not None:
             if box == b"tkhd" and len(body) >= 84:
                 version = body[0]
@@ -206,6 +239,245 @@ def _parse_mp4(data: bytes, out: dict) -> None:
                 rate, = struct.unpack(">I", body[16 + 24:16 + 28])
                 out["audio_channels"] = ch
                 out["audio_sample_rate"] = rate >> 16
+    out["extra"].pop("_meta_keys", None)  # internal keys<->ilst plumbing
+
+
+def _parse_keys_box(body: bytes) -> list[str]:
+    """QuickTime metadata `keys` box -> ordered key names (1-indexed)."""
+    if len(body) < 8:
+        return []
+    count, = struct.unpack(">I", body[4:8])
+    keys: list[str] = []
+    pos = 8
+    for _ in range(min(count, 256)):
+        if pos + 8 > len(body):
+            break
+        size, = struct.unpack(">I", body[pos:pos + 4])
+        if size < 8 or pos + size > len(body):
+            break
+        keys.append(body[pos + 8:pos + size].decode("utf-8", "replace"))
+        pos += size
+    return keys
+
+
+_QT_KEY_MAP = {
+    "com.apple.quicktime.make": "camera_make",
+    "com.apple.quicktime.model": "camera_model",
+    "com.apple.quicktime.creationdate": "create_date",
+    "com.apple.quicktime.software": None,  # -> extra
+}
+
+
+def _apply_ilst(body: bytes, out: dict) -> None:
+    """QuickTime `ilst` values (index-typed children holding `data` boxes),
+    resolved against the sibling `keys` box (iPhone/QuickTime layout)."""
+    keys = out["extra"].get("_meta_keys") or []
+    for box_type, s, e in _iter_boxes(body, 0, len(body)):
+        idx = struct.unpack(">I", box_type)[0]
+        if not 1 <= idx <= len(keys):
+            continue
+        key = keys[idx - 1]
+        for inner, ds, de in _iter_boxes(body, s, e):
+            if inner != b"data" or de - ds < 8:
+                continue
+            value = body[ds + 8:de].decode("utf-8", "replace").strip("\x00")
+            if not value:
+                continue
+            if key == "com.apple.quicktime.location.ISO6709":
+                gps = _parse_iso6709(value)
+                if gps:
+                    out.setdefault("gps", gps)
+            elif key in _QT_KEY_MAP:
+                field = _QT_KEY_MAP[key]
+                if field:
+                    out[field] = value
+                else:
+                    out["extra"][key.rsplit(".", 1)[-1]] = value
+
+
+# -- Matroska (EBML) -------------------------------------------------------------
+
+_MKV_EPOCH_OFFSET = 978307200  # 2001-01-01T00:00:00Z in unix seconds
+
+
+def _ebml_vint(f, keep_marker: bool) -> int | None:
+    first = f.read(1)
+    if not first:
+        return None
+    b0 = first[0]
+    if b0 == 0:
+        return None
+    length = 8 - b0.bit_length() + 1
+    rest = f.read(length - 1)
+    if len(rest) != length - 1:
+        return None
+    val = b0 if keep_marker else b0 & ((1 << (8 - length)) - 1)
+    for byte in rest:
+        val = (val << 8) | byte
+    return val
+
+
+def _ebml_uint(data: bytes) -> int:
+    v = 0
+    for b in data:
+        v = (v << 8) | b
+    return v
+
+
+def _ebml_float(data: bytes) -> float | None:
+    if len(data) == 4:
+        return struct.unpack(">f", data)[0]
+    if len(data) == 8:
+        return struct.unpack(">d", data)[0]
+    return None
+
+
+def _parse_mkv(f, filesize: int, out: dict) -> None:
+    """Minimal EBML walk over Segment > Info/Tracks (clusters skipped by
+    size, so multi-GB files cost a few seeks)."""
+    DESCEND = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0xE1}
+    UNKNOWN_SIZE = (1 << 56) - 1
+
+    timecode_scale = 1_000_000  # ns, Matroska default
+    duration_units: float | None = None
+    track: dict | None = None
+
+    def walk(end: int, depth: int):
+        nonlocal timecode_scale, duration_units, track
+        while f.tell() < end and depth < 8:
+            eid = _ebml_vint(f, keep_marker=True)
+            if eid is None:
+                return
+            size = _ebml_vint(f, keep_marker=False)
+            if size is None:
+                return
+            if size == UNKNOWN_SIZE or f.tell() + size > end:
+                size = end - f.tell()  # unknown-size segment: runs to end
+            body_end = f.tell() + size
+            if eid in DESCEND:
+                if eid == 0xAE:
+                    track = {}
+                walk(body_end, depth + 1)
+                if eid == 0xAE and track is not None:
+                    _mkv_apply_track(track, out)
+                    track = None
+            elif size <= 4096:
+                data = f.read(size)
+                if eid == 0x2AD7B1:
+                    timecode_scale = _ebml_uint(data) or timecode_scale
+                elif eid == 0x4489:
+                    duration_units = _ebml_float(data)
+                elif eid == 0x4461:
+                    ns = int.from_bytes(data, "big", signed=True)
+                    out["create_date"] = _dt.datetime.fromtimestamp(
+                        ns / 1e9 + _MKV_EPOCH_OFFSET,
+                        _dt.timezone.utc).isoformat()
+                elif eid == 0x4D80:
+                    out["extra"]["muxing_app"] = data.decode("utf-8", "replace")
+                elif eid == 0x5741:
+                    out["extra"]["writing_app"] = data.decode("utf-8", "replace")
+                elif track is not None:
+                    if eid == 0x83:
+                        track["type"] = _ebml_uint(data)
+                    elif eid == 0x86:
+                        track["codec"] = data.decode("utf-8", "replace")
+                    elif eid == 0x23E383:
+                        track["frame_ns"] = _ebml_uint(data)
+                    elif eid == 0xB0:
+                        track["width"] = _ebml_uint(data)
+                    elif eid == 0xBA:
+                        track["height"] = _ebml_uint(data)
+                    elif eid == 0xB5:
+                        track["sample_rate"] = _ebml_float(data)
+                    elif eid == 0x9F:
+                        track["channels"] = _ebml_uint(data)
+            f.seek(body_end)
+
+    walk(filesize, 0)
+    if duration_units is not None and duration_units > 0:
+        out["duration_ms"] = int(duration_units * timecode_scale / 1e6)
+
+
+_MKV_CODEC_NAMES = {
+    "V_MPEG4/ISO/AVC": "h264", "V_MPEGH/ISO/HEVC": "hevc", "V_VP9": "vp9",
+    "V_VP8": "vp8", "V_AV1": "av1", "A_AAC": "aac", "A_OPUS": "opus",
+    "A_VORBIS": "vorbis", "A_MPEG/L3": "mp3", "A_FLAC": "flac",
+}
+
+
+def _mkv_apply_track(track: dict, out: dict) -> None:
+    codec = track.get("codec")
+    name = _MKV_CODEC_NAMES.get(codec, codec)
+    if track.get("type") == 1:  # video
+        if track.get("width") and out.get("width") is None:
+            out["width"], out["height"] = track["width"], track.get("height")
+        if name and out.get("codec") is None:
+            out["codec"] = name
+        if track.get("frame_ns") and out.get("fps") is None:
+            out["fps"] = round(1e9 / track["frame_ns"], 3)
+    elif track.get("type") == 2:  # audio
+        if name and out.get("audio_codec") is None:
+            out["audio_codec"] = name
+        if track.get("channels"):
+            out.setdefault("audio_channels", track["channels"])
+        if track.get("sample_rate"):
+            out.setdefault("audio_sample_rate", int(track["sample_rate"]))
+
+
+# -- AVI (RIFF) -----------------------------------------------------------------
+
+
+def _parse_avi(data: bytes, out: dict) -> None:
+    """RIFF walk: avih (geometry/timing), per-stream strh/strf."""
+    if len(data) < 12:
+        return
+    micro_per_frame = total_frames = None
+    stream_type = None
+
+    def walk(start: int, end: int, depth: int):
+        nonlocal micro_per_frame, total_frames, stream_type
+        pos = start
+        while pos + 8 <= end and depth < 6:
+            fourcc = data[pos:pos + 4]
+            size, = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = pos + 8
+            if body + size > end:
+                size = max(end - body, 0)
+            if fourcc == b"LIST" and size >= 4:
+                walk(body + 4, body + size, depth + 1)
+            elif fourcc == b"avih" and size >= 40:
+                micro_per_frame, = struct.unpack("<I", data[body:body + 4])
+                total_frames, = struct.unpack("<I", data[body + 16:body + 20])
+                w, h = struct.unpack("<II", data[body + 32:body + 40])
+                if w and out.get("width") is None:
+                    out["width"], out["height"] = w, h
+            elif fourcc == b"strh" and size >= 28:
+                stream_type = data[body:body + 4]
+                scale, rate = struct.unpack("<II", data[body + 20:body + 28])
+                if stream_type == b"vids" and scale and rate and \
+                        out.get("fps") is None:
+                    out["fps"] = round(rate / scale, 3)
+            elif fourcc == b"strf":
+                if stream_type == b"vids" and size >= 20 and \
+                        out.get("codec") is None:
+                    comp = data[body + 16:body + 20]
+                    if comp.strip(b"\x00"):
+                        out["codec"] = comp.decode("latin-1").strip().lower()
+                elif stream_type == b"auds" and size >= 8:
+                    tag, ch = struct.unpack("<HH", data[body:body + 4])
+                    sample_rate, = struct.unpack("<I", data[body + 4:body + 8])
+                    out.setdefault("audio_channels", ch)
+                    out.setdefault("audio_sample_rate", sample_rate)
+                    if out.get("audio_codec") is None:
+                        out["audio_codec"] = {0x0001: "pcm", 0x0055: "mp3",
+                                              0x00FF: "aac",
+                                              0x2000: "ac3"}.get(tag, hex(tag))
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(data), 0)
+    if micro_per_frame and total_frames and out.get("duration_ms") is None:
+        out["duration_ms"] = int(micro_per_frame * total_frames / 1000)
+        out["extra"].setdefault("frame_count", total_frames)
 
 
 def _cv2_fallback(path: str, out: dict) -> None:

@@ -1,0 +1,137 @@
+"""Metadata parity across containers: MKV (EBML), AVI (RIFF), and MP4 camera
+tags — the reference gets all of this from exiftool composites
+(/root/reference/ml-service/src/services/metadata_extractor.py:17-54)."""
+import struct
+
+import numpy as np
+import pytest
+
+from eioku_tpu.ml import audio_io
+from eioku_tpu.ml.metadata import extract_metadata
+
+
+def _frames(n=30, w=160, h=120):
+    out = np.zeros((n, h, w, 3), np.uint8)
+    out[n // 2:] = 180
+    return out
+
+
+class TestMkv:
+    @pytest.fixture(scope="class")
+    def mkv(self, tmp_path_factory):
+        if audio_io.native_decoder() is None:
+            pytest.skip("native shim unavailable")
+        p = str(tmp_path_factory.mktemp("mkv") / "clip.mkv")
+        sr = 16000
+        tone = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr * 3) / sr)
+                ).astype(np.float32)
+        audio_io.native_media_encode(p, _frames(), fps=10.0, samples=tone,
+                                     sr=sr)
+        return p
+
+    def test_video_fields(self, mkv):
+        meta = extract_metadata(mkv)
+        assert meta["container"] == "mkv"
+        assert meta["width"] == 160 and meta["height"] == 120
+        assert meta["codec"] == "h264"
+        assert 2500 <= meta["duration_ms"] <= 3500
+        assert meta["create_date"] is not None
+
+    def test_audio_fields(self, mkv):
+        meta = extract_metadata(mkv)
+        assert meta["audio_codec"] == "aac"
+        assert meta["audio_sample_rate"] == 16000
+        assert meta["audio_channels"] == 1
+
+    def test_schema_valid(self, mkv):
+        from eioku_tpu.domain.schema_registry import (
+            SchemaRegistry,
+            register_all_schemas,
+        )
+        register_all_schemas()
+        SchemaRegistry.validate("video.metadata", 1, extract_metadata(mkv))
+
+
+class TestAvi:
+    @pytest.fixture(scope="class")
+    def avi(self, tmp_path_factory):
+        import cv2
+
+        p = str(tmp_path_factory.mktemp("avi") / "clip.avi")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 12.0,
+                            (160, 120))
+        for f in _frames(36):
+            w.write(f)
+        w.release()
+        return p
+
+    def test_fields(self, avi):
+        meta = extract_metadata(avi)
+        assert meta["container"] == "avi"
+        assert meta["width"] == 160 and meta["height"] == 120
+        assert meta["fps"] == pytest.approx(12.0, abs=0.1)
+        assert meta["codec"] == "mjpg"
+        assert meta["duration_ms"] == pytest.approx(3000, abs=200)
+
+
+def _box(t: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + t + body
+
+
+def _intl_text(t: bytes, text: str) -> bytes:
+    raw = text.encode()
+    return _box(t, struct.pack(">HH", len(raw), 0x55C4) + raw)
+
+
+class TestMp4CameraTags:
+    def _mvhd(self) -> bytes:
+        from eioku_tpu.ml.metadata import _MP4_EPOCH_OFFSET
+
+        ctime = 1_600_000_000 + _MP4_EPOCH_OFFSET
+        return _box(b"mvhd", b"\x00\x00\x00\x00"
+                    + struct.pack(">IIII", ctime, ctime, 1000, 5000)
+                    + b"\x00" * 80)
+
+    def test_udta_quicktime_tags(self, tmp_path):
+        """Android/QuickTime style: (C)mak / (C)mod / (C)xyz in moov>udta."""
+        udta = _box(b"udta", _intl_text(b"\xa9mak", "Canon")
+                    + _intl_text(b"\xa9mod", "EOS R5")
+                    + _intl_text(b"\xa9xyz", "+35.6580+139.6994/"))
+        moov = _box(b"moov", self._mvhd() + udta)
+        p = tmp_path / "cam.mp4"
+        p.write_bytes(_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov)
+        meta = extract_metadata(str(p))
+        assert meta["camera_make"] == "Canon"
+        assert meta["camera_model"] == "EOS R5"
+        assert meta["gps"] == {"latitude": 35.658, "longitude": 139.6994}
+        assert meta["duration_ms"] == 5000
+        assert meta["create_date"].startswith("2020-09-13")
+
+    def test_iphone_meta_keys_ilst(self, tmp_path):
+        """iPhone layout: moov>meta with keys + ilst (mdta scheme)."""
+        def key_entry(name: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(name)) + b"mdta" + name
+
+        names = [b"com.apple.quicktime.make", b"com.apple.quicktime.model",
+                 b"com.apple.quicktime.location.ISO6709"]
+        keys = _box(b"keys", b"\x00\x00\x00\x00"
+                    + struct.pack(">I", len(names))
+                    + b"".join(key_entry(n) for n in names))
+
+        def ilst_item(idx: int, value: bytes) -> bytes:
+            data = _box(b"data", struct.pack(">II", 1, 0) + value)
+            return struct.pack(">I", 8 + len(data)) \
+                + struct.pack(">I", idx) + data
+
+        ilst = _box(b"ilst", ilst_item(1, b"Apple")
+                    + ilst_item(2, b"iPhone 15 Pro")
+                    + ilst_item(3, b"+37.3349-122.0090/"))
+        meta_box = _box(b"meta", b"\x00\x00\x00\x00" + keys + ilst)
+        moov = _box(b"moov", self._mvhd() + meta_box)
+        p = tmp_path / "iphone.mov"
+        p.write_bytes(_box(b"ftyp", b"qt  \x00\x00\x02\x00qt  ") + moov)
+        meta = extract_metadata(str(p))
+        assert meta["camera_make"] == "Apple"
+        assert meta["camera_model"] == "iPhone 15 Pro"
+        assert meta["gps"]["latitude"] == pytest.approx(37.3349)
+        assert "_meta_keys" not in meta["extra"]
