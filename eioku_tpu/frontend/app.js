@@ -159,6 +159,7 @@ function renderMetadata(arts) {
   const rows = [["Duration", p.duration_ms ? fmtMs(p.duration_ms) : null],
     ["Resolution", p.width ? `${p.width}×${p.height}` : null], ["FPS", p.fps],
     ["Codec", p.codec], ["Audio", p.audio_codec], ["Container", p.container],
+    ["Camera", p.camera_make ? `${p.camera_make} ${p.camera_model || ""}`.trim() : null],
     ["Created", p.create_date],
     ["GPS", p.gps ? `${p.gps.latitude.toFixed(4)}, ${p.gps.longitude.toFixed(4)}` : null]]
     .filter(([, v]) => v != null);
