@@ -420,35 +420,42 @@ def _setup_jax():
     return jax
 
 
+_CHILD = None  # current stage subprocess, killed by the signal handlers
+
+
 def _run_stage_subprocess(stage: str) -> float | None:
     """Run one stage in a subprocess with a timeout so a hung TPU tunnel can't
     take down the whole benchmark. The budget never exceeds the remaining
     global deadline."""
     import subprocess
 
+    global _CHILD
     budget = min(STAGE_TIMEOUT_S[stage], _remaining())
     if budget < STAGE_MIN_S.get(stage, 60):
         _log(f"stage {stage}: SKIPPED ({_remaining():.0f}s left < "
              f"{STAGE_MIN_S.get(stage, 60)}s minimum)")
         return None
-    proc = None
     try:
-        proc = subprocess.Popen(
+        _CHILD = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--stage", stage],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        out, err = proc.communicate(timeout=budget)
+        out, err = _CHILD.communicate(timeout=budget)
     except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.communicate()
+        _CHILD.kill()
+        _CHILD.communicate()
         _log(f"stage {stage}: TIMED OUT after {budget:.0f}s")
         return None
     sys.stderr.write(err)
-    if proc.returncode != 0:
-        _log(f"stage {stage}: FAILED rc={proc.returncode}")
+    if _CHILD.returncode != 0:
+        _log(f"stage {stage}: FAILED rc={_CHILD.returncode}")
         return None
     try:
-        return float(json.loads(out.strip().splitlines()[-1])["value"])
+        parsed = json.loads(out.strip().splitlines()[-1])
+        if parsed.get("backend"):
+            global _BACKEND
+            _BACKEND = parsed["backend"]
+        return float(parsed["value"])
     except (ValueError, KeyError, IndexError) as e:
         _log(f"stage {stage}: unparseable output ({e})")
         return None
@@ -513,33 +520,43 @@ def _print_final() -> None:
 
 def _on_signal(signum, frame):
     _log(f"signal {signum}: emitting best-so-far result")
+    if _CHILD is not None and _CHILD.poll() is None:
+        try:
+            _CHILD.kill()
+        except OSError:
+            pass
     _print_final()
     os._exit(0)
+
+
+_BACKEND = "unknown"
 
 
 def main() -> None:
     if "--stage" in sys.argv:
         stage = sys.argv[sys.argv.index("--stage") + 1]
-        _setup_jax()
+        jax = _setup_jax()
         value = STAGES[stage]()
-        print(json.dumps({"stage": stage, "value": value}))
+        print(json.dumps({"stage": stage, "value": value,
+                          "backend": jax.default_backend()}))
         return
 
-    for sig in (signal.SIGTERM, signal.SIGINT):
+    # The parent NEVER touches jax: a dead tunnel must not be able to hang
+    # the orchestrator. A partial line exists from the very first moment, and
+    # SIGALRM enforces the deadline unconditionally.
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
         signal.signal(sig, _on_signal)
-
-    jax = _setup_jax()
-    backend = jax.default_backend()
-    _log(f"backend: {backend}, devices: {jax.devices()}, "
-         f"deadline: {DEADLINE_S:.0f}s")
     vals: dict[str, float | None] = {}
-    _flush_partial(_assemble(vals, backend))
+    _flush_partial(_assemble(vals, _BACKEND))
+    signal.alarm(max(int(DEADLINE_S), 1))
+    _log(f"deadline: {DEADLINE_S:.0f}s")
+
     order = ["detect", "embed", "pipeline", "combined", "scenes", "query"]
     if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
         order += ["whisper", "whisper_beam"]
     for stage in order:
         vals[stage] = _run_stage_subprocess(stage)
-        _flush_partial(_assemble(vals, backend))
+        _flush_partial(_assemble(vals, _BACKEND))
         _log(f"[{time.monotonic() - _START:.0f}s] {stage} done; "
              f"{_remaining():.0f}s budget left")
     _print_final()

@@ -1,0 +1,58 @@
+"""bench.py orchestration guarantees (VERDICT r1 item 1): the final JSON line
+prints within the deadline no matter what — stages are skipped when the
+budget can't fit them, the parent process never initializes JAX (a dead TPU
+tunnel can't hang it), and partial results flush to disk."""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestAssemble:
+    def _assemble(self):
+        sys.path.insert(0, REPO)
+        import bench
+        return bench._assemble
+
+    def test_empty_still_valid(self):
+        out = self._assemble()({}, "cpu")
+        assert out["metric"] and out["unit"]
+        assert out["value"] == 0.0 and out["vs_baseline"] == 0.0
+
+    def test_combined_metric_and_extras(self):
+        out = self._assemble()(
+            {"detect": 5000.0, "embed": 6000.0, "pipeline": 35.0,
+             "query": 2.5}, "tpu")
+        assert out["extra"]["detect_fps_640"] == 5000.0
+        assert out["extra"]["pipeline_video_hours_per_hour"] == 35.0
+        assert out["extra"]["query_p50_ms_10k"] == 2.5
+        # 1/(1/5000 + (1/30)/6000) ~ 4866
+        assert 4800 < out["value"] < 4900
+        assert out["vs_baseline"] == round(out["value"] / 30.0, 2)
+
+    def test_estimate_only_when_pipeline_missing(self):
+        a = self._assemble()
+        est = a({"combined": 30.0, "embed": 6000.0}, "tpu")["extra"]
+        assert "est_pipeline_video_hours_per_hour" in est
+        measured = a({"combined": 30.0, "embed": 6000.0, "pipeline": 28.0},
+                     "tpu")["extra"]
+        assert "est_pipeline_video_hours_per_hour" not in measured
+        assert measured["pipeline_video_hours_per_hour"] == 28.0
+
+
+class TestOrchestratorAlwaysPrints:
+    def test_exhausted_deadline_prints_final_line_fast(self, tmp_path):
+        """With a 1 s deadline every stage is skipped — the run must still
+        exit 0 quickly with one parseable JSON line (the r1 failure mode was
+        rc=124 with no line at all)."""
+        env = dict(os.environ, EIOKU_BENCH_DEADLINE_S="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=60)
+        assert proc.returncode == 0, proc.stderr[-500:]
+        line = proc.stdout.strip().splitlines()[-1]
+        parsed = json.loads(line)
+        assert parsed["unit"] == "frames/s/chip"
+        assert "SKIPPED" in proc.stderr
