@@ -10,6 +10,8 @@ never shipped) and selection-policy management endpoints.
 """
 from __future__ import annotations
 
+import os
+
 from pydantic import BaseModel, Field
 
 from eioku_tpu.domain.artifacts import SelectionPolicy
@@ -101,6 +103,47 @@ def _attribute_speakers(ctx, asset_id: str, segments: list[dict]) -> None:
             if overlap > best_overlap:
                 best, best_overlap = lab, overlap
         seg["payload_json"]["speaker"] = best
+
+
+def _thumbnail_path(ctx, v) -> str | None:
+    """Generate (once) and return the poster-frame JPEG for a video."""
+    import tempfile
+
+    import cv2
+
+    if ctx.db.path not in (":memory:", ""):
+        base = os.path.join(os.path.dirname(os.path.abspath(ctx.db.path)),
+                            "thumbnails")
+    else:
+        base = os.path.join(tempfile.gettempdir(), "eioku_thumbnails")
+    os.makedirs(base, exist_ok=True)
+    out = os.path.join(base, f"{v.id}.jpg")
+    if os.path.isfile(out):
+        return out
+    if not os.path.isfile(v.path):
+        return None
+    cap = cv2.VideoCapture(v.path)
+    try:
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        if n > 10:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, n // 10)
+        ok, frame = cap.read()
+        if not ok:
+            return None
+        h, w = frame.shape[:2]
+        if w > 480:  # gallery-card size; keep the file tiny
+            frame = cv2.resize(frame, (480, max(int(h * 480 / w), 2)),
+                               interpolation=cv2.INTER_AREA)
+        ok, buf = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 82])
+        if not ok:
+            return None
+        tmp = out + ".part"
+        with open(tmp, "wb") as f:
+            f.write(buf.tobytes())
+        os.replace(tmp, out)  # atomic: concurrent requests never see partials
+        return out
+    finally:
+        cap.release()
 
 
 def _rrf_fuse(semantic: list[dict], keyword: list[dict], top_k: int,
@@ -230,6 +273,17 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         v = _get_video(request.path_params["video_id"])
         return FileResponse(v.path, media_type="video/mp4",
                             range_header=request.headers.get("range"))
+
+    @app.get(PREFIX + "/videos/{video_id}/thumbnail")
+    async def video_thumbnail(request: Request):
+        """JPEG poster frame (beyond the reference, whose gallery shows a
+        placeholder: frontend/src/components/VideoGallery.tsx:91). Grabbed at
+        ~10% of the duration, cached on disk next to the database."""
+        v = _get_video(request.path_params["video_id"])
+        path = _thumbnail_path(ctx, v)
+        if path is None:
+            raise HTTPException(404, "thumbnail unavailable")
+        return FileResponse(path, media_type="image/jpeg")
 
     @app.get(PREFIX + "/videos/{video_id}/location")
     async def video_location(request: Request):

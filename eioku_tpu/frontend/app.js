@@ -30,6 +30,8 @@ async function loadGallery() {
   const { videos } = await api("/videos");
   $("gallery").innerHTML = videos.map(v => `
     <div class="card" data-id="${v.id}">
+      <img class="thumb" loading="lazy" alt=""
+        src="${API}/videos/${v.id}/thumbnail" onerror="this.style.display='none'">
       <div class="path">${esc(v.path.split("/").pop())}</div>
       <div class="meta">${v.duration_ms ? fmtMs(v.duration_ms) : "—"} ·
         ${esc(v.status)} · ${(v.size_bytes / 1e6).toFixed(1)} MB</div>

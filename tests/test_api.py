@@ -203,6 +203,29 @@ class TestStreaming:
         v = seed_video(ctx, "/definitely/not/here.mp4")
         assert client.get(f"/api/v1/videos/{v.id}/stream").status_code == 404
 
+    def test_thumbnail_generated_and_cached(self, client, ctx, tmp_path):
+        import cv2
+        import numpy as np
+
+        f = tmp_path / "clip.mp4"
+        w = cv2.VideoWriter(str(f), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (96, 64))
+        for i in range(20):
+            w.write(np.full((64, 96, 3), 40 + 8 * i, np.uint8))
+        w.release()
+        v = seed_video(ctx, str(f))
+        r = client.get(f"/api/v1/videos/{v.id}/thumbnail")
+        assert r.status_code == 200
+        assert r.headers["content-type"] == "image/jpeg"
+        assert r.content[:2] == b"\xff\xd8"  # JPEG SOI
+        # second hit serves the cached file (identical bytes)
+        r2 = client.get(f"/api/v1/videos/{v.id}/thumbnail")
+        assert r2.status_code == 200 and r2.content == r.content
+
+    def test_thumbnail_missing_file_404(self, client, ctx):
+        v = seed_video(ctx, "/definitely/not/here.mp4")
+        assert client.get(f"/api/v1/videos/{v.id}/thumbnail").status_code == 404
+
 
 class TestArtifactsEndpoints:
     def test_artifacts_listing_and_filters(self, client, ctx):
