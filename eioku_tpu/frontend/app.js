@@ -132,6 +132,7 @@ async function renderTab() {
   const arts = await fetchArtifacts(type, state.run);
   if (tab === "metadata") return renderMetadata(arts);
   if (!arts.length) { content.innerHTML = "<p>No artifacts.</p>"; return; }
+  if (tab === "objects") return renderObjectGroups(arts);
   content.innerHTML = arts.map((a, i) => {
     const p = a.payload_json;
     let body;
@@ -151,6 +152,27 @@ async function renderTab() {
       <span class="t">${fmtMs(a.span_start_ms)}</span>${body}</div>`;
   }).join("");
   for (const el of content.querySelectorAll(".seg"))
+    el.onclick = () => seek(+el.dataset.ms);
+}
+
+function renderObjectGroups(arts) {
+  /* Grouped-by-label objects view with counts (reference
+   * ObjectDetectionViewer.tsx:108 groupedByLabel), each group expandable to
+   * its timestamped detections. */
+  const groups = {};
+  for (const a of arts)
+    (groups[a.payload_json.label] ||= []).push(a);
+  const order = Object.entries(groups).sort((x, y) => y[1].length - x[1].length);
+  $("tab-content").innerHTML = order.map(([label, items], gi) => `
+    <details class="obj-group" ${gi === 0 ? "open" : ""}>
+      <summary>${esc(label)} <span class="chip">${items.length}</span></summary>
+      ${items.map(a => `
+        <div class="seg" data-ms="${a.span_start_ms}">
+          <span class="t">${fmtMs(a.span_start_ms)}</span>
+          <span class="chip">${(a.payload_json.confidence * 100).toFixed(0)}%</span>
+        </div>`).join("")}
+    </details>`).join("");
+  for (const el of $("tab-content").querySelectorAll(".seg"))
     el.onclick = () => seek(+el.dataset.ms);
 }
 
