@@ -239,7 +239,8 @@ def _run_full_pipeline(path: str, clip_s: int) -> tuple[float, dict]:
 
     vis_cfg = {"scene_detection": {"sample_fps": 4.0},
                "object_detection": {"model": "yolov8m", "batch_size": 64,
-                                    "frame_interval_s": 1.0}}
+                                    "frame_interval_s": 1.0},
+               "decode_threads": 8, "batch_size": 64}
     tr_cfg = {"model": "large-v3-turbo", "max_tokens": 64, "batch_size": 4}
     emb_cfg = MiniLMConfig(compute_dtype="bfloat16")
     emb_params = init_minilm_params(emb_cfg, seed=0)
