@@ -40,8 +40,15 @@ class JumpNavigationService:
         artifact_type = KIND_TO_ARTIFACT_TYPE.get(kind, kind)
         policy = selection or self.policies.get_policy(asset_id, artifact_type)
         payload_filters: dict[str, Any] = {}
+        place_label = None
         if label is not None:
-            payload_filters["label"] = label
+            if artifact_type == "place.classification":
+                # place payloads nest labels under predictions[]; the SQL
+                # json_extract('$.label') filter can't see them — match the
+                # top prediction in Python (same rule jump_options counts by)
+                place_label = label
+            else:
+                payload_filters["label"] = label
         if cluster_id is not None:
             payload_filters["cluster_id"] = cluster_id
 
@@ -49,6 +56,10 @@ class JumpNavigationService:
             asset_id, artifact_type=artifact_type, selection=policy,
             payload_filters=payload_filters or None,
         )
+        if place_label is not None:
+            envs = [e for e in envs
+                    if (e.payload_json.get("predictions") or [{}])[0]
+                    .get("label") == place_label]
         if min_confidence is not None:
             envs = [e for e in envs
                     if (e.payload_json.get("confidence") or 0.0) >= min_confidence
@@ -109,8 +120,10 @@ class JumpNavigationService:
                 entry["labels"] = [{"label": k, "count": n}
                                    for k, n in c.most_common()]
             elif kind == "speaker":
-                c = Counter(e.payload_json.get("speaker") for e in envs
-                            if e.payload_json.get("speaker") is not None)
+                # speaker.turn payloads carry the cluster name under "label"
+                # (SpeakerTurnV1) so the generic label filter works for jumps
+                c = Counter(e.payload_json.get("label") for e in envs
+                            if e.payload_json.get("label") is not None)
                 entry["speakers"] = [{"speaker": k, "count": n}
                                      for k, n in c.most_common()]
             kinds.append(entry)

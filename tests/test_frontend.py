@@ -118,6 +118,13 @@ class TestApiContract:
                                   "bounding_box": box, "frame_number": 0}))
         ctx.artifacts.create(env("scene", {"scene_index": 0, "start_ms": 0,
                                            "end_ms": 100, "duration_ms": 100}))
+        ctx.artifacts.create(env("place.classification",
+                                 {"predictions": [{"label": "beach",
+                                                   "confidence": 0.8}],
+                                  "frame_number": 0}, 600))
+        ctx.artifacts.create(env("speaker.turn",
+                                 {"label": "SPEAKER_00", "start_ms": 0,
+                                  "end_ms": 100, "confidence": 0.9}))
 
         opts = ctx.jump.jump_options(v.id)
         by_kind = {k["kind"]: k for k in opts["kinds"]}
@@ -126,10 +133,25 @@ class TestApiContract:
         assert by_kind["face"]["clusters"] == [{"cluster_id": "cluster_1",
                                                 "count": 1}]
         assert by_kind["scene"]["count"] == 1
+        # place labels come from predictions[0]; speakers from "label"
+        assert by_kind["place"]["labels"] == [{"label": "beach", "count": 1}]
+        assert by_kind["speaker"]["speakers"] == [{"speaker": "SPEAKER_00",
+                                                   "count": 1}]
         # the jump the UI issues for a face cluster actually lands
         hit = ctx.jump.jump(v.id, "face", from_ms=0, direction="next",
                             cluster_id="cluster_1")
         assert hit is not None and hit["payload"]["cluster_id"] == "cluster_1"
+        # ...and selecting a place label from the dropdown lands too (the
+        # label lives under predictions[], not payload.label)
+        hit = ctx.jump.jump(v.id, "place", from_ms=0, direction="next",
+                            label="beach")
+        assert hit is not None and hit["start_ms"] == 600
+        assert ctx.jump.jump(v.id, "place", from_ms=0, direction="next",
+                             label="office") is None
+        # speaker jump via the generic label filter
+        hit = ctx.jump.jump(v.id, "speaker", from_ms=0, direction="next",
+                            label="SPEAKER_00")
+        assert hit is not None and hit["payload"]["label"] == "SPEAKER_00"
 
 
 @pytest.mark.slow
