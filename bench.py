@@ -158,17 +158,19 @@ def _ensure_av_clip(clip_s: int = 60) -> str:
     if audio_io.native_decoder() is not None:
         fps = 24
         rng = np.random.default_rng(0)
-        frames = np.zeros((fps * clip_s, 720, 1280, 3), np.uint8)
-        frame = None
-        for i in range(fps * clip_s):
-            if i % 96 == 0:
-                c = rng.integers(0, 255, 3)
-                frame = np.zeros((720, 1280, 3), np.uint8)
-                frame[:, :] = c
-                frame[:, :, 0] = np.linspace(0, int(c[0]), 1280, dtype=np.uint8)
-            frames[i] = frame
-        audio_io.native_media_encode(path, frames, fps=float(fps),
-                                     samples=audio, sr=sr)
+        # one distinct frame per 4 s scene + a frame_map: ~45 MB of buffer
+        # instead of materializing all 1440 frames (~4 GB) at once
+        n_total = fps * clip_s
+        n_scenes = -(-n_total // 96)
+        uniq = np.zeros((n_scenes, 720, 1280, 3), np.uint8)
+        for s in range(n_scenes):
+            c = rng.integers(0, 255, 3)
+            uniq[s, :, :] = c
+            uniq[s, :, :, 0] = np.linspace(0, int(c[0]), 1280, dtype=np.uint8)
+        frame_map = np.repeat(np.arange(n_scenes, dtype=np.int32), 96)[:n_total]
+        audio_io.native_media_encode(path, uniq, fps=float(fps),
+                                     samples=audio, sr=sr,
+                                     frame_map=frame_map)
         return path
     # fallback: mp4v video + wav sidecar next to it
     video = _ensure_clip(clip_s)
@@ -344,6 +346,9 @@ def _bench_whisper_common(beam_size: int, batch: int = 4,
     t0 = time.time()
     outs = [run(w) for w in inputs]
     jax.block_until_ready(outs)
+    # force a device->host transfer inside the timed region (CLAUDE.md:
+    # block_until_ready alone under-measures on this backend)
+    int(np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[-1])
     dt = time.time() - t0
     audio_per_s = n * batch * 30.0 / dt
     _log(f"whisper {variant} beam={beam_size}: {audio_per_s:.1f} "

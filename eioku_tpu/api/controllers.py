@@ -280,7 +280,12 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         placeholder: frontend/src/components/VideoGallery.tsx:91). Grabbed at
         ~10% of the duration, cached on disk next to the database."""
         v = _get_video(request.path_params["video_id"])
-        path = _thumbnail_path(ctx, v)
+        # cold thumbnails seek+decode+encode for seconds on large files; the
+        # server is a single-threaded event loop, so run it in a worker thread
+        # (disk writes are atomic, so concurrent requests are safe)
+        import asyncio
+
+        path = await asyncio.to_thread(_thumbnail_path, ctx, v)
         if path is None:
             raise HTTPException(404, "thumbnail unavailable")
         return FileResponse(path, media_type="image/jpeg")

@@ -96,6 +96,12 @@ def _configure_av(lib) -> None:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
         ctypes.c_longlong, ctypes.c_int, ctypes.c_char_p]
+    lib.eioku_media_encode_mapped.restype = ctypes.c_int
+    lib.eioku_media_encode_mapped.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_char_p]
 
 
 def native_decoder():
@@ -153,12 +159,15 @@ def native_media_encode(path: str, frames: np.ndarray | None,
                         fps: float = 10.0,
                         samples: np.ndarray | None = None,
                         sr: int = SAMPLE_RATE,
-                        video_codec: str | None = None) -> None:
+                        video_codec: str | None = None,
+                        frame_map: np.ndarray | None = None) -> None:
     """Mux video (frames: (N,H,W,3) uint8 RGB) and/or an AAC audio
     track (mono float32 PCM) into one container at `path` — the shape
     real-world library files take. Either stream may be omitted.
     video_codec picks the encoder by libav name (default libx264;
-    e.g. "libx265", "libvpx-vp9" for decode-breadth fixtures)."""
+    e.g. "libx265", "libvpx-vp9" for decode-breadth fixtures).
+    frame_map (int32 [T]) makes output frame i read frames[frame_map[i]]:
+    long fixtures with few distinct frames need MBs, not GBs, of buffer."""
     import ctypes
     lib = native_decoder()
     if lib is None:
@@ -167,16 +176,23 @@ def native_media_encode(path: str, frames: np.ndarray | None,
         f = np.ascontiguousarray(frames, np.uint8)
         n_frames, h, w = f.shape[:3]
         rgb = f.ctypes.data_as(ctypes.c_char_p)
+        fmap = None
+        if frame_map is not None:
+            m = np.ascontiguousarray(frame_map, np.int32)
+            if len(m) and (m.min() < 0 or m.max() >= n_frames):
+                raise ValueError("frame_map index out of range")
+            fmap = m.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+            n_frames = len(m)
     else:
-        rgb, n_frames, h, w = None, 0, 0, 0
+        rgb, fmap, n_frames, h, w = None, None, 0, 0, 0
     if samples is not None:
         x = np.ascontiguousarray(samples, np.float32)
         pcm, n_pcm = x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x)
     else:
         pcm, n_pcm = None, 0
-    ret = lib.eioku_media_encode(path.encode(), rgb, n_frames, w, h,
-                                 float(fps), pcm, n_pcm, sr,
-                                 video_codec.encode() if video_codec else None)
+    ret = lib.eioku_media_encode_mapped(
+        path.encode(), rgb, fmap, n_frames, w, h, float(fps), pcm, n_pcm, sr,
+        video_codec.encode() if video_codec else None)
     if ret != 0:
         raise RuntimeError(f"native media encode failed for {path!r} "
                            f"(averror {ret})")

@@ -58,8 +58,12 @@ def _walk(data: bytes, start: int, end: int, path: tuple = ()):
         if box_type in _CONTAINER_BOXES:
             yield from _walk(data, body_start, body_end, path + (box_type,))
         elif box_type == b"meta":
-            # FullBox: 4 version/flags bytes precede the child boxes
-            yield from _walk(data, body_start + 4, body_end, path + (box_type,))
+            # ISO BMFF writes meta as a FullBox (4 version/flags bytes, always
+            # zero, before the children); QuickTime-brand files (real iPhone
+            # .MOV) write a plain box whose first child starts immediately —
+            # there the same 4 bytes are the child's size field, never zero.
+            off = 4 if data[body_start:body_start + 4] == b"\x00\x00\x00\x00" else 0
+            yield from _walk(data, body_start + off, body_end, path + (box_type,))
 
 
 def _mp4_time(seconds_since_1904: int) -> str | None:
@@ -180,7 +184,10 @@ def _parse_mp4(data: bytes, out: dict) -> None:
             if text:
                 key = {b"\xa9mak": "camera_make", b"\xa9mod": "camera_model",
                        b"\xa9day": "create_date"}[box]
-                out.setdefault(key, text)
+                # not setdefault: mvhd may already have stored create_date=None
+                # (encoders that omit ctime write 0) and the tag should win
+                if out.get(key) is None:
+                    out[key] = text
         elif box == b"keys":
             _meta_keys = _parse_keys_box(body)
             out["extra"]["_meta_keys"] = _meta_keys
@@ -317,6 +324,31 @@ def _ebml_vint(f, keep_marker: bool) -> int | None:
     return val
 
 
+_EBML_UNKNOWN = -1
+
+
+def _ebml_size(f) -> int | None:
+    """Size vint; all data bits set at ANY vint length (0xFF, 0x7FFF, ...,
+    the 8-byte form) is the spec's unknown-size marker, not a literal size —
+    live-recorded MKVs use the short forms on Segment/Cluster."""
+    first = f.read(1)
+    if not first:
+        return None
+    b0 = first[0]
+    if b0 == 0:
+        return None
+    length = 8 - b0.bit_length() + 1
+    rest = f.read(length - 1)
+    if len(rest) != length - 1:
+        return None
+    val = b0 & ((1 << (8 - length)) - 1)
+    for byte in rest:
+        val = (val << 8) | byte
+    if val == (1 << (7 * length)) - 1:
+        return _EBML_UNKNOWN
+    return val
+
+
 def _ebml_uint(data: bytes) -> int:
     v = 0
     for b in data:
@@ -336,7 +368,6 @@ def _parse_mkv(f, filesize: int, out: dict) -> None:
     """Minimal EBML walk over Segment > Info/Tracks (clusters skipped by
     size, so multi-GB files cost a few seeks)."""
     DESCEND = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0xE1}
-    UNKNOWN_SIZE = (1 << 56) - 1
 
     timecode_scale = 1_000_000  # ns, Matroska default
     duration_units: float | None = None
@@ -348,11 +379,11 @@ def _parse_mkv(f, filesize: int, out: dict) -> None:
             eid = _ebml_vint(f, keep_marker=True)
             if eid is None:
                 return
-            size = _ebml_vint(f, keep_marker=False)
+            size = _ebml_size(f)
             if size is None:
                 return
-            if size == UNKNOWN_SIZE or f.tell() + size > end:
-                size = end - f.tell()  # unknown-size segment: runs to end
+            if size == _EBML_UNKNOWN or f.tell() + size > end:
+                size = end - f.tell()  # unknown-size element: runs to end
             body_end = f.tell() + size
             if eid in DESCEND:
                 if eid == 0xAE:

@@ -132,16 +132,28 @@ def vad_probs(params: Params, audio: jnp.ndarray,
     return jax.nn.sigmoid(logits[..., 0])
 
 
+BUCKET_SECONDS = 30  # pad audio up to a 30 s multiple: one compile per bucket
+
+
 def vad_activity(params: Params, audio: np.ndarray, cfg: VadConfig = VadConfig(),
                  threshold: float = 0.5, frame_ms: int = 30) -> np.ndarray:
     """Boolean activity at frame_ms granularity over a 1-D waveform — the
     drop-in interface of ml.audio_io.energy_vad (which indexes activity by
-    VAD_FRAME_MS frames)."""
+    VAD_FRAME_MS frames).
+
+    The waveform is zero-padded to the next BUCKET_SECONDS multiple before the
+    jitted vad_probs call so distinct video durations share compiles (tunnel
+    compiles cost 10-600 s; the LSTM is causal, so the padded tail cannot
+    affect the kept chunks)."""
     if len(audio) == 0:
         return np.zeros(0, bool)
-    probs = np.asarray(vad_probs(params, jnp.asarray(audio, jnp.float32)[None],
-                                 cfg))[0]
-    active_chunks = probs >= threshold
+    bucket = cfg.sr * BUCKET_SECONDS
+    padded_len = -(-len(audio) // bucket) * bucket
+    wav = np.zeros(padded_len, np.float32)
+    wav[:len(audio)] = audio
+    probs = np.asarray(vad_probs(params, jnp.asarray(wav)[None], cfg))[0]
+    n_real_chunks = -(-len(audio) // cfg.chunk)
+    active_chunks = probs[:n_real_chunks] >= threshold
     n_frames = len(audio) // int(cfg.sr * frame_ms / 1000)
     if n_frames == 0:
         return np.zeros(0, bool)

@@ -22,6 +22,9 @@
 //       container — the shape real-world library files take (the
 //       reference's inputs are camera/screen-recorder mp4s). Tests build
 //       H.264/HEVC/VP9 fixtures with it; the CLI exports clips.
+//   eioku_media_encode_mapped(...) — same, plus an optional frame_map:
+//       output frame i reads rgb[frame_map[i]]. Long synthetic fixtures
+//       with few distinct frames then need MBs, not GBs, of frame buffer.
 //
 // Build: g++ -O2 -shared -fPIC -std=c++17 audio_decode.cpp
 //        -lavformat -lavcodec -lswresample -lswscale -lavutil
@@ -165,21 +168,31 @@ int eioku_audio_decode(const char *path, int target_sr, float **out_buf,
     return 0;
 }
 
-int eioku_media_encode(const char *path, const unsigned char *rgb,
-                       int n_frames, int w, int h, double fps,
-                       const float *samples, long long n_samples, int sr,
-                       const char *video_codec);
+int eioku_media_encode_mapped(const char *path, const unsigned char *rgb,
+                              const int *frame_map, int n_frames, int w,
+                              int h, double fps, const float *samples,
+                              long long n_samples, int sr,
+                              const char *video_codec);
 
 int eioku_audio_encode(const char *path, const float *samples, long long n,
                        int sr) {
-    return eioku_media_encode(path, nullptr, 0, 0, 0, 0.0, samples, n, sr,
-                              nullptr);
+    return eioku_media_encode_mapped(path, nullptr, nullptr, 0, 0, 0, 0.0,
+                                     samples, n, sr, nullptr);
 }
 
 int eioku_media_encode(const char *path, const unsigned char *rgb,
                        int n_frames, int w, int h, double fps,
                        const float *samples, long long n_samples, int sr,
                        const char *video_codec) {
+    return eioku_media_encode_mapped(path, rgb, nullptr, n_frames, w, h, fps,
+                                     samples, n_samples, sr, video_codec);
+}
+
+int eioku_media_encode_mapped(const char *path, const unsigned char *rgb,
+                              const int *frame_map, int n_frames, int w,
+                              int h, double fps, const float *samples,
+                              long long n_samples, int sr,
+                              const char *video_codec) {
     AVFormatContext *oc = nullptr;
     int ret = avformat_alloc_output_context2(&oc, nullptr, nullptr, path);
     if (ret < 0 || !oc) return ret < 0 ? ret : AVERROR(EINVAL);
@@ -311,7 +324,8 @@ int eioku_media_encode(const char *path, const unsigned char *rgb,
         double a_t = want_audio && apos < n_samples ? (double)apos / sr : 1e30;
         if (v_t <= a_t) {
             if ((ret = av_frame_make_writable(vframe)) < 0) break;
-            const uint8_t *src[1] = {rgb + (size_t)vi * h * w * 3};
+            size_t fidx = frame_map ? (size_t)frame_map[vi] : (size_t)vi;
+            const uint8_t *src[1] = {rgb + fidx * h * w * 3};
             const int src_stride[1] = {w * 3};
             sws_scale(sws, src, src_stride, 0, h, vframe->data,
                       vframe->linesize);

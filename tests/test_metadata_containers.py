@@ -135,3 +135,57 @@ class TestMp4CameraTags:
         assert meta["camera_model"] == "iPhone 15 Pro"
         assert meta["gps"]["latitude"] == pytest.approx(37.3349)
         assert "_meta_keys" not in meta["extra"]
+
+    def test_quicktime_plain_meta_box(self, tmp_path):
+        """QuickTime-brand meta is a plain box: children start immediately,
+        no version/flags. Real iPhone .MOV files use this layout."""
+        def key_entry(name: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(name)) + b"mdta" + name
+
+        keys = _box(b"keys", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                    + key_entry(b"com.apple.quicktime.model"))
+        data = _box(b"data", struct.pack(">II", 1, 0) + b"iPhone 12")
+        ilst = _box(b"ilst", struct.pack(">I", 8 + len(data))
+                    + struct.pack(">I", 1) + data)
+        hdlr = _box(b"hdlr", b"\x00" * 8 + b"mdta" + b"\x00" * 12)
+        meta_box = _box(b"meta", hdlr + keys + ilst)  # NO version/flags
+        moov = _box(b"moov", self._mvhd() + meta_box)
+        p = tmp_path / "qt.mov"
+        p.write_bytes(_box(b"ftyp", b"qt  \x00\x00\x02\x00qt  ") + moov)
+        meta = extract_metadata(str(p))
+        assert meta["camera_model"] == "iPhone 12"
+
+    def test_day_tag_wins_over_zero_mvhd_ctime(self, tmp_path):
+        """mvhd ctime=0 (encoder omitted it) must not mask a udta (C)day."""
+        mvhd = _box(b"mvhd", b"\x00\x00\x00\x00"
+                    + struct.pack(">IIII", 0, 0, 1000, 5000) + b"\x00" * 80)
+        udta = _box(b"udta", _intl_text(b"\xa9day", "2021-07-04T12:00:00Z"))
+        moov = _box(b"moov", mvhd + udta)
+        p = tmp_path / "day.mp4"
+        p.write_bytes(_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov)
+        meta = extract_metadata(str(p))
+        assert meta["create_date"] == "2021-07-04T12:00:00Z"
+        assert "create_date_source" not in meta["extra"]
+
+
+class TestEbmlUnknownSize:
+    def test_short_unknown_size_vints(self, tmp_path):
+        """Live-recorded MKVs mark Segment/Cluster unknown-size with SHORT
+        all-ones vints (0xFF), not just the 8-byte form."""
+        def vint_size(n: int) -> bytes:
+            return bytes([0x80 | n])  # 1-byte size, value n < 0x7F
+
+        def elem(eid: int, body: bytes) -> bytes:
+            return eid.to_bytes((eid.bit_length() + 7) // 8, "big") \
+                + vint_size(len(body)) + body
+
+        tscale = elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        dur = elem(0x4489, struct.pack(">d", 4000.0))
+        info = elem(0x1549A966, tscale + dur)
+        # Segment with 1-byte unknown-size marker 0xFF (all data bits set)
+        segment = (0x18538067).to_bytes(4, "big") + b"\xff" + info
+        header = elem(0x1A45DFA3, elem(0x4282, b"matroska"))
+        p = tmp_path / "live.mkv"
+        p.write_bytes(header + segment)
+        meta = extract_metadata(str(p))
+        assert meta["duration_ms"] == 4000

@@ -124,6 +124,33 @@ class TestNativeDecode:
         cap.release()
         assert n_native >= 18 and n_cv >= 18  # demuxers may drop a tail frame
 
+    def test_frame_map_encode_matches_materialized(self, tmp_path):
+        """frame_map encoding (unique frames + index map) must produce the
+        same decoded content as materializing every frame — it exists so
+        long fixtures don't need GBs of frame buffer (bench _ensure_av_clip)."""
+        from eioku_tpu.ml import audio_io, video_io
+        if audio_io.native_decoder() is None or \
+                video_io.native_video_lib() is None:
+            pytest.skip("native shims unavailable in this image")
+        uniq = np.zeros((3, 96, 128, 3), np.uint8)
+        uniq[0], uniq[1], uniq[2] = 30, 120, 220
+        fmap = np.repeat(np.arange(3, dtype=np.int32), 8)  # 24 frames
+        p_map = str(tmp_path / "mapped.mp4")
+        audio_io.native_media_encode(p_map, uniq, fps=8.0, frame_map=fmap)
+        p_full = str(tmp_path / "full.mp4")
+        audio_io.native_media_encode(p_full, uniq[fmap], fps=8.0)
+        for a, b in zip(video_io._decode_native(p_map, 8.0, 1, 4, None, None),
+                        video_io._decode_native(p_full, 8.0, 1, 4, None, None)):
+            assert a.valid == b.valid
+            np.testing.assert_allclose(
+                a.frames[:a.valid].astype(np.int16),
+                b.frames[:b.valid].astype(np.int16),
+                atol=4)  # same encoder settings; minor x264 rate noise
+        with pytest.raises(ValueError):
+            audio_io.native_media_encode(
+                str(tmp_path / "bad.mp4"), uniq, fps=8.0,
+                frame_map=np.asarray([0, 3], np.int32))
+
     def test_truncated_file_yields_partial_frames(self, tmp_path):
         """A tail-truncated recording must yield the frames that decoded,
         not raise and fail the whole task (cv2-path behavior parity)."""

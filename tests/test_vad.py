@@ -53,6 +53,20 @@ class TestModel:
         ref = energy_vad(audio)
         assert act.shape == ref.shape and act.dtype == np.bool_
 
+    def test_length_bucketing_shares_compiles(self):
+        """Distinct durations inside one 30 s bucket must hit one jitted
+        shape (tunnel compiles are 10-600 s each), and the zero-padded tail
+        must not change the kept chunks."""
+        params = init_vad_params(CFG, seed=0)
+        a1 = vad_activity(params, _tone(300, 1.0), CFG)  # compile the bucket
+        n0 = vad_probs._cache_size()
+        vad_activity(params, _tone(300, 7.3), CFG)
+        vad_activity(params, _tone(300, 29.0), CFG)
+        assert vad_probs._cache_size() == n0  # same bucket: no new compiles
+        # longer audio with the same prefix: prefix activity unchanged
+        a2 = vad_activity(params, _tone(300, 12.0), CFG)
+        np.testing.assert_array_equal(a2[:len(a1)], a1)
+
 
 class TestConverter:
     def test_roundtrip(self):
