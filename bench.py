@@ -43,11 +43,15 @@ def _remaining() -> float:
 # ---------------------------------------------------------------- stages
 
 
-def bench_detect(n_batches: int = 4, batch: int = 384, size: int = 640) -> float:
+def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640) -> float:
     # batch 384 measured ~32% faster per frame than 128 on v5e (batch sweep:
-    # 128 -> 3485, 256 -> 3756, 384 -> 4617, 512 -> 4435 frames/s); 4 staged
-    # input batches (1.9 GB uint8) keep tunnel upload time inside the stage
-    # budget while still defeating execution dedup
+    # 128 -> 3485, 256 -> 3756, 384 -> 4617, 512 -> 4435 frames/s).
+    # ONE staged uint8 batch (471 MB); each scan step rolls it along the batch
+    # axis on device so every execution sees distinct inputs without paying
+    # n_batches uploads (a slow tunnel blew the whole r1 stage budget on input
+    # transfer alone). The scan keeps the loop on device — this measures
+    # sustained chip throughput, which the production path reaches by keeping
+    # up to 16 batches in flight (ml/combined.py MAX_PENDING).
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -58,22 +62,27 @@ def bench_detect(n_batches: int = 4, batch: int = 384, size: int = 640) -> float
     cfg = YoloConfig("yolov8n", num_classes=80)
     params = fold_batchnorm(init_yolo_params(cfg, seed=0))
     rng = np.random.default_rng(0)
+    t0 = time.time()
     frames = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3),
                                       dtype=np.uint8))
+    jax.block_until_ready(frames)
+    _log(f"detect upload: {time.time() - t0:.1f}s")
+
+    @jax.jit
+    def run(params, frames, start):
+        def step(acc, i):
+            out = detect(params, jnp.roll(frames, i, axis=0), cfg)
+            return acc + out["scores"].sum(), None
+        acc, _ = jax.lax.scan(step, 0.0, start + jnp.arange(1, n_batches + 1))
+        return acc
+
     t0 = time.time()
-    out = detect(params, frames, cfg)
-    float(out["scores"].sum())
-    _log(f"detect compile: {time.time() - t0:.1f}s")
-    # pipelined throughput: distinct pre-staged device inputs per step
-    # (prevents identical-execution caching without eager ops in the timed
-    # loop), sync + fetch at the end
-    inputs = [jnp.asarray(rng.integers(0, 255, frames.shape, dtype=np.uint8))
-              for _ in range(n_batches)]
-    jax.block_until_ready(inputs)
+    float(run(params, frames, jnp.int32(0)))
+    _log(f"detect compile+first: {time.time() - t0:.1f}s")
+    # distinct start offset: identical repeated executions can be
+    # deduplicated by the remote backend and would under-measure
     t0 = time.time()
-    outs = [detect(params, x, cfg) for x in inputs]
-    jax.block_until_ready(outs)
-    float(outs[-1]["scores"].sum())
+    float(run(params, frames, jnp.int32(7)))
     dt = time.time() - t0
     fps = n_batches * batch / dt
     _log(f"detect: {fps:.1f} frames/s ({dt:.3f}s for {n_batches}x{batch})")

@@ -83,6 +83,7 @@ class IvfIndex:
         n = vectors.shape[0]
         if k is None:
             k = max(int(np.sqrt(n)), 4)
+        k = max(min(k, n), 1)  # k-means samples k seeds without replacement
         v = vectors.astype(np.float32)
         norms = np.linalg.norm(v, axis=1, keepdims=True)
         v = v / np.maximum(norms, 1e-9)

@@ -122,9 +122,11 @@ def detect(params: Params, images: jnp.ndarray, cfg: YoloConfig,
     box_logits, cls_logits = yolo_forward(params, images, cfg)
     anchors, strides = anchor_points(h, w, cfg.strides)
     boxes = decode_boxes(box_logits, anchors, strides, cfg.reg_max)
-    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    scores_all = jnp.max(probs, axis=-1)  # [B, A]
-    classes_all = jnp.argmax(probs, axis=-1)  # [B, A]
+    # sigmoid is monotonic: max/argmax over raw logits give the same class and
+    # score as over probabilities, for 1/num_classes the transcendental cost
+    scores_all = jax.nn.sigmoid(
+        jnp.max(cls_logits, axis=-1).astype(jnp.float32))  # [B, A]
+    classes_all = jnp.argmax(cls_logits, axis=-1)  # [B, A]
     scores_all = jnp.where(scores_all >= conf_threshold, scores_all, 0.0)
 
     k = min(top_k, scores_all.shape[1])

@@ -69,6 +69,16 @@ class TestIvfIndex:
         assert slots[0] == 42
         assert scores[0] == pytest.approx(1.0, abs=1e-4)
 
+    def test_build_with_fewer_vectors_than_default_k(self):
+        # regression: a 60 s clip embeds only 2 chunks; k-means must clamp k
+        # to the corpus size instead of sampling 4 seeds from 2 vectors
+        v = clustered_vectors(n=2)
+        index = IvfIndex.build(v)
+        assert index.k == 2
+        scores, slots = index.search(v[0], top_k=1)
+        assert slots[0] == 0
+        assert scores[0] == pytest.approx(1.0, abs=1e-4)
+
     def test_semantic_index_switches_to_ivf(self, tmp_path, monkeypatch):
         from eioku_tpu.api.app import build_context
         from eioku_tpu.config.settings import AppConfig
