@@ -214,6 +214,8 @@ def bench_combined_visual() -> float:
     from eioku_tpu.ml.combined import run_visual_analysis
 
     path = _ensure_clip()
+    # batch 64 beats 16 decisively over the tunnel (3.2 s vs 15.1 s for the
+    # clip): per-dispatch overhead dwarfs the lost decode/upload overlap
     cfgs = {"scene_detection": {"sample_fps": 4.0},
             "object_detection": {"batch_size": 64, "frame_interval_s": 1.0},
             "face_detection": {"batch_size": 64, "frame_interval_s": 3.0},

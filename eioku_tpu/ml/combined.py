@@ -22,16 +22,77 @@ import logging
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
+import jax
+
 from eioku_tpu.ml import video_io
 from eioku_tpu.ml.detection import INPUT_SIZE, _load_model, letterbox_batch
 from eioku_tpu.models.yolo.classes import COCO_CLASSES
 from eioku_tpu.models.yolo.postprocess import detect
-from eioku_tpu.ops.colorspace import frames_to_hsv_planes
+from eioku_tpu.ops.colorspace import i420_frames_to_hsv_planes, i420_to_rgb
 from eioku_tpu.ops.scene_diff import scene_scores
 
 log = logging.getLogger(__name__)
 
 SCENE_H, SCENE_W = 96, 160
+
+
+def _to_i420(frames: list) -> "np.ndarray":
+    """Host RGB -> planar I420 per frame (halves the device upload; the
+    device converts back with ops.colorspace.i420_to_rgb). Frames must have
+    even H and W."""
+    import cv2
+    return np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in frames])
+
+
+@partial(jax.jit, static_argnames=("cfg", "conf_threshold"))
+def _detect_i420(params, planes, cfg, conf_threshold):
+    """Upload-lean detection: I420 planes in, full detect graph on device."""
+    rgb = i420_to_rgb(planes).astype(jnp.bfloat16)
+    return detect(params, rgb, cfg, conf_threshold=conf_threshold)
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def _places_i420(pparams, planes, top_k):
+    """Standalone places classification from host-resized 224px I420 thumbs."""
+    from eioku_tpu.models.resnet.model import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        resnet18_forward,
+    )
+
+    rgb = i420_to_rgb(planes)
+    x = ((rgb - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)) \
+        .astype(jnp.bfloat16)
+    logits = resnet18_forward(pparams, x)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jax.lax.top_k(probs, top_k)
+
+
+@partial(jax.jit, static_argnames=("ycfg", "conf_threshold", "top_k"))
+def _detect_places_i420(yparams, pparams, planes, ycfg, conf_threshold, top_k):
+    """Fused objects+places: ONE I420 upload feeds the YOLO graph and, via an
+    on-device resize, the Places365 classifier (they sample the same frames at
+    the default 1 s cadence — the separate 224px host resize + upload of the
+    per-task design disappears entirely)."""
+    from eioku_tpu.models.resnet.model import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        resnet18_forward,
+    )
+
+    rgb = i420_to_rgb(planes)
+    det = detect(yparams, rgb.astype(jnp.bfloat16), ycfg,
+                 conf_threshold=conf_threshold)
+    b = rgb.shape[0]
+    imgs = jax.image.resize(rgb, (b, 224, 224, 3), method="bilinear")
+    x = ((imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)) \
+        .astype(jnp.bfloat16)
+    logits = resnet18_forward(pparams, x)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    sc, idx = jax.lax.top_k(probs, top_k)
+    return det, sc, idx
 
 
 class _DetectionConsumer:
@@ -44,7 +105,7 @@ class _DetectionConsumer:
     def __init__(self, model_name: str, num_classes: int, class_names,
                  conf: float, step: int, batch_size: int, cache_dir,
                  payload_builder, frame_ms: int, src_wh: tuple[int, int],
-                 coord_scale: float = 1.0):
+                 coord_scale: float = 1.0, places: tuple | None = None):
         self.params, self.cfg = _load_model(model_name, num_classes, cache_dir)
         self.class_names = class_names
         self.conf = conf
@@ -54,6 +115,10 @@ class _DetectionConsumer:
         self.frame_ms = frame_ms
         self.src_w, self.src_h = src_wh
         self.coord_scale = coord_scale
+        # fused places mode: (resnet_params, labels, top_k) — this consumer's
+        # frames also feed the Places classifier in the same device call
+        self.places = places
+        self.place_results: list[dict] = []
         self._frames: list[np.ndarray] = []
         self._meta: list[tuple[int, int]] = []  # (frame_idx, t_ms)
         self._pending: list[tuple] = []  # dispatched, not yet fetched
@@ -100,14 +165,41 @@ class _DetectionConsumer:
             boxed = stack
         else:
             boxed, scale, (pad_x, pad_y) = letterbox_batch(stack, valid)
-        out = detect(self.params, boxed, self.cfg, conf_threshold=self.conf)
-        self._pending.append((out, self._meta, scale, (pad_x, pad_y), valid))
+        places_out = None
+        if boxed.shape[1] % 2 == 0 and boxed.shape[2] % 2 == 0:
+            # ship I420 (half the bytes); the device converts back
+            planes = jnp.asarray(_to_i420(list(boxed)))
+            if self.places is not None:
+                pparams, _, topk = self.places
+                out, psc, pidx = _detect_places_i420(
+                    self.params, pparams, planes, self.cfg, self.conf, topk)
+                places_out = (psc, pidx)
+            else:
+                out = _detect_i420(self.params, planes, self.cfg, self.conf)
+        else:  # odd geometry can't subsample chroma: plain RGB upload
+            out = detect(self.params, jnp.asarray(boxed), self.cfg,
+                         conf_threshold=self.conf)
+        self._pending.append((out, self._meta, scale, (pad_x, pad_y), valid,
+                              places_out))
         self._frames, self._meta = [], []
         if len(self._pending) >= self.MAX_PENDING:
             self.drain()
 
     def drain(self) -> None:
-        for out, meta, scale, (pad_x, pad_y), valid in self._pending:
+        for out, meta, scale, (pad_x, pad_y), valid, places_out in self._pending:
+            if places_out is not None:
+                psc, pidx = np.asarray(places_out[0]), np.asarray(places_out[1])
+                labels = self.places[1]
+                for i in range(valid):
+                    frame_idx, t_ms = meta[i]
+                    preds = [{"label": labels[int(pidx[i, j])],
+                              "confidence": float(psc[i, j])}
+                             for j in range(psc.shape[1])]
+                    self.place_results.append({
+                        "payload": {"predictions": preds,
+                                    "frame_number": frame_idx},
+                        "span_start_ms": t_ms,
+                        "span_end_ms": t_ms + self.frame_ms})
             boxes = np.asarray(out["boxes"])
             scores = np.asarray(out["scores"])
             classes = np.asarray(out["classes"])
@@ -247,7 +339,6 @@ def run_visual_analysis(video_path: str, config: dict,
     face_detection, place_classification — and ocr when config carries an
     "ocr" sub-config — from ONE decode pass."""
     from eioku_tpu.ml.scenes import assemble_scenes
-    from eioku_tpu.models.resnet.model import preprocess, resnet18_forward
     from eioku_tpu.ml.places import _model as load_places
     import jax
 
@@ -294,15 +385,32 @@ def run_visual_analysis(video_path: str, config: dict,
         dec_hw = None
         coord_scale = 1.0
 
+    if pcfg is not None:
+        place_params, place_labels = load_places(model_cache_dir)
+        place_step = substep(float(pcfg.get("frame_interval_s", 1.0)))
+        place_topk = int(pcfg.get("top_k", 5))
+        place_bs = int(pcfg.get("batch_size", 64))
+    else:
+        place_step = 0
+    obj_step = substep(float(ocfg.get("frame_interval_s", 1.0))) \
+        if ocfg is not None else 0
+    # places fuses into the object consumer when both sample the same grid
+    # (the 1 s default): one I420 upload, one device program for both tasks
+    fuse_places = pcfg is not None and ocfg is not None \
+        and place_step == obj_step
     objects = _DetectionConsumer(
         ocfg.get("model", "yolov8n"), len(COCO_CLASSES), COCO_CLASSES,
         float(ocfg.get("confidence_threshold", 0.5)),
-        substep(float(ocfg.get("frame_interval_s", 1.0))),
+        obj_step,
         int(ocfg.get("batch_size", 64)), model_cache_dir,
         lambda label, conf, box, fi: {"label": label, "confidence": conf,
                                       "bounding_box": box, "frame_number": fi},
-        frame_ms, (info.width, info.height), coord_scale) \
+        frame_ms, (info.width, info.height), coord_scale,
+        places=(place_params, place_labels, place_topk) if fuse_places
+        else None) \
         if ocfg is not None else None
+    if fuse_places:
+        place_step = 0  # the standalone places path below stays idle
     faces = _DetectionConsumer(
         fcfg.get("model", "yolov8n-face"), 1, [],
         float(fcfg.get("confidence_threshold", 0.7)),
@@ -318,13 +426,6 @@ def run_visual_analysis(video_path: str, config: dict,
         int(xcfg.get("batch_size", 16)), model_cache_dir,
         (info.width, info.height), frame_ms) if xcfg is not None else None
 
-    if pcfg is not None:
-        place_params, place_labels = load_places(model_cache_dir)
-        place_step = substep(float(pcfg.get("frame_interval_s", 1.0)))
-        place_topk = int(pcfg.get("top_k", 5))
-        place_bs = int(pcfg.get("batch_size", 64))
-    else:
-        place_step = 0
     place_batch: list[np.ndarray] = []
     place_meta: list[tuple[int, int]] = []
     place_pending: list[tuple] = []  # (sc_dev, idx_dev, meta, valid)
@@ -336,14 +437,13 @@ def run_visual_analysis(video_path: str, config: dict,
         if not place_batch:
             return
         valid = len(place_batch)
-        # host resize to 224 keeps the device upload small (see scene note)
+        # host resize to 224 keeps the device upload small (see scene note);
+        # I420 halves it again
         resized = [cv2.resize(f, (224, 224), interpolation=cv2.INTER_AREA)
                    for f in place_batch]
-        stack = np.stack(resized + [np.zeros_like(resized[0])]
-                         * (place_bs - valid))
-        logits = resnet18_forward(place_params, preprocess(jnp.asarray(stack)))
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        sc, idx = jax.lax.top_k(probs, place_topk)
+        stack = resized + [np.zeros_like(resized[0])] * (place_bs - valid)
+        sc, idx = _places_i420(place_params, jnp.asarray(_to_i420(stack)),
+                               place_topk)
         place_pending.append((sc, idx, list(place_meta), valid))
         place_batch.clear()
         place_meta.clear()
@@ -380,9 +480,9 @@ def run_visual_analysis(video_path: str, config: dict,
         if not scene_buf:
             return
         valid = len(scene_buf)
-        stack = np.stack(scene_buf + [np.zeros_like(scene_buf[0])]
-                         * (SCENE_CHUNK - valid))
-        planes = frames_to_hsv_planes(jnp.asarray(stack))
+        stack = scene_buf + [np.zeros_like(scene_buf[0])] \
+            * (SCENE_CHUNK - valid)
+        planes = i420_frames_to_hsv_planes(jnp.asarray(np.stack(stack)))
         scene_pending.append((scene_scores(prev_plane, planes),
                               list(scene_stamps), valid))
         prev_plane = planes[valid - 1]
@@ -403,9 +503,9 @@ def run_visual_analysis(video_path: str, config: dict,
             # regression otherwise).
             import cv2
             for i in range(batch.valid):
-                scene_buf.append(cv2.resize(batch.frames[i],
-                                            (SCENE_W, SCENE_H),
-                                            interpolation=cv2.INTER_AREA))
+                thumb = cv2.resize(batch.frames[i], (SCENE_W, SCENE_H),
+                                   interpolation=cv2.INTER_AREA)
+                scene_buf.append(cv2.cvtColor(thumb, cv2.COLOR_RGB2YUV_I420))
                 scene_stamps.append(int(batch.timestamps_ms[i]))
                 if len(scene_buf) == SCENE_CHUNK:
                     flush_scenes()
@@ -425,20 +525,25 @@ def run_visual_analysis(video_path: str, config: dict,
                 place_meta.append((fi, t_ms))
                 if len(place_batch) == place_bs:
                     flush_places()
-    # final partial batches dispatch, then everything drains: transfers all
-    # happen after the full video's device work is queued
+    # final partial batches ALL dispatch before anything drains: the async
+    # dispatches queue back-to-back so their transfers/executions overlap
+    # instead of each consumer's blocking fetch serializing the next one's
+    # upload (measured ~1 s on a 600 ms/call link)
     if scfg is not None:
         flush_scenes()
     if objects is not None:
         objects.flush()
-        objects.drain()
     if faces is not None:
         faces.flush()
-        faces.drain()
     flush_places()
-    drain_places()
     if ocr is not None:
         ocr.flush()
+    if objects is not None:
+        objects.drain()
+    if faces is not None:
+        faces.drain()
+    drain_places()
+    if ocr is not None:
         ocr.drain()
 
     out: dict[str, list[dict]] = {}
@@ -469,7 +574,8 @@ def run_visual_analysis(video_path: str, config: dict,
         _assign_face_clusters(faces.results, frame_step=faces.step)
         out["face_detection"] = faces.results
     if pcfg is not None:
-        out["place_classification"] = place_results
+        out["place_classification"] = objects.place_results if fuse_places \
+            else place_results
     if ocr is not None:
         out["ocr"] = ocr.results
     return out

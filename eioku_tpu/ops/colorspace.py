@@ -27,6 +27,45 @@ def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([h, s, mx], axis=-1)
 
 
+def i420_to_rgb(planes_u8: jnp.ndarray) -> jnp.ndarray:
+    """Planar YUV 4:2:0 (I420) -> RGB float in [0,1], on device.
+
+    Input [B, H*3/2, W] uint8: H rows of Y, then the U plane (H/2 x W/2) packed
+    into H/4 rows, then V likewise (the layout cv2.COLOR_RGB2YUV_I420 emits and
+    every H.264/HEVC/VP9 decoder natively produces). Shipping I420 instead of
+    RGB halves host->device transfer — the scarce resource on PCIe and the
+    dominant cost over a remote tunnel — and the codec already stored 4:2:0, so
+    the subsampling loses nothing the source had. Uses the BT.601 video-range
+    matrix (cv2's I420 convention); chroma upsamples nearest-neighbor.
+    """
+    b, h32, w = planes_u8.shape
+    h = h32 * 2 // 3
+    y = planes_u8[:, :h, :].astype(jnp.float32)
+    u = planes_u8[:, h:h + h // 4, :].reshape(b, h // 2, w // 2)
+    v = planes_u8[:, h + h // 4:, :].reshape(b, h // 2, w // 2)
+
+    def up2(p):  # [B, H/2, W/2] -> [B, H, W] nearest
+        p = jnp.broadcast_to(p[:, :, None, :, None],
+                             (b, h // 2, 2, w // 2, 2))
+        return p.reshape(b, h, w).astype(jnp.float32)
+
+    uc = up2(u) - 128.0
+    vc = up2(v) - 128.0
+    ys = 1.164 * (y - 16.0)  # video-range Y (16..235), ITU-R BT.601
+    r = ys + 1.596 * vc
+    g = ys - 0.391 * uc - 0.813 * vc
+    bl = ys + 2.018 * uc
+    rgb = jnp.stack([r, g, bl], axis=-1)
+    return jnp.clip(rgb / 255.0, 0.0, 1.0)
+
+
+def i420_frames_to_hsv_planes(planes_u8: jnp.ndarray) -> jnp.ndarray:
+    """I420 frames [B, H*3/2, W] uint8 -> flattened HSV planes [B, H*W*3]
+    (the half-transfer variant of frames_to_hsv_planes)."""
+    hsv = rgb_to_hsv(i420_to_rgb(planes_u8))
+    return hsv.reshape(hsv.shape[0], -1)
+
+
 def frames_to_hsv_planes(frames_u8: jnp.ndarray) -> jnp.ndarray:
     """uint8 RGB frames [B, H, W, 3] -> flattened HSV planes [B, H*W*3] float32.
 

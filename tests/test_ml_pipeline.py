@@ -232,6 +232,35 @@ class TestSceneKernel:
             expected = colorsys.rgb_to_hsv(*rgb[i])
             np.testing.assert_allclose(ours[i], expected, atol=1e-5)
 
+    def test_i420_to_rgb_matches_cv2(self):
+        import jax.numpy as jnp
+        from eioku_tpu.ops.colorspace import i420_to_rgb
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 255, (3, 64, 96, 3), dtype=np.uint8)
+        planes = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
+                           for f in rgb])
+        ours = np.asarray(i420_to_rgb(jnp.asarray(planes))) * 255.0
+        ref = np.stack([cv2.cvtColor(p, cv2.COLOR_YUV2RGB_I420)
+                        for p in planes]).astype(np.float32)
+        assert np.abs(ours - ref).max() <= 1.0  # rounding only
+
+    def test_i420_hsv_planes_match_rgb_path(self):
+        import jax.numpy as jnp
+        from eioku_tpu.ops.colorspace import (
+            frames_to_hsv_planes,
+            i420_frames_to_hsv_planes,
+        )
+        rng = np.random.default_rng(4)
+        base = rng.integers(0, 255, (8, 12, 3), dtype=np.uint8)
+        smooth = np.stack([cv2.resize(base, (160, 96),
+                                      interpolation=cv2.INTER_LINEAR)] * 2)
+        planes_u8 = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
+                              for f in smooth])
+        via_i420 = np.asarray(i420_frames_to_hsv_planes(jnp.asarray(planes_u8)))
+        direct = np.asarray(frames_to_hsv_planes(jnp.asarray(smooth)))
+        # chroma subsampling + video-range quantization: close, not exact
+        assert np.abs(via_i420 - direct).mean() < 0.05
+
     def test_detects_three_scenes(self, scene_video):
         from eioku_tpu.ml.scenes import detect_scenes
         scenes = detect_scenes(scene_video, sample_fps=4.0)
