@@ -44,7 +44,8 @@ SAMPLES_PER_WINDOW = int(WINDOW_S * audio_io.SAMPLE_RATE)
 
 @lru_cache(maxsize=2)
 def _load_model(variant: str, cache_dir: str | None,
-                compute_dtype: str = "float32"):
+                compute_dtype: str = "float32",
+                random_full_size: bool = False):
     """Load (or random-init) whisper weights, stored in compute_dtype — bf16
     storage halves HBM for the large variants (params dominate: ~3 GB for
     large-v3 in bf16 vs ~6 GB f32), matching the fp16 storage of the
@@ -65,7 +66,10 @@ def _load_model(variant: str, cache_dir: str | None,
                 pretrained = True
                 break
     if params is None:
-        if variant != "tiny":
+        if variant != "tiny" and not random_full_size:
+            # production default: random weights emit garbage either way, so
+            # don't burn large-variant memory/compute on them. Benchmarks set
+            # random_full_size to measure the REAL architecture cost.
             log.warning("no whisper checkpoint for %s; falling back to "
                         "random tiny", variant)
             cfg = WhisperConfig("tiny", compute_dtype=compute_dtype)
@@ -146,7 +150,8 @@ def run_transcription(video_path: str, config: dict,
     # overrides)
     params, cfg, pretrained = _load_model(
         variant, model_cache_dir,
-        str(config.get("compute_dtype", "bfloat16")))
+        str(config.get("compute_dtype", "bfloat16")),
+        bool(config.get("random_full_size", False)))
     tokens = WhisperTokens(cfg.vocab_size)
     text_decoder = WhisperTextDecoder.from_cache_dir(model_cache_dir,
                                                      cfg.vocab_size)
