@@ -19,6 +19,7 @@ import math
 import os
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,6 +128,17 @@ def parse_timestamped_tokens(gen: list[int], tokens, text_decoder,
     return segments
 
 
+def compression_ratio(text: str) -> float:
+    """zlib compressibility of the transcript — faster-whisper's repetition
+    detector (ratio > 2.4 marks a degenerate/looping decode)."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    if not raw:
+        return 0.0
+    return len(raw) / len(zlib.compress(raw))
+
+
 def run_transcription(video_path: str, config: dict,
                       model_cache_dir: str | None = None) -> list[dict]:
     audio_path = audio_io.find_audio_for_video(video_path)
@@ -180,6 +192,13 @@ def run_transcription(video_path: str, config: dict,
     beam_size = int(config.get("beam_size", 5)) if pretrained else 1
     no_speech_threshold = float(config.get("no_speech_threshold", 0.6))
     logprob_threshold = float(config.get("logprob_threshold", -1.0))
+    # faster-whisper's temperature-fallback ladder: a window whose best-beam
+    # decode is low-confidence or degenerately repetitive is re-decoded with
+    # sampling chains at increasing temperature (pretrained weights only)
+    temperatures = tuple(config.get("temperatures",
+                                    (0.2, 0.4, 0.6, 0.8, 1.0))) \
+        if pretrained else ()
+    cr_threshold = float(config.get("compression_ratio_threshold", 2.4))
     suppress_always, suppress_begin = build_suppress_masks(
         tokens, timestamps=use_timestamps,
         non_speech=bool(config.get("suppress_non_speech", True)))
@@ -277,9 +296,46 @@ def run_transcription(video_path: str, config: dict,
             max_len=max_tokens, beam_size=beam_size,
             timestamps=use_timestamps)
         out_j = out
-        out = np.asarray(out)
-        avg_lp = np.asarray(avg_lp)
+        out = np.array(out)  # writable: the fallback ladder adopts rows
+        avg_lp = np.array(avg_lp)
         no_speech = np.asarray(no_speech)
+
+        def _fallback_needed(row_ids: list[int], lp: float) -> bool:
+            if lp < logprob_threshold:
+                return True
+            gen = row_ids[len(sot):]
+            if tokens.eot in gen:
+                gen = gen[:gen.index(tokens.eot)]
+            text = text_decoder.decode(
+                [t for t in gen if not tokens.is_special(t)])
+            return compression_ratio(text) > cr_threshold
+
+        failed = [j for j in range(len(chunk))
+                  if _fallback_needed(out[j].tolist(), float(avg_lp[j]))] \
+            if temperatures else []
+        any_fallback = bool(failed)
+        for ti, temp in enumerate(temperatures):
+            if not failed:
+                break
+            # re-decode the whole (same-shape) batch with sampling chains at
+            # this temperature — one compiled program serves the full ladder —
+            # and adopt the new rows for the failed windows only. The final
+            # rung is adopted unconditionally (the silence gate still applies).
+            key = jax.random.PRNGKey((i << 8) | ti)
+            out_t, lp_t, _ = whisper_decode_windows(
+                params, enc, init, suppress_always, suppress_begin, cfg,
+                max_len=max_tokens, beam_size=beam_size,
+                timestamps=use_timestamps, sample=True, temperature=temp,
+                key=key)
+            out_t, lp_t = np.asarray(out_t), np.asarray(lp_t)
+            out[failed] = out_t[failed]
+            avg_lp[failed] = lp_t[failed]
+            failed = [j for j in failed
+                      if _fallback_needed(out[j].tolist(), float(avg_lp[j]))]
+            log.info("temperature fallback", extra={
+                "temperature": temp, "remaining": len(failed)})
+        if any_fallback:
+            out_j = jnp.asarray(out)  # alignment runs on the adopted rows
         align = None
         if want_words:
             # one teacher-forced pass over the already-decoded (fixed-shape)

@@ -87,7 +87,8 @@ def build_suppress_masks(tokens: WhisperTokens, timestamps: bool,
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "beam_size",
-                                   "timestamps", "max_initial_ts_index"))
+                                   "timestamps", "max_initial_ts_index",
+                                   "sample"))
 def whisper_decode_windows(params, enc_out: jnp.ndarray,
                            initial_tokens: jnp.ndarray,
                            suppress_always: jnp.ndarray,
@@ -95,7 +96,10 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
                            cfg: WhisperConfig, max_len: int = 224,
                            beam_size: int = 1, timestamps: bool = True,
                            max_initial_ts_index: int = 50,
-                           sot_index: int = 0):
+                           sot_index: int = 0,
+                           sample: bool = False,
+                           temperature: float = 1.0,
+                           key: jnp.ndarray | None = None):
     """Decode a batch of encoded 30 s windows with beam search + logit rules.
 
     enc_out [B, 1500, d]; initial_tokens [B, n_init] SOT sequences.
@@ -103,6 +107,12 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
     prompts, 1+len(prev) when a sot_prev context precedes it (the silence
     gate must read the distribution emitted AFTER consuming SOT, as
     openai-whisper's probs_at_sot does).
+    sample=True switches from beam search to `beam_size` independent
+    sampling chains at `temperature` (faster-whisper's `best_of` semantics
+    for its temperature-fallback ladder); `key` seeds the chains and must
+    be provided. temperature is traced, so the whole fallback ladder reuses
+    one compiled program. Ranking still picks the chain with the best
+    average (unscaled) logprob.
     Returns (tokens [B, max_len] int32 — the best beam per window, prompt
     included and EOT-padded; avg_logprob [B] float32 over generated tokens
     incl. EOT; no_speech_prob [B] float32 from the SOT-position logits).
@@ -143,9 +153,13 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
         0, n_init - 1, prompt_step,
         (tokens0, self_k0, self_v0, jnp.zeros((bk,), jnp.float32)))
 
-    # identical initial beams: only beam 0 may seed candidates
-    sum_lp0 = jnp.tile(jnp.where(jnp.arange(k) == 0, 0.0, -1e9)[None],
-                       (b, 1)).astype(jnp.float32)
+    if sample:
+        # sampling chains are independent from the start: all live
+        sum_lp0 = jnp.zeros((b, k), jnp.float32)
+    else:
+        # identical initial beams: only beam 0 may seed candidates
+        sum_lp0 = jnp.tile(jnp.where(jnp.arange(k) == 0, 0.0, -1e9)[None],
+                           (b, 1)).astype(jnp.float32)
     n_gen0 = jnp.zeros((b, k), jnp.int32)
     finished0 = jnp.zeros((b, k), bool)
 
@@ -208,21 +222,35 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
         # frozen (finished) beams contribute exactly one candidate: EOT at 0
         logprobs = jnp.where(finished.reshape(bk)[:, None], eot_only[None],
                              logprobs)
-        cand = (sum_lp.reshape(bk, 1) + logprobs).reshape(b, k * vocab)
-        top_lp, top_idx = jax.lax.top_k(cand, k)  # [B, K]
-        src_beam = top_idx // vocab
-        new_tok = (top_idx % vocab).astype(jnp.int32)
-        if k > 1:  # static: greedy (k=1) needs no beam reordering
-            flat_src = (jnp.arange(b)[:, None] * k + src_beam).reshape(bk)
-            tokens = jnp.take(tokens, flat_src, axis=0)
-            sk = jnp.take(sk, flat_src, axis=1)
-            sv = jnp.take(sv, flat_src, axis=1)
-            nsp = jnp.take(nsp, flat_src, axis=0)
-            n_gen = jnp.take_along_axis(n_gen, src_beam, axis=1)
-            was_finished = jnp.take_along_axis(finished, src_beam, axis=1)
-        else:
+        if sample:
+            # independent sampling chains: no cross-chain candidate pooling,
+            # no KV reordering; ranking accumulates the unscaled logprob
+            step_key = jax.random.fold_in(key, pos)
+            sampled = jax.random.categorical(
+                step_key, logprobs / jnp.maximum(temperature, 1e-3),
+                axis=-1)  # [BK]
+            chosen_lp = jnp.take_along_axis(
+                logprobs, sampled[:, None], axis=-1)[:, 0]
+            new_tok = sampled.reshape(b, k).astype(jnp.int32)
             was_finished = finished
-        sum_lp = top_lp
+            sum_lp = sum_lp + jnp.where(was_finished, 0.0,
+                                        chosen_lp.reshape(b, k))
+        else:
+            cand = (sum_lp.reshape(bk, 1) + logprobs).reshape(b, k * vocab)
+            top_lp, top_idx = jax.lax.top_k(cand, k)  # [B, K]
+            src_beam = top_idx // vocab
+            new_tok = (top_idx % vocab).astype(jnp.int32)
+            if k > 1:  # static: greedy (k=1) needs no beam reordering
+                flat_src = (jnp.arange(b)[:, None] * k + src_beam).reshape(bk)
+                tokens = jnp.take(tokens, flat_src, axis=0)
+                sk = jnp.take(sk, flat_src, axis=1)
+                sv = jnp.take(sv, flat_src, axis=1)
+                nsp = jnp.take(nsp, flat_src, axis=0)
+                n_gen = jnp.take_along_axis(n_gen, src_beam, axis=1)
+                was_finished = jnp.take_along_axis(finished, src_beam, axis=1)
+            else:
+                was_finished = finished
+            sum_lp = top_lp
         n_gen = n_gen + jnp.where(was_finished, 0, 1)
         finished = was_finished | (new_tok == eot)
         tokens = jax.lax.dynamic_update_slice(

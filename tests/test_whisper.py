@@ -505,6 +505,76 @@ class TestTranscribePipeline:
         for r in results:
             assert 0.0 <= r["payload"]["confidence"] <= 1.0
 
+    def test_compression_ratio_flags_repetition(self):
+        from eioku_tpu.ml.transcribe import compression_ratio
+        assert compression_ratio("the the the the the the the the the " * 8) \
+            > 2.4
+        assert compression_ratio("") == 0.0
+        assert compression_ratio("a quick brown fox jumps over dogs") < 2.4
+
+    def test_sampling_decode_deterministic_per_key(self, tiny_params):
+        """sample=True runs beam_size independent chains; same key -> same
+        tokens, and outputs keep the beam-path shapes/contract."""
+        import jax
+        from eioku_tpu.models.whisper.decoding import (
+            build_suppress_masks,
+            whisper_decode_windows,
+        )
+        from eioku_tpu.models.whisper.tokenizer import WhisperTokens
+        params, cfg = tiny_params, TINY
+        tokens = WhisperTokens(cfg.vocab_size)
+        rng = np.random.default_rng(0)
+        mel = log_mel_spectrogram(
+            jnp.asarray(rng.standard_normal((1, 16000 * 30))
+                        .astype(np.float32) * 0.1), n_mels=cfg.n_mels)
+        enc = whisper_encode(params, mel, cfg)
+        init = jnp.asarray([tokens.sot_sequence("en")], jnp.int32)
+        sup_a, sup_b = build_suppress_masks(tokens, timestamps=True)
+        key = jax.random.PRNGKey(7)
+        out1, lp1, ns1 = whisper_decode_windows(
+            params, enc, init, sup_a, sup_b, cfg, max_len=12, beam_size=2,
+            sample=True, temperature=0.8, key=key)
+        out2, _, _ = whisper_decode_windows(
+            params, enc, init, sup_a, sup_b, cfg, max_len=12, beam_size=2,
+            sample=True, temperature=0.8, key=key)
+        assert out1.shape == (1, 12)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        assert np.isfinite(float(lp1[0]))
+        assert 0.0 <= float(ns1[0]) <= 1.0
+
+    def test_temperature_fallback_ladder(self, tmp_path, monkeypatch):
+        """An impossible logprob threshold forces every window through the
+        sampling ladder; the last rung's rows are adopted and emitted."""
+        import wave
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        x = (np.sin(2 * np.pi * 260 * t) * 0.4 * 32767).astype(np.int16)
+        wav = tmp_path / "clip.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        monkeypatch.setattr(transcribe, "_load_model",
+                            lambda *a, **kw: (params, cfg, True))
+        results = transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "max_tokens": 12,
+                       "batch_size": 1, "beam_size": 2, "language": "en",
+                       "timestamps": False,
+                       "logprob_threshold": 0.0,  # every decode "fails"
+                       "temperatures": (0.5, 1.0),
+                       "no_speech_threshold": 2.0})
+        assert isinstance(results, list)
+        for r in results:
+            assert 0.0 <= r["payload"]["confidence"] <= 1.0
+
     def test_wav_pipeline_runs(self, tmp_path):
         """Random tiny weights: pipeline must run and yield schema-valid,
         correctly-timed windows (text empty without a pretrained checkpoint)."""
