@@ -30,7 +30,11 @@ from eioku_tpu.ml import video_io
 from eioku_tpu.ml.detection import INPUT_SIZE, _load_model, letterbox_batch
 from eioku_tpu.models.yolo.classes import COCO_CLASSES
 from eioku_tpu.models.yolo.postprocess import detect
-from eioku_tpu.ops.colorspace import i420_frames_to_hsv_planes, i420_to_rgb
+from eioku_tpu.ops.colorspace import (
+    i420_frames_to_hsv_planes,
+    i420_to_rgb,
+    to_i420,
+)
 from eioku_tpu.ops.scene_diff import scene_scores
 
 log = logging.getLogger(__name__)
@@ -38,12 +42,19 @@ log = logging.getLogger(__name__)
 SCENE_H, SCENE_W = 96, 160
 
 
-def _to_i420(frames: list) -> "np.ndarray":
-    """Host RGB -> planar I420 per frame (halves the device upload; the
-    device converts back with ops.colorspace.i420_to_rgb). Frames must have
-    even H and W."""
-    import cv2
-    return np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in frames])
+def _place_records(psc: np.ndarray, pidx: np.ndarray, meta, valid: int,
+                   labels, frame_ms: int) -> list[dict]:
+    """Assemble place.classification results from a top-k device output —
+    the ONE shape shared by the fused and standalone paths."""
+    recs = []
+    for i in range(valid):
+        fi, t_ms = meta[i]
+        preds = [{"label": labels[int(pidx[i, j])],
+                  "confidence": float(psc[i, j])}
+                 for j in range(psc.shape[1])]
+        recs.append({"payload": {"predictions": preds, "frame_number": fi},
+                     "span_start_ms": t_ms, "span_end_ms": t_ms + frame_ms})
+    return recs
 
 
 @partial(jax.jit, static_argnames=("cfg", "conf_threshold"))
@@ -166,19 +177,37 @@ class _DetectionConsumer:
         else:
             boxed, scale, (pad_x, pad_y) = letterbox_batch(stack, valid)
         places_out = None
-        if boxed.shape[1] % 2 == 0 and boxed.shape[2] % 2 == 0:
-            # ship I420 (half the bytes); the device converts back
-            planes = jnp.asarray(_to_i420(list(boxed)))
+        even = boxed.shape[1] % 2 == 0 and boxed.shape[2] % 2 == 0
+        letterboxed = boxed is not stack
+        if even and self.places is not None and not letterboxed:
+            # fused single-upload path: the detector frames are the raw decode
+            # output (no gray letterbox bars), so places can read them too
+            planes = jnp.asarray(to_i420(list(boxed)))
+            pparams, _, topk = self.places
+            out, psc, pidx = _detect_places_i420(
+                self.params, pparams, planes, self.cfg, self.conf, topk)
+            places_out = (psc, pidx)
+        else:
+            if even:
+                # ship I420 (half the bytes); the device converts back
+                out = _detect_i420(self.params,
+                                   jnp.asarray(to_i420(list(boxed))),
+                                   self.cfg, self.conf)
+            else:  # odd geometry can't subsample chroma: plain RGB upload
+                out = detect(self.params, jnp.asarray(boxed), self.cfg,
+                             conf_threshold=self.conf)
             if self.places is not None:
+                # letterboxed (or odd) frames would feed gray bars into the
+                # classifier: resize the RAW frames to 224 like the
+                # standalone path instead (accuracy over fusion here)
+                import cv2
+                resized = [cv2.resize(f, (224, 224),
+                                      interpolation=cv2.INTER_AREA)
+                           for f in self._frames]
+                resized += [np.zeros_like(resized[0])] * (bucket - valid)
                 pparams, _, topk = self.places
-                out, psc, pidx = _detect_places_i420(
-                    self.params, pparams, planes, self.cfg, self.conf, topk)
-                places_out = (psc, pidx)
-            else:
-                out = _detect_i420(self.params, planes, self.cfg, self.conf)
-        else:  # odd geometry can't subsample chroma: plain RGB upload
-            out = detect(self.params, jnp.asarray(boxed), self.cfg,
-                         conf_threshold=self.conf)
+                places_out = _places_i420(pparams,
+                                          jnp.asarray(to_i420(resized)), topk)
         self._pending.append((out, self._meta, scale, (pad_x, pad_y), valid,
                               places_out))
         self._frames, self._meta = [], []
@@ -188,18 +217,9 @@ class _DetectionConsumer:
     def drain(self) -> None:
         for out, meta, scale, (pad_x, pad_y), valid, places_out in self._pending:
             if places_out is not None:
-                psc, pidx = np.asarray(places_out[0]), np.asarray(places_out[1])
-                labels = self.places[1]
-                for i in range(valid):
-                    frame_idx, t_ms = meta[i]
-                    preds = [{"label": labels[int(pidx[i, j])],
-                              "confidence": float(psc[i, j])}
-                             for j in range(psc.shape[1])]
-                    self.place_results.append({
-                        "payload": {"predictions": preds,
-                                    "frame_number": frame_idx},
-                        "span_start_ms": t_ms,
-                        "span_end_ms": t_ms + self.frame_ms})
+                self.place_results.extend(_place_records(
+                    np.asarray(places_out[0]), np.asarray(places_out[1]),
+                    meta, valid, self.places[1], self.frame_ms))
             boxes = np.asarray(out["boxes"])
             scores = np.asarray(out["scores"])
             classes = np.asarray(out["classes"])
@@ -442,7 +462,7 @@ def run_visual_analysis(video_path: str, config: dict,
         resized = [cv2.resize(f, (224, 224), interpolation=cv2.INTER_AREA)
                    for f in place_batch]
         stack = resized + [np.zeros_like(resized[0])] * (place_bs - valid)
-        sc, idx = _places_i420(place_params, jnp.asarray(_to_i420(stack)),
+        sc, idx = _places_i420(place_params, jnp.asarray(to_i420(stack)),
                                place_topk)
         place_pending.append((sc, idx, list(place_meta), valid))
         place_batch.clear()
@@ -452,15 +472,9 @@ def run_visual_analysis(video_path: str, config: dict,
 
     def drain_places():
         for sc_dev, idx_dev, meta, valid in place_pending:
-            sc, idx = np.asarray(sc_dev), np.asarray(idx_dev)
-            for i in range(valid):
-                fi, t_ms = meta[i]
-                preds = [{"label": place_labels[int(idx[i, j])],
-                          "confidence": float(sc[i, j])}
-                         for j in range(place_topk)]
-                place_results.append({
-                    "payload": {"predictions": preds, "frame_number": fi},
-                    "span_start_ms": t_ms, "span_end_ms": t_ms + frame_ms})
+            place_results.extend(_place_records(
+                np.asarray(sc_dev), np.asarray(idx_dev), meta, valid,
+                place_labels, frame_ms))
         place_pending.clear()
 
     # scene state: sampled frames accumulate into fixed 256-slot chunks so a
@@ -482,7 +496,7 @@ def run_visual_analysis(video_path: str, config: dict,
         valid = len(scene_buf)
         stack = scene_buf + [np.zeros_like(scene_buf[0])] \
             * (SCENE_CHUNK - valid)
-        planes = i420_frames_to_hsv_planes(jnp.asarray(np.stack(stack)))
+        planes = i420_frames_to_hsv_planes(jnp.asarray(to_i420(stack)))
         scene_pending.append((scene_scores(prev_plane, planes),
                               list(scene_stamps), valid))
         prev_plane = planes[valid - 1]
@@ -503,9 +517,9 @@ def run_visual_analysis(video_path: str, config: dict,
             # regression otherwise).
             import cv2
             for i in range(batch.valid):
-                thumb = cv2.resize(batch.frames[i], (SCENE_W, SCENE_H),
-                                   interpolation=cv2.INTER_AREA)
-                scene_buf.append(cv2.cvtColor(thumb, cv2.COLOR_RGB2YUV_I420))
+                scene_buf.append(cv2.resize(batch.frames[i],
+                                            (SCENE_W, SCENE_H),
+                                            interpolation=cv2.INTER_AREA))
                 scene_stamps.append(int(batch.timestamps_ms[i]))
                 if len(scene_buf) == SCENE_CHUNK:
                     flush_scenes()

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eioku_tpu.ml import video_io
-from eioku_tpu.ops.colorspace import i420_frames_to_hsv_planes
+from eioku_tpu.ops.colorspace import i420_frames_to_hsv_planes, to_i420
 from eioku_tpu.ops.scene_diff import scene_scores
 
 log = logging.getLogger(__name__)
@@ -55,15 +55,12 @@ def detect_scenes(
     boundaries: list[tuple[int, float]] = []  # (timestamp_ms, score)
     prev_plane = jnp.zeros((SCENE_H * SCENE_W * 3,), jnp.float32)
     first = True
-    import cv2
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             path, batch_size=batch_size, frame_interval_s=interval_s,
             resize_hw=(SCENE_H, SCENE_W), decode_threads=decode_threads,
             decode_procs=decode_procs)):
         # ship I420 (half the bytes of RGB); device converts back and scores
-        planes_u8 = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
-                              for f in batch.frames])
-        planes = i420_frames_to_hsv_planes(jnp.asarray(planes_u8))
+        planes = i420_frames_to_hsv_planes(jnp.asarray(to_i420(batch.frames)))
         scores = np.asarray(scene_scores(prev_plane, planes, use_pallas=use_pallas))
         prev_plane = planes[max(batch.valid - 1, 0)]
         for slot in range(batch.valid):

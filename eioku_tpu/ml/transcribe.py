@@ -128,6 +128,30 @@ def parse_timestamped_tokens(gen: list[int], tokens, text_decoder,
     return segments
 
 
+def decoded_text(row_ids: list[int], prompt_len: int, tokens,
+                 text_decoder) -> str:
+    """Plain text of one decoded row (prompt stripped, EOT-truncated)."""
+    gen = row_ids[prompt_len:]
+    if tokens.eot in gen:
+        gen = gen[:gen.index(tokens.eot)]
+    return text_decoder.decode([t for t in gen if not tokens.is_special(t)])
+
+
+def needs_temperature_fallback(avg_lp: float, no_speech_prob: float,
+                               text: str, logprob_threshold: float,
+                               no_speech_threshold: float,
+                               cr_threshold: float) -> bool:
+    """faster-whisper's retry predicate. Confident silence (high no-speech
+    prob AND weak transcript) is exempt: the original result is kept so the
+    silence gate drops it — retrying silence at higher temperature would
+    only manufacture hallucinated text."""
+    if no_speech_prob > no_speech_threshold and avg_lp < logprob_threshold:
+        return False
+    if avg_lp < logprob_threshold:
+        return True
+    return compression_ratio(text) > cr_threshold
+
+
 def compression_ratio(text: str) -> float:
     """zlib compressibility of the transcript — faster-whisper's repetition
     detector (ratio > 2.4 marks a degenerate/looping decode)."""
@@ -280,7 +304,10 @@ def run_transcription(video_path: str, config: dict,
     if bool(config.get("condition_on_previous_text", False)) and pretrained:
         _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
                          suppress_begin, max_tokens, beam_size, use_timestamps,
-                         want_words, emit_window, frame_count, alignment)
+                         want_words, emit_window, frame_count, alignment,
+                         text_decoder, temperatures,
+                         (logprob_threshold, no_speech_threshold,
+                          cr_threshold))
         return results
 
     for i in range(0, len(windows), batch_size):
@@ -300,18 +327,13 @@ def run_transcription(video_path: str, config: dict,
         avg_lp = np.array(avg_lp)
         no_speech = np.asarray(no_speech)
 
-        def _fallback_needed(row_ids: list[int], lp: float) -> bool:
-            if lp < logprob_threshold:
-                return True
-            gen = row_ids[len(sot):]
-            if tokens.eot in gen:
-                gen = gen[:gen.index(tokens.eot)]
-            text = text_decoder.decode(
-                [t for t in gen if not tokens.is_special(t)])
-            return compression_ratio(text) > cr_threshold
+        def _fallback_needed(j: int) -> bool:
+            return needs_temperature_fallback(
+                float(avg_lp[j]), float(no_speech[j]),
+                decoded_text(out[j].tolist(), len(sot), tokens, text_decoder),
+                logprob_threshold, no_speech_threshold, cr_threshold)
 
-        failed = [j for j in range(len(chunk))
-                  if _fallback_needed(out[j].tolist(), float(avg_lp[j]))] \
+        failed = [j for j in range(len(chunk)) if _fallback_needed(j)] \
             if temperatures else []
         any_fallback = bool(failed)
         for ti, temp in enumerate(temperatures):
@@ -330,8 +352,7 @@ def run_transcription(video_path: str, config: dict,
             out_t, lp_t = np.asarray(out_t), np.asarray(lp_t)
             out[failed] = out_t[failed]
             avg_lp[failed] = lp_t[failed]
-            failed = [j for j in failed
-                      if _fallback_needed(out[j].tolist(), float(avg_lp[j]))]
+            failed = [j for j in failed if _fallback_needed(j)]
             log.info("temperature fallback", extra={
                 "temperature": temp, "remaining": len(failed)})
         if any_fallback:
@@ -359,7 +380,8 @@ _PROMPT_BUCKETS = (0, 16, 32, 64, 128)
 
 def _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
                      suppress_begin, max_tokens, beam_size, use_timestamps,
-                     want_words, emit_window, frame_count, alignment) -> None:
+                     want_words, emit_window, frame_count, alignment,
+                     text_decoder, temperatures, thresholds) -> None:
     """Sequential decode with previous-text conditioning (sot_prev prompt).
 
     Mirrors faster-whisper's condition_on_previous_text: each window's prompt
@@ -367,8 +389,9 @@ def _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
     resets after a gated (silent/low-quality) window to stop hallucination
     loops, the same reset rule the reference's engine applies.
     """
+    logprob_threshold, no_speech_threshold, cr_threshold = thresholds
     prev: list[int] = []
-    for start_ms, wav in windows:
+    for w_idx, (start_ms, wav) in enumerate(windows):
         bucket = max((b for b in _PROMPT_BUCKETS if b <= len(prev)), default=0)
         prompt = ([tokens.sot_prev] + prev[-bucket:] if bucket else []) + sot
         mel = log_mel_spectrogram(jnp.asarray(wav[None]), n_mels=cfg.n_mels)
@@ -379,6 +402,25 @@ def _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
             max_len=len(prompt) + max_tokens, beam_size=beam_size,
             timestamps=use_timestamps,
             sot_index=len(prompt) - len(sot))  # silence gate reads SOT's step
+        # temperature-fallback ladder (same rules as the batched path;
+        # conditioning makes repetition loops MORE likely, so this mode
+        # needs it most). faster-whisper also drops the sot_prev prompt at
+        # temperature > 0.5; the sampled re-decode here keeps the prompt,
+        # whose influence the higher temperature already dilutes.
+        for ti, temp in enumerate(temperatures):
+            if not needs_temperature_fallback(
+                    float(avg_lp[0]), float(no_speech[0]),
+                    decoded_text(np.asarray(out)[0].tolist(), len(prompt),
+                                 tokens, text_decoder),
+                    logprob_threshold, no_speech_threshold, cr_threshold):
+                break
+            key = jax.random.PRNGKey((w_idx << 8) | ti)
+            out, avg_lp, _ = whisper_decode_windows(
+                params, enc, init, suppress_always, suppress_begin, cfg,
+                max_len=len(prompt) + max_tokens, beam_size=beam_size,
+                timestamps=use_timestamps,
+                sot_index=len(prompt) - len(sot),
+                sample=True, temperature=temp, key=key)
         align = None
         if want_words:
             align = alignment(out, enc,

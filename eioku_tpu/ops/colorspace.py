@@ -27,6 +27,15 @@ def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([h, s, mx], axis=-1)
 
 
+def to_i420(frames) -> "np.ndarray":
+    """Host-side RGB -> planar I420, one call per batch (cv2). Every frame
+    must have even H and W. Counterpart of i420_to_rgb: callers convert here,
+    upload half the bytes, and the device converts back."""
+    import cv2
+    import numpy as np
+    return np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in frames])
+
+
 def i420_to_rgb(planes_u8: jnp.ndarray) -> jnp.ndarray:
     """Planar YUV 4:2:0 (I420) -> RGB float in [0,1], on device.
 
@@ -40,9 +49,13 @@ def i420_to_rgb(planes_u8: jnp.ndarray) -> jnp.ndarray:
     """
     b, h32, w = planes_u8.shape
     h = h32 * 2 // 3
-    y = planes_u8[:, :h, :].astype(jnp.float32)
-    u = planes_u8[:, h:h + h // 4, :].reshape(b, h // 2, w // 2)
-    v = planes_u8[:, h + h // 4:, :].reshape(b, h // 2, w // 2)
+    # slice planes at FLAT element offsets: the U plane occupies h*w/4
+    # elements starting at h*w, which is h/4 rows only when h % 4 == 0 —
+    # flat slicing handles every even geometry (e.g. 270-row 21:9 frames)
+    flat = planes_u8.reshape(b, -1)
+    y = flat[:, :h * w].reshape(b, h, w).astype(jnp.float32)
+    u = flat[:, h * w:h * w + h * w // 4].reshape(b, h // 2, w // 2)
+    v = flat[:, h * w + h * w // 4:].reshape(b, h // 2, w // 2)
 
     def up2(p):  # [B, H/2, W/2] -> [B, H, W] nearest
         p = jnp.broadcast_to(p[:, :, None, :, None],

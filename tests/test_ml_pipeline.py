@@ -244,6 +244,19 @@ class TestSceneKernel:
                         for p in planes]).astype(np.float32)
         assert np.abs(ours - ref).max() <= 1.0  # rounding only
 
+    def test_i420_to_rgb_height_2_mod_4(self):
+        # regression: 21:9 sources decode to heights like 270 where the packed
+        # U plane spans partial rows; flat-offset slicing must handle it
+        import jax.numpy as jnp
+        from eioku_tpu.ops.colorspace import i420_to_rgb, to_i420
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 255, (2, 270, 64, 3), dtype=np.uint8)
+        ours = np.asarray(i420_to_rgb(jnp.asarray(to_i420(list(rgb))))) * 255.0
+        ref = np.stack([cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420),
+                                     cv2.COLOR_YUV2RGB_I420)
+                        for f in rgb]).astype(np.float32)
+        assert np.abs(ours - ref).max() <= 1.0
+
     def test_i420_hsv_planes_match_rgb_path(self):
         import jax.numpy as jnp
         from eioku_tpu.ops.colorspace import (

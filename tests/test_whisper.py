@@ -512,6 +512,20 @@ class TestTranscribePipeline:
         assert compression_ratio("") == 0.0
         assert compression_ratio("a quick brown fox jumps over dogs") < 2.4
 
+    def test_fallback_predicate_exempts_confident_silence(self):
+        from eioku_tpu.ml.transcribe import needs_temperature_fallback
+        kw = dict(logprob_threshold=-1.0, no_speech_threshold=0.6,
+                  cr_threshold=2.4)
+        # confident silence: weak transcript AND high no-speech -> keep the
+        # result so the silence gate drops it (no hallucination retries)
+        assert not needs_temperature_fallback(-1.5, 0.9, "x", **kw)
+        # weak transcript with speech present -> retry
+        assert needs_temperature_fallback(-1.5, 0.1, "x", **kw)
+        # degenerate repetition -> retry even at good logprob
+        assert needs_temperature_fallback(-0.2, 0.1, "la la " * 60, **kw)
+        # healthy window -> no retry
+        assert not needs_temperature_fallback(-0.2, 0.1, "hello world", **kw)
+
     def test_sampling_decode_deterministic_per_key(self, tiny_params):
         """sample=True runs beam_size independent chains; same key -> same
         tokens, and outputs keep the beam-path shapes/contract."""
