@@ -296,8 +296,7 @@ class _OcrConsumer:
         happen in drain()."""
         import cv2
 
-        from eioku_tpu.ml.ocr_task import _MEAN, _STD, DETECT_H, DETECT_W
-        from eioku_tpu.models.ocr.craft import craft_forward
+        from eioku_tpu.ml.ocr_task import DETECT_H, DETECT_W, craft_scores_i420
 
         if not self._frames:
             return
@@ -306,8 +305,9 @@ class _OcrConsumer:
                           interpolation=cv2.INTER_AREA) for f in self._frames]
         det += [np.zeros_like(det[0])] * (self.batch_size - valid)
         stack = np.stack(det)
-        x = (stack.astype(np.float32) / 255.0 - _MEAN) / _STD
-        scores = craft_forward(self.craft_params, jnp.asarray(x))
+        # I420 upload + on-device normalize: 1.5 B/px instead of 12 (fp32 RGB)
+        scores = craft_scores_i420(self.craft_params,
+                                   jnp.asarray(to_i420(list(stack))))
         grays = [cv2.cvtColor(stack[i], cv2.COLOR_RGB2GRAY)
                  for i in range(valid)]
         self._pending.append((scores, grays, self._meta))
