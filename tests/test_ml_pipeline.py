@@ -533,6 +533,26 @@ class TestCombinedVisual:
         for r in results["object_detection"][:10]:
             SchemaRegistry.validate("object.detection", 1, r["payload"])
 
+    def test_fused_places_matches_standalone_on_letterboxed_video(
+            self, scene_video):
+        """Sub-640 videos take the host-letterbox path; fused places must
+        classify the RAW frames (no gray bars), i.e. agree with the
+        standalone places pipeline on the same video (regression for the
+        letterbox-contamination bug)."""
+        from eioku_tpu.ml.combined import run_visual_analysis
+        from eioku_tpu.ml.places import run_place_classification
+        fused = run_visual_analysis(scene_video, {
+            "object_detection": {"batch_size": 4, "frame_interval_s": 1.0},
+            "place_classification": {"batch_size": 4, "top_k": 3,
+                                     "frame_interval_s": 1.0},
+        })["place_classification"]
+        standalone = run_place_classification(scene_video, {"frame_interval_s": 1.0,
+                                              "top_k": 3, "batch_size": 4})
+        assert len(fused) == len(standalone) > 0
+        for f, s in zip(fused, standalone):
+            assert [p["label"] for p in f["payload"]["predictions"]] == \
+                [p["label"] for p in s["payload"]["predictions"]]
+
     def test_combined_includes_ocr_when_configured(self, scene_video):
         from eioku_tpu.domain.schema_registry import (
             SchemaRegistry,
