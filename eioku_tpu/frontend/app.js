@@ -128,6 +128,7 @@ async function selectTab(tab) {
 
 async function renderTab() {
   const tab = state.tab, content = $("tab-content");
+  if (tab === "topics") return renderTopics();
   const type = TAB_TYPE[tab];
   const arts = await fetchArtifacts(type, state.run);
   if (tab === "metadata") return renderMetadata(arts);
@@ -153,6 +154,22 @@ async function renderTab() {
   }).join("");
   for (const el of content.querySelectorAll(".seg"))
     el.onclick = () => seek(+el.dataset.ms);
+}
+
+async function renderTopics() {
+  /* Discovered topics for this video (GET /videos/{id}/topics) — the
+   * reference shipped only the topics table (migration 3b330dae216d); here
+   * the TF-IDF topic service fills it and the SPA surfaces it. */
+  const content = $("tab-content");
+  const { topics } = await api(`/videos/${state.video.id}/topics`);
+  if (!topics.length) {
+    content.innerHTML =
+      "<p>No topics yet — they appear once a transcript is indexed.</p>";
+    return;
+  }
+  content.innerHTML = topics.map(t =>
+    `<div class="seg"><span class="chip">${(t.score * 100).toFixed(0)}%</span>
+     ${esc(t.label)}</div>`).join("");
 }
 
 function renderObjectGroups(arts) {

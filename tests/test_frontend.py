@@ -42,7 +42,7 @@ class TestDomContract:
         # every tab is either a TAB_TYPE artifact tab or handled explicitly
         typed = set(re.findall(r'(\w+): "[\w.]+"', js.split("TAB_TYPE")[1]
                                .split("}")[0]))
-        handled = typed | {"tasks"}
+        handled = typed | {"tasks", "topics"}  # explicit renderers
         assert tabs <= handled, tabs - handled
 
     def test_jump_controls_present(self):
