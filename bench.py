@@ -130,7 +130,10 @@ def _ensure_clip(clip_s: int = 60) -> str:
 
     path = os.path.join(tempfile.gettempdir(), "eioku_bench_clip_720p.mp4")
     if not os.path.isfile(path):
-        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24,
+        # write-then-rename: a stage killed mid-encode must not leave a
+        # truncated fixture that poisons every later run
+        tmp = path + ".part.mp4"
+        w = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), 24,
                             (1280, 720))
         rng = np.random.default_rng(0)
         frame = None
@@ -142,6 +145,7 @@ def _ensure_clip(clip_s: int = 60) -> str:
                 frame[:, :, 0] = np.linspace(0, int(c[0]), 1280, dtype=np.uint8)
             w.write(frame)
         w.release()
+        os.replace(tmp, path)
     return path
 
 
@@ -177,16 +181,19 @@ def _ensure_av_clip(clip_s: int = 60) -> str:
             uniq[s, :, :] = c
             uniq[s, :, :, 0] = np.linspace(0, int(c[0]), 1280, dtype=np.uint8)
         frame_map = np.repeat(np.arange(n_scenes, dtype=np.int32), 96)[:n_total]
-        audio_io.native_media_encode(path, uniq, fps=float(fps),
+        tmp = path + ".part.mp4"  # crash-safe cache (see _ensure_clip)
+        audio_io.native_media_encode(tmp, uniq, fps=float(fps),
                                      samples=audio, sr=sr,
                                      frame_map=frame_map)
+        os.replace(tmp, path)
         return path
     # fallback: mp4v video + wav sidecar next to it
     video = _ensure_clip(clip_s)
     import shutil
-    shutil.copyfile(video, path)
     from scipy.io import wavfile
     wavfile.write(path[:-4] + ".wav", sr, audio)
+    shutil.copyfile(video, path + ".part.mp4")
+    os.replace(path + ".part.mp4", path)
     return path
 
 

@@ -244,16 +244,24 @@ const KIND_LABELS = { scene: "Scene", object: "Object", face: "Face",
   transcript: "Transcript", ocr: "OCR", place: "Place", speaker: "Speaker" };
 
 async function loadJumpOptions() {
-  state.jumpOptions = { kinds: [] };
+  /* Stale-response guard: opening video B while A's request is in flight
+   * must not let A's late response rebuild B's dropdowns; and a video with
+   * no artifacts (or a failed fetch) must RESET to the static kind list
+   * instead of keeping the previous video's options. */
+  const forVideo = state.video.id;
+  if (!state.staticKindHtml) state.staticKindHtml = $("jump-kind").innerHTML;
+  let opts = { kinds: [] };
   try {
-    state.jumpOptions = await api(`/videos/${state.video.id}/jump-options`);
-  } catch (e) { /* keep static kind list */ }
-  const kinds = state.jumpOptions.kinds;
-  if (kinds.length) {
-    $("jump-kind").innerHTML = kinds.map(k =>
+    opts = await api(`/videos/${forVideo}/jump-options`);
+  } catch (e) { /* falls through to the static kind list */ }
+  if (state.video?.id !== forVideo) return; // a newer video took over
+  state.jumpOptions = opts;
+  const kinds = opts.kinds;
+  $("jump-kind").innerHTML = kinds.length
+    ? kinds.map(k =>
       `<option value="${k.kind}">${KIND_LABELS[k.kind] || k.kind} (${k.count})</option>`
-    ).join("");
-  }
+    ).join("")
+    : state.staticKindHtml;
   renderJumpTargets();
 }
 

@@ -331,7 +331,10 @@ def compute_vad(audio: np.ndarray, sr: int = SAMPLE_RATE,
     under model_cache_dir — the reference's faster-whisper vad_filter behavior
     (/root/reference/ml-service/src/services/model_manager.py:437-444) — else
     the energy VAD (random VAD weights would gate speech arbitrarily)."""
-    if model_cache_dir:
+    if model_cache_dir and sr == SAMPLE_RATE:
+        # the Silero-style model operates at its trained 16 kHz rate; other
+        # rates would misalign its frames with split_windows' sr-based
+        # indexing, so they take the (sr-aware) energy VAD instead
         from eioku_tpu.models.vad.weights import load_vad
 
         params = load_vad(model_cache_dir)

@@ -462,11 +462,11 @@ def _parse_avi(data: bytes, out: dict) -> None:
     """RIFF walk: avih (geometry/timing), per-stream strh/strf."""
     if len(data) < 12:
         return
-    micro_per_frame = total_frames = None
+    micro_per_frame = total_frames = odml_frames = None
     stream_type = None
 
     def walk(start: int, end: int, depth: int):
-        nonlocal micro_per_frame, total_frames, stream_type
+        nonlocal micro_per_frame, total_frames, odml_frames, stream_type
         pos = start
         while pos + 8 <= end and depth < 6:
             fourcc = data[pos:pos + 4]
@@ -482,6 +482,11 @@ def _parse_avi(data: bytes, out: dict) -> None:
                 w, h = struct.unpack("<II", data[body + 32:body + 40])
                 if w and out.get("width") is None:
                     out["width"], out["height"] = w, h
+            elif fourcc == b"dmlh" and size >= 4:
+                # OpenDML extended header: total frames across ALL RIFF
+                # segments — a >1 GB camcorder AVI's avih counts only the
+                # first segment, so this value wins when present
+                odml_frames, = struct.unpack("<I", data[body:body + 4])
             elif fourcc == b"strh" and size >= 28:
                 stream_type = data[body:body + 4]
                 scale, rate = struct.unpack("<II", data[body + 20:body + 28])
@@ -506,6 +511,8 @@ def _parse_avi(data: bytes, out: dict) -> None:
             pos = body + size + (size & 1)  # chunks are word-aligned
 
     walk(12, len(data), 0)
+    if odml_frames and (total_frames is None or odml_frames > total_frames):
+        total_frames = odml_frames
     if micro_per_frame and total_frames and out.get("duration_ms") is None:
         out["duration_ms"] = int(micro_per_frame * total_frames / 1000)
         out["extra"].setdefault("frame_count", total_frames)

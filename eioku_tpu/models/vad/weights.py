@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import os
+from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -80,10 +81,14 @@ def export_silero_state_dict(params: Params) -> dict:
     return sd
 
 
+@lru_cache(maxsize=4)
 def load_vad(cache_dir: str | None,
              cfg: VadConfig = VadConfig()) -> Params | None:
-    """Returns converted params when {cache_dir}/silero_vad.ckpt exists, else
-    None (caller falls back to the energy VAD)."""
+    """Returns converted params when {cache_dir}/silero_vad.ckpt exists and
+    converts cleanly, else None (caller falls back to the energy VAD). A
+    corrupt or layout-mismatched checkpoint must degrade to the energy VAD,
+    not fail every transcription task. Cached: the checkpoint is immutable
+    within a worker's lifetime (detection's _load_model pattern)."""
     if not cache_dir:
         return None
     path = os.path.join(cache_dir, CHECKPOINT_NAME)
@@ -91,7 +96,12 @@ def load_vad(cache_dir: str | None,
         return None
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
-    log.info("loading silero VAD weights from %s", path)
-    return convert_silero_state_dict(sd, cfg)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        log.info("loading silero VAD weights from %s", path)
+        return convert_silero_state_dict(sd, cfg)
+    except Exception:
+        log.warning("failed to load/convert VAD checkpoint %s; "
+                    "falling back to energy VAD", path, exc_info=True)
+        return None

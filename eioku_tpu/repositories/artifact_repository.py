@@ -142,6 +142,32 @@ class ArtifactRepository:
         params.extend([limit, offset])
         return [_row_to_envelope(r) for r in self.db.query(sql, tuple(params))]
 
+    def count_payload_values(
+        self,
+        asset_id: str,
+        artifact_type: str,
+        json_path: str,
+        selection: SelectionPolicy | None = None,
+    ) -> tuple[list[tuple[Any, int]], int]:
+        """SQL-side aggregation: (value, count) pairs of
+        json_extract(payload_json, json_path) over the selected artifacts,
+        ordered by count desc, plus the total artifact count. Serves the
+        jump-options endpoint without materializing thousands of envelopes."""
+        clauses = ["asset_id=?", "artifact_type=?"]
+        params: list[Any] = [json_path, asset_id, artifact_type]
+        if selection is not None:
+            sel_clause, sel_params = self._selection_clause(
+                asset_id, artifact_type, selection)
+            if sel_clause:
+                clauses.append(sel_clause)
+                params.extend(sel_params)
+        sql = ("SELECT json_extract(payload_json, ?) AS v, COUNT(*) AS n"
+               " FROM artifacts WHERE " + " AND ".join(clauses)
+               + " GROUP BY v ORDER BY n DESC, v ASC")
+        rows = self.db.query(sql, tuple(params))
+        pairs = [(r["v"], int(r["n"])) for r in rows]
+        return pairs, sum(n for _, n in pairs)
+
     def get_by_span(self, asset_id: str, start_ms: int, end_ms: int,
                     artifact_type: str | None = None) -> list[ArtifactEnvelope]:
         return self.get_by_asset(asset_id, artifact_type=artifact_type,

@@ -33,19 +33,36 @@ class ReverseGeocoder:
 
 
 class OfflineReverseGeocoder(ReverseGeocoder):
+    @staticmethod
+    def _box_countries(lat_q: float, lon_q: float) -> list[str]:
+        return [name for name, lat0, lat1, lon0, lon1 in COUNTRY_BOXES
+                if lat0 <= lat_q <= lat1 and lon0 <= lon_q <= lon1]
+
     @lru_cache(maxsize=1000)
     def _lookup(self, lat_q: float, lon_q: float) -> dict:
         d = haversine_km(lat_q, lon_q, city_coords())
         i = int(d.argmin())
         city, state, country, _, _ = CITIES[i]
+        # border sanity check: a point near a national border can sit within
+        # CITY_RADIUS_KM of a neighbor-country city. The coarse country boxes
+        # overlap at borders, so only distrust the city when its country's
+        # box doesn't even contain the point AND exactly one other country
+        # claims it (unambiguous) — never when boxes merely overlap.
+        boxes = self._box_countries(lat_q, lon_q)
+        country_has_box = any(n == country for n, *_ in COUNTRY_BOXES)
+        if boxes and country_has_box and country not in boxes:
+            # the nearest city's country claims territory elsewhere but not
+            # here; countries without any box stay trusted (no evidence)
+            if len(set(boxes)) == 1:
+                return {"country": boxes[0], "state": None, "city": None}
+            return {"country": None, "state": None, "city": None}
         if d[i] <= CITY_RADIUS_KM:
             return {"country": country, "state": state, "city": city}
         if d[i] <= STATE_RADIUS_KM:
             # near enough to trust the admin region, not the city itself
             return {"country": country, "state": state, "city": None}
-        for name, lat0, lat1, lon0, lon1 in COUNTRY_BOXES:
-            if lat0 <= lat_q <= lat1 and lon0 <= lon_q <= lon1:
-                return {"country": name, "state": None, "city": None}
+        if boxes:
+            return {"country": boxes[0], "state": None, "city": None}
         return {"country": None, "state": None, "city": None}
 
     def get_location_info(self, latitude: float, longitude: float) -> dict:

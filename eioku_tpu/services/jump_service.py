@@ -89,43 +89,33 @@ class JumpNavigationService:
         artifact types and builds per-label/cluster/scene options client-side
         (/root/reference/frontend/src/components/JumpNavigationControl.tsx:23-140);
         here the aggregation is served so the SPA does one request."""
-        from collections import Counter
-
+        # per-kind aggregation happens IN SQL (GROUP BY over json_extract):
+        # a long video has thousands of detections, and deserializing every
+        # envelope just to count labels cost hundreds of ms per video open
+        agg_path = {"object": "$.label", "face": "$.cluster_id",
+                    "place": "$.predictions[0].label", "speaker": "$.label"}
         present = set(self.artifacts.list_types_for_asset(asset_id))
         kinds: list[dict[str, Any]] = []
         for kind, atype in KIND_TO_ARTIFACT_TYPE.items():
             if atype not in present:
                 continue
             policy = self.policies.get_policy(asset_id, atype)
-            envs = self.artifacts.get_by_asset(asset_id, artifact_type=atype,
-                                               selection=policy)
-            if not envs:
+            pairs, total = self.artifacts.count_payload_values(
+                asset_id, atype, agg_path.get(kind, "$.label"), policy)
+            if not total:
                 continue
-            entry: dict[str, Any] = {"kind": kind, "count": len(envs)}
-            if kind == "object":
-                c = Counter(e.payload_json.get("label") for e in envs
-                            if e.payload_json.get("label"))
-                entry["labels"] = [{"label": k, "count": n}
-                                   for k, n in c.most_common()]
+            entry: dict[str, Any] = {"kind": kind, "count": total}
+            vals = [(v, n) for v, n in pairs if v is not None and v != ""]
+            if kind in ("object", "place"):
+                entry["labels"] = [{"label": v, "count": n} for v, n in vals]
             elif kind == "face":
-                c = Counter(e.payload_json.get("cluster_id") for e in envs
-                            if e.payload_json.get("cluster_id") is not None)
-                entry["clusters"] = [{"cluster_id": k, "count": n}
-                                     for k, n in c.most_common()]
-            elif kind == "place":
-                c = Counter(
-                    (e.payload_json.get("predictions") or [{}])[0].get("label")
-                    for e in envs)
-                c.pop(None, None)
-                entry["labels"] = [{"label": k, "count": n}
-                                   for k, n in c.most_common()]
+                entry["clusters"] = [{"cluster_id": v, "count": n}
+                                     for v, n in vals]
             elif kind == "speaker":
                 # speaker.turn payloads carry the cluster name under "label"
                 # (SpeakerTurnV1) so the generic label filter works for jumps
-                c = Counter(e.payload_json.get("label") for e in envs
-                            if e.payload_json.get("label") is not None)
-                entry["speakers"] = [{"speaker": k, "count": n}
-                                     for k, n in c.most_common()]
+                entry["speakers"] = [{"speaker": v, "count": n}
+                                     for v, n in vals]
             kinds.append(entry)
         return {"kinds": kinds}
 

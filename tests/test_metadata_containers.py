@@ -73,6 +73,22 @@ class TestAvi:
         assert meta["codec"] == "mjpg"
         assert meta["duration_ms"] == pytest.approx(3000, abs=200)
 
+    def test_opendml_dmlh_total_frames_wins(self, avi, tmp_path):
+        """OpenDML (>1 GB) AVIs carry the REAL total frame count in the
+        odml/dmlh extended header; the legacy avih counts only the first
+        RIFF segment. A dmlh with a larger count must set the duration."""
+        from eioku_tpu.ml.metadata import _parse_avi
+
+        data = bytearray(open(avi, "rb").read(4 * 1024 * 1024))
+        # append an odml LIST with a dmlh claiming 10x the frames
+        dmlh = struct.pack("<4sI", b"dmlh", 4) + struct.pack("<I", 360)
+        odml = struct.pack("<4sI", b"LIST", 4 + len(dmlh)) + b"odml" + dmlh
+        out = {"extra": {}}
+        _parse_avi(bytes(data) + odml, out)
+        # 360 frames at 1/12 s -> ~30 s, not the avih's ~3 s
+        assert out["duration_ms"] == pytest.approx(30000, rel=0.05)
+        assert out["extra"]["frame_count"] == 360
+
 
 def _box(t: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + t + body
