@@ -455,6 +455,25 @@ def _setup_jax():
 _CHILD = None  # current stage subprocess, killed by the signal handlers
 
 
+def _backend_alive(budget_s: float = 90.0) -> bool:
+    """Cheap liveness probe in a subprocess: can a tiny jitted op complete?
+    Distinguishes 'this stage is slow' from 'the TPU tunnel is dead' (it has
+    measured multi-hour outages) so the orchestrator stops burning the
+    remaining stages' budgets on an unreachable backend."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.jit(lambda x: x + 1)(jax.numpy.ones(4))"
+             ".block_until_ready()"],
+            timeout=min(budget_s, max(_remaining(), 1.0)),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_stage_subprocess(stage: str) -> float | None:
     """Run one stage in a subprocess with a timeout so a hung TPU tunnel can't
     take down the whole benchmark. The budget never exceeds the remaining
@@ -589,11 +608,17 @@ def main() -> None:
         # the decode program has shown pathological compile times on this
         # backend — it must not be able to burn the beam stage's budget
         order += ["whisper_beam", "whisper"]
+    misses = 0
     for stage in order:
         vals[stage] = _run_stage_subprocess(stage)
         _flush_partial(_assemble(vals, _BACKEND))
         _log(f"[{time.monotonic() - _START:.0f}s] {stage} done; "
              f"{_remaining():.0f}s budget left")
+        misses = misses + 1 if vals[stage] is None else 0
+        if misses >= 2 and not _backend_alive():
+            _log("backend unreachable after consecutive stage failures; "
+                 "skipping remaining stages")
+            break
     _print_final()
 
 
