@@ -25,16 +25,44 @@ class ModelNotAvailable(RuntimeError):
     pass
 
 
-def device_info() -> dict:
+_DEVICE_PROBE_FAILED_AT: float = 0.0
+
+
+def device_info(timeout_s: float = 10.0) -> dict:
     """TPU introspection (replaces the reference's nvidia GPU info,
-    model_manager.py:168-213)."""
-    devices = jax.devices()
-    return {
-        "backend": jax.default_backend(),
-        "device_count": len(devices),
-        "devices": [{"id": d.id, "kind": d.device_kind, "platform": d.platform}
-                    for d in devices],
-    }
+    model_manager.py:168-213).
+
+    jax.devices() blocks INDEFINITELY when the remote backend is down
+    (measured multi-hour tunnel outages), which would hang an API worker per
+    /device request — so the probe runs on a side thread with a timeout, and
+    a failure is memoized for 60 s so repeated requests don't stack blocked
+    threads."""
+    import concurrent.futures
+    import time
+
+    global _DEVICE_PROBE_FAILED_AT
+    unavailable = {"backend": "unavailable", "device_count": 0, "devices": [],
+                   "error": "device backend unreachable"}
+    if time.monotonic() - _DEVICE_PROBE_FAILED_AT < 60.0:
+        return unavailable
+
+    def probe() -> dict:
+        devices = jax.devices()
+        return {
+            "backend": jax.default_backend(),
+            "device_count": len(devices),
+            "devices": [{"id": d.id, "kind": d.device_kind,
+                         "platform": d.platform} for d in devices],
+        }
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        return pool.submit(probe).result(timeout=timeout_s)
+    except (concurrent.futures.TimeoutError, RuntimeError):
+        _DEVICE_PROBE_FAILED_AT = time.monotonic()
+        return unavailable
+    finally:
+        pool.shutdown(wait=False)
 
 
 class InferenceEngine:
