@@ -128,6 +128,11 @@ def _thumbnail_path(ctx, v) -> str | None:
         if n > 10:
             cap.set(cv2.CAP_PROP_POS_FRAMES, n // 10)
         ok, frame = cap.read()
+        if not ok and n > 10:
+            # CAP_PROP_FRAME_COUNT lies for some streams and the seek lands
+            # past the end: fall back to the first decodable frame
+            cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            ok, frame = cap.read()
         if not ok:
             return None
         h, w = frame.shape[:2]
@@ -137,10 +142,12 @@ def _thumbnail_path(ctx, v) -> str | None:
         ok, buf = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 82])
         if not ok:
             return None
-        tmp = out + ".part"
-        with open(tmp, "wb") as f:
+        # unique tmp per writer: two cold requests racing on a shared ".part"
+        # name can truncate each other and serve a 0-byte image
+        fd, tmp = tempfile.mkstemp(suffix=".part", dir=base)
+        with os.fdopen(fd, "wb") as f:
             f.write(buf.tobytes())
-        os.replace(tmp, out)  # atomic: concurrent requests never see partials
+        os.replace(tmp, out)  # atomic publish
         return out
     finally:
         cap.release()

@@ -141,7 +141,6 @@ async function renderTab() {
       ? `<span class="chip">${esc(p.speaker)}</span> ` : "") + esc(p.text);
     else if (tab === "scenes") body = `Scene ${p.scene_index} · ${fmtMs(p.duration_ms)}`
       + (p.score ? ` · score ${p.score}` : "");
-    else if (tab === "objects") body = `${esc(p.label)} <span class="chip">${(p.confidence * 100).toFixed(0)}%</span>`;
     else if (tab === "ocr") body = `${esc(p.text)} <span class="chip">${((p.confidence || 0) * 100).toFixed(0)}%</span>`;
     else if (tab === "places") body = p.predictions.slice(0, 3).map(x =>
       `${esc(x.label)} <span class="chip">${(x.confidence * 100).toFixed(0)}%</span>`).join(" ");

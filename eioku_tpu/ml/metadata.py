@@ -193,7 +193,10 @@ def _parse_mp4(data: bytes, out: dict) -> None:
             out["extra"]["_meta_keys"] = _meta_keys
         elif box == b"ilst":
             _apply_ilst(body, out)
-        elif current is not None:
+        elif current is not None and b"trak" in path:
+            # the trak guard matters: a moov-level meta box (iPhone layout)
+            # carries its OWN hdlr child (b"mdta"), which must not clobber
+            # the last track's handler and wipe its video/audio attribution
             if box == b"tkhd" and len(body) >= 84:
                 version = body[0]
                 off = 88 if version == 1 else 76
@@ -307,7 +310,8 @@ def _apply_ilst(body: bytes, out: dict) -> None:
 _MKV_EPOCH_OFFSET = 978307200  # 2001-01-01T00:00:00Z in unix seconds
 
 
-def _ebml_vint(f, keep_marker: bool) -> int | None:
+def _ebml_vint_raw(f, keep_marker: bool) -> tuple[int, int] | None:
+    """Shared vint reader: returns (value, length_bytes) or None at EOF."""
     first = f.read(1)
     if not first:
         return None
@@ -321,7 +325,12 @@ def _ebml_vint(f, keep_marker: bool) -> int | None:
     val = b0 if keep_marker else b0 & ((1 << (8 - length)) - 1)
     for byte in rest:
         val = (val << 8) | byte
-    return val
+    return val, length
+
+
+def _ebml_vint(f, keep_marker: bool) -> int | None:
+    out = _ebml_vint_raw(f, keep_marker)
+    return None if out is None else out[0]
 
 
 _EBML_UNKNOWN = -1
@@ -331,19 +340,10 @@ def _ebml_size(f) -> int | None:
     """Size vint; all data bits set at ANY vint length (0xFF, 0x7FFF, ...,
     the 8-byte form) is the spec's unknown-size marker, not a literal size —
     live-recorded MKVs use the short forms on Segment/Cluster."""
-    first = f.read(1)
-    if not first:
+    out = _ebml_vint_raw(f, keep_marker=False)
+    if out is None:
         return None
-    b0 = first[0]
-    if b0 == 0:
-        return None
-    length = 8 - b0.bit_length() + 1
-    rest = f.read(length - 1)
-    if len(rest) != length - 1:
-        return None
-    val = b0 & ((1 << (8 - length)) - 1)
-    for byte in rest:
-        val = (val << 8) | byte
+    val, length = out
     if val == (1 << (7 * length)) - 1:
         return _EBML_UNKNOWN
     return val

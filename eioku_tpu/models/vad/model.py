@@ -141,10 +141,13 @@ def vad_activity(params: Params, audio: np.ndarray, cfg: VadConfig = VadConfig()
     drop-in interface of ml.audio_io.energy_vad (which indexes activity by
     VAD_FRAME_MS frames).
 
-    The waveform is zero-padded to the next BUCKET_SECONDS multiple before the
-    jitted vad_probs call so distinct video durations share compiles (tunnel
-    compiles cost 10-600 s; the LSTM is causal, so the padded tail cannot
-    affect the kept chunks)."""
+    The waveform is zero-padded to the next BUCKET_SECONDS multiple before
+    the jitted vad_probs call so distinct video durations share compiles
+    (tunnel compiles cost 10-600 s). The LSTM is causal, but the conv
+    encoder's symmetric padding gives each frame a ~4-frame lookahead, so the
+    last few real chunks see the zero tail instead of silence-shaped STFT
+    frames — a boundary effect of a few tens of ms that only matters for
+    probabilities sitting exactly at `threshold`."""
     if len(audio) == 0:
         return np.zeros(0, bool)
     bucket = cfg.sr * BUCKET_SECONDS

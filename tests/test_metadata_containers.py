@@ -152,6 +152,29 @@ class TestMp4CameraTags:
         assert meta["gps"]["latitude"] == pytest.approx(37.3349)
         assert "_meta_keys" not in meta["extra"]
 
+    def test_meta_hdlr_does_not_clobber_track_handler(self, tmp_path):
+        """iPhone layout puts moov>meta AFTER the traks; the meta box's own
+        hdlr child (b'mdta') must not overwrite the last trak's handler and
+        wipe its video attribution (regression)."""
+        tkhd = _box(b"tkhd", b"\x00" * 76
+                    + struct.pack(">II", 160 << 16, 120 << 16))
+        hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+        mdhd = _box(b"mdhd", b"\x00\x00\x00\x00"
+                    + struct.pack(">IIII", 0, 0, 1000, 5000))
+        stsd = _box(b"stsd", b"\x00" * 8 + _box(b"avc1", b"\x00" * 70))
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        meta_hdlr = _box(b"hdlr", b"\x00" * 8 + b"mdta" + b"\x00" * 12)
+        meta_box = _box(b"meta", b"\x00\x00\x00\x00" + meta_hdlr)
+        moov = _box(b"moov", self._mvhd() + trak + meta_box)
+        p = tmp_path / "clip.mov"
+        p.write_bytes(_box(b"ftyp", b"qt  \x00\x00\x02\x00qt  ") + moov)
+        meta = extract_metadata(str(p))
+        assert meta["width"] == 160 and meta["height"] == 120
+        assert meta["codec"] == "avc1"
+
     def test_quicktime_plain_meta_box(self, tmp_path):
         """QuickTime-brand meta is a plain box: children start immediately,
         no version/flags. Real iPhone .MOV files use this layout."""
