@@ -89,6 +89,59 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640) -> float
     return fps
 
 
+def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
+    """Flagship-detector throughput: YOLOv8m (the BASELINE config-5 detection
+    model) through the same scan harness as bench_detect, plus computed MFU
+    from XLA's own FLOP count. Wider channels than v8n -> better MXU lane
+    utilization; this is the number the pipeline stage actually pays per
+    frame."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eioku_tpu.models.yolo.model import YoloConfig, fold_batchnorm, init_yolo_params
+    from eioku_tpu.models.yolo.postprocess import detect
+
+    cfg = YoloConfig("yolov8m", num_classes=80)
+    params = fold_batchnorm(init_yolo_params(cfg, seed=0))
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    frames = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3),
+                                      dtype=np.uint8))
+    jax.block_until_ready(frames)
+    _log(f"detect_m upload: {time.time() - t0:.1f}s")
+
+    @jax.jit
+    def run(params, frames, start):
+        def step(acc, i):
+            out = detect(params, jnp.roll(frames, i, axis=0), cfg)
+            return acc + out["scores"].sum(), None
+        acc, _ = jax.lax.scan(step, 0.0, start + jnp.arange(1, n_batches + 1))
+        return acc
+
+    t0 = time.time()
+    float(run(params, frames, jnp.int32(0)))
+    _log(f"detect_m compile+first: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    float(run(params, frames, jnp.int32(7)))  # distinct start: defeat dedup
+    dt = time.time() - t0
+    fps = n_batches * batch / dt
+    extra = {}
+    try:  # MFU from XLA's own cost model (no hand-counted FLOPs)
+        ca = jax.jit(run).lower(params, frames, jnp.int32(0)).compile() \
+            .cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_frame = float(ca["flops"]) / (n_batches * batch)
+        peak = float(os.environ.get("EIOKU_TPU_PEAK_TFLOPS", "197")) * 1e12
+        extra["detect_m_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
+        extra["detect_m_mfu_pct"] = round(100.0 * fps * flops_per_frame / peak, 1)
+    except Exception as e:  # cost_analysis is best-effort on remote backends
+        _log(f"detect_m: cost_analysis unavailable ({e})")
+    _log(f"detect_m: {fps:.1f} frames/s ({dt:.3f}s for {n_batches}x{batch}) "
+         f"{extra}")
+    return fps, extra
+
+
 def bench_embed(n_batches: int = 10, batch: int = 256, seq: int = 256) -> float:
     # batch 256 measured fastest per chunk on v5e (64 -> 3204, 128 -> 5140,
     # 256 -> 5740, 512 -> 4984 chunks/s)
@@ -267,8 +320,11 @@ def _run_full_pipeline(path: str, clip_s: int) -> tuple[float, dict]:
                "decode_threads": 8, "batch_size": 64}
     # random_full_size: with no checkpoint on disk the production loader
     # falls back to a tiny model; the bench must pay the real turbo
-    # architecture cost (BASELINE config 5)
-    tr_cfg = {"model": "large-v3-turbo", "max_tokens": 64, "batch_size": 4,
+    # architecture cost (BASELINE config 5). max_tokens 224: a REALISTIC
+    # decode budget (real turbo decodes run to ~200+ tokens/window) — the
+    # pipeline number must hold at production decode length, not at the
+    # 64-token architecture-comparison budget.
+    tr_cfg = {"model": "large-v3-turbo", "max_tokens": 224, "batch_size": 4,
               "random_full_size": True}
     emb_cfg = MiniLMConfig(compute_dtype="bfloat16")
     emb_params = init_minilm_params(emb_cfg, seed=0)
@@ -377,19 +433,32 @@ def _bench_whisper_common(beam_size: int, batch: int = 4,
     int(np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[-1])
     dt = time.time() - t0
     audio_per_s = n * batch * 30.0 / dt
+    tokens_per_s = n * batch * decode_tokens / dt
     _log(f"whisper {variant} beam={beam_size}: {audio_per_s:.1f} "
-         f"audio-seconds/s ({decode_tokens} tokens/window)")
-    return audio_per_s
+         f"audio-seconds/s, {tokens_per_s:.0f} decoded tokens/s "
+         f"({decode_tokens} tokens/window)")
+    return audio_per_s, {f"whisper_beam{beam_size}_"
+                         f"{decode_tokens}tok_decoded_tokens_per_s":
+                         round(tokens_per_s)}
 
 
-def bench_whisper() -> float:
+def bench_whisper():
     return _bench_whisper_common(beam_size=1)
 
 
-def bench_whisper_beam() -> float:
+def bench_whisper_beam():
     """The production decode setting for pretrained checkpoints: beam 5
-    (ml/transcribe.py:174, faster-whisper's default)."""
+    (ml/transcribe.py:174, faster-whisper's default) at the 64-token
+    architecture-comparison budget."""
     return _bench_whisper_common(beam_size=5)
+
+
+def bench_whisper_beam_full():
+    """Realistic production decode length: beam 5 at a 224-token budget —
+    real turbo decodes run to ~200+ tokens per 30 s window, so this is the
+    number a production deployment pays (the 64-token stages measure
+    architecture cost for cross-run comparability)."""
+    return _bench_whisper_common(beam_size=5, decode_tokens=224)
 
 
 def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
@@ -420,6 +489,7 @@ def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
 
 STAGES = {
     "detect": bench_detect,
+    "detect_m": bench_detect_m,
     "embed": bench_embed,
     "pipeline": bench_pipeline,
     "combined": bench_combined_visual,
@@ -427,25 +497,36 @@ STAGES = {
     "query": bench_query_p50,
     "whisper": bench_whisper,
     "whisper_beam": bench_whisper_beam,
+    "whisper_beam_full": bench_whisper_beam_full,
 }
 
 # per-stage wall-clock ceilings (remote compile can be slow: the same MiniLM
 # compile has measured 60s and 415s on different days); the effective budget
 # is min(ceiling, remaining global deadline)
-STAGE_TIMEOUT_S = {"detect": 600, "embed": 420, "pipeline": 900,
-                   "combined": 600, "scenes": 300, "query": 240,
-                   "whisper": 600, "whisper_beam": 420}
+STAGE_TIMEOUT_S = {"detect": 600, "detect_m": 420, "embed": 420,
+                   "pipeline": 900, "combined": 600, "scenes": 300,
+                   "query": 240, "whisper": 600, "whisper_beam": 420,
+                   "whisper_beam_full": 420}
 # skip a stage outright when less than this remains: a run that can't finish
 # shouldn't burn the budget of later (cheaper) stages
-STAGE_MIN_S = {"detect": 90, "embed": 60, "pipeline": 180, "combined": 120,
-               "scenes": 60, "query": 45, "whisper": 120, "whisper_beam": 120}
+STAGE_MIN_S = {"detect": 90, "detect_m": 90, "embed": 60, "pipeline": 180,
+               "combined": 120, "scenes": 60, "query": 45, "whisper": 120,
+               "whisper_beam": 120, "whisper_beam_full": 120}
 
 
 def _setup_jax():
+    from eioku_tpu.utils.device import maybe_force_cpu
+
+    maybe_force_cpu()  # EIOKU_FORCE_CPU=1: orchestration testing off-TPU
     import jax
 
-    try:  # persistent compile cache: warm re-runs skip the slow remote compile
-        jax.config.update("jax_compilation_cache_dir", "/tmp/eioku_jax_cache")
+    try:  # persistent HOST-KEYED compile cache: warm re-runs skip the slow
+        # remote compile, and the key prevents loading XLA:CPU AOT artifacts
+        # compiled on a different machine (SIGILL risk — /tmp is shared
+        # across heterogeneous hosts here)
+        from eioku_tpu.utils.device import compile_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
@@ -462,12 +543,17 @@ def _backend_alive(budget_s: float = 90.0) -> bool:
     remaining stages' budgets on an unreachable backend."""
     import subprocess
 
+    code = ("import contextlib\n"
+            "with contextlib.suppress(Exception):\n"
+            "    from eioku_tpu.utils.device import maybe_force_cpu\n"
+            "    maybe_force_cpu()\n"
+            "import jax\n"
+            "jax.jit(lambda x: x + 1)(jax.numpy.ones(4)).block_until_ready()\n")
     try:
         p = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.jit(lambda x: x + 1)(jax.numpy.ones(4))"
-             ".block_until_ready()"],
+            [sys.executable, "-c", code],
             timeout=min(budget_s, max(_remaining(), 1.0)),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         return p.returncode == 0
     except subprocess.TimeoutExpired:
@@ -506,6 +592,8 @@ def _run_stage_subprocess(stage: str) -> float | None:
         if parsed.get("backend"):
             global _BACKEND
             _BACKEND = parsed["backend"]
+        if parsed.get("extra"):
+            _STAGE_EXTRA.update(parsed["extra"])
         return float(parsed["value"])
     except (ValueError, KeyError, IndexError) as e:
         _log(f"stage {stage}: unparseable output ({e})")
@@ -514,17 +602,22 @@ def _run_stage_subprocess(stage: str) -> float | None:
 
 _FINAL: dict | None = None
 _PRINTED = False
+_STAGE_EXTRA: dict = {}  # per-stage extra fields (MFU, tokens/s, ...)
 
 
 def _assemble(vals: dict[str, float | None], backend: str) -> dict:
     extra = {"backend": backend}
-    names = {"detect": ("detect_fps_640", 1), "embed": ("embed_chunks_per_s", 1),
+    extra.update(_STAGE_EXTRA)
+    names = {"detect": ("detect_fps_640", 1),
+             "detect_m": ("detect_m_fps_640", 1),
+             "embed": ("embed_chunks_per_s", 1),
              "pipeline": ("pipeline_video_hours_per_hour", 1),
              "combined": ("combined_visual_video_hours_per_hour", 1),
              "scenes": ("scene_video_hours_per_hour", 1),
              "query": ("query_p50_ms_10k", 2),
              "whisper": ("whisper_audio_seconds_per_s", 1),
-             "whisper_beam": ("whisper_beam5_audio_seconds_per_s", 1)}
+             "whisper_beam": ("whisper_beam5_audio_seconds_per_s", 1),
+             "whisper_beam_full": ("whisper_beam5_224tok_audio_seconds_per_s", 1)}
     for stage, (key, nd) in names.items():
         if vals.get(stage) is not None:
             extra[key] = round(vals[stage], nd)
@@ -588,7 +681,10 @@ def main() -> None:
         stage = sys.argv[sys.argv.index("--stage") + 1]
         jax = _setup_jax()
         value = STAGES[stage]()
-        print(json.dumps({"stage": stage, "value": value,
+        extra = {}
+        if isinstance(value, tuple):
+            value, extra = value
+        print(json.dumps({"stage": stage, "value": value, "extra": extra,
                           "backend": jax.default_backend()}))
         return
 
@@ -602,12 +698,31 @@ def main() -> None:
     signal.alarm(max(int(DEADLINE_S), 1))
     _log(f"deadline: {DEADLINE_S:.0f}s")
 
-    order = ["detect", "embed", "pipeline", "combined", "scenes", "query"]
+    # PROBE FIRST (VERDICT r2 item 1): a dead tunnel must not burn the stage
+    # budgets — outages are transient (measured: minutes to hours), so while
+    # the backend is unreachable and meaningful deadline remains, sleep and
+    # re-probe instead of launching stages that can only time out.
+    while not _backend_alive(90):
+        if _remaining() < 240:
+            _log("backend still unreachable near deadline; attempting "
+                 "stages anyway (they fail fast on their own budgets)")
+            break
+        _log(f"backend unreachable; re-probing in 45s "
+             f"({_remaining():.0f}s of deadline left)")
+        time.sleep(45)
+    else:
+        _log(f"[{time.monotonic() - _START:.0f}s] backend alive; "
+             "running stages")
+
+    # cheapest-first on warm cache: ANY alive window records a number before
+    # the expensive stages get a chance to eat the deadline
+    order = ["query", "scenes", "embed", "detect", "detect_m", "combined",
+             "pipeline"]
     if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
         # beam-5 first: it is the production default, and the k=1 variant of
         # the decode program has shown pathological compile times on this
         # backend — it must not be able to burn the beam stage's budget
-        order += ["whisper_beam", "whisper"]
+        order += ["whisper_beam", "whisper_beam_full", "whisper"]
     misses = 0
     for stage in order:
         vals[stage] = _run_stage_subprocess(stage)

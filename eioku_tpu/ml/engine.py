@@ -26,6 +26,8 @@ class ModelNotAvailable(RuntimeError):
 
 
 _DEVICE_PROBE_FAILED_AT: float = 0.0
+_DEVICE_PROBE_POOL = None  # ONE shared worker thread for every probe
+_DEVICE_PROBE_FUTURE = None  # in-flight probe, reused until it resolves
 
 
 def device_info(timeout_s: float = 10.0) -> dict:
@@ -34,13 +36,16 @@ def device_info(timeout_s: float = 10.0) -> dict:
 
     jax.devices() blocks INDEFINITELY when the remote backend is down
     (measured multi-hour tunnel outages), which would hang an API worker per
-    /device request — so the probe runs on a side thread with a timeout, and
-    a failure is memoized for 60 s so repeated requests don't stack blocked
-    threads."""
+    /device request — so the probe runs with a timeout on a SINGLE shared
+    worker thread: a timed-out probe stays in flight and is re-awaited by the
+    next call instead of stacking one permanently-blocked thread per request
+    (jax.devices() holds xla_bridge._backend_lock while stuck, so a fresh
+    thread per call can never be reaped). A failure is additionally memoized
+    for 60 s so a dead tunnel answers instantly."""
     import concurrent.futures
     import time
 
-    global _DEVICE_PROBE_FAILED_AT
+    global _DEVICE_PROBE_FAILED_AT, _DEVICE_PROBE_POOL, _DEVICE_PROBE_FUTURE
     unavailable = {"backend": "unavailable", "device_count": 0, "devices": [],
                    "error": "device backend unreachable"}
     if time.monotonic() - _DEVICE_PROBE_FAILED_AT < 60.0:
@@ -55,14 +60,25 @@ def device_info(timeout_s: float = 10.0) -> dict:
                          "platform": d.platform} for d in devices],
         }
 
-    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    if _DEVICE_PROBE_POOL is None:
+        _DEVICE_PROBE_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="device-probe")
+    if _DEVICE_PROBE_FUTURE is None or _DEVICE_PROBE_FUTURE.done():
+        _DEVICE_PROBE_FUTURE = _DEVICE_PROBE_POOL.submit(probe)
+    fut = _DEVICE_PROBE_FUTURE
     try:
-        return pool.submit(probe).result(timeout=timeout_s)
-    except (concurrent.futures.TimeoutError, RuntimeError):
+        result = fut.result(timeout=timeout_s)
+        _DEVICE_PROBE_FUTURE = None
+        return result
+    except concurrent.futures.TimeoutError:
+        # leave the future in flight: the shared worker is still blocked in
+        # jax.devices(); the next call past the memo window re-awaits it
         _DEVICE_PROBE_FAILED_AT = time.monotonic()
         return unavailable
-    finally:
-        pool.shutdown(wait=False)
+    except RuntimeError:
+        _DEVICE_PROBE_FUTURE = None
+        _DEVICE_PROBE_FAILED_AT = time.monotonic()
+        return unavailable
 
 
 class InferenceEngine:

@@ -100,8 +100,46 @@ def load_vad(cache_dir: str | None,
         sd = torch.load(path, map_location="cpu", weights_only=False)
         sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
         log.info("loading silero VAD weights from %s", path)
-        return convert_silero_state_dict(sd, cfg)
+        params = convert_silero_state_dict(sd, cfg)
+        ok, p_sil, p_tone = sanity_check(params, cfg)
+        if not ok:
+            log.warning(
+                "VAD checkpoint %s converted shape-cleanly but FAILED the "
+                "behavioral sanity check (silence prob %.3f, speech-band "
+                "tone prob %.3f): the export layout likely differs from the "
+                "assumed graph; falling back to energy VAD", path, p_sil,
+                p_tone)
+            return None
+        return params
     except Exception:
         log.warning("failed to load/convert VAD checkpoint %s; "
                     "falling back to energy VAD", path, exc_info=True)
         return None
+
+
+def sanity_check(params: Params,
+                 cfg: VadConfig = VadConfig()) -> tuple[bool, float, float]:
+    """Behavioral gate on converted weights: a shape-clean conversion of a
+    checkpoint whose real graph differs (strided convs, left-context frames,
+    different padding) would produce arbitrary speech probabilities and
+    silently gate transcription windows. Require the two properties every
+    working VAD has — near-zero probability on digital silence, and clearly
+    higher probability on a loud speech-band amplitude-modulated tone.
+    Thresholds are deliberately loose (a tone is not speech; genuine Silero
+    weights score it anywhere above the silence floor)."""
+    import jax.numpy as jnp
+
+    from eioku_tpu.models.vad.model import vad_probs
+
+    n = cfg.chunk * 32  # ~1 s of audio, a whole number of VAD chunks
+    silence = np.zeros((1, n), np.float32)
+    t = np.arange(n, dtype=np.float32) / cfg.sr
+    # 220 Hz carrier + harmonics, 3 Hz syllabic AM — speech-band energy
+    tone = ((0.4 * np.sin(2 * np.pi * 220 * t)
+             + 0.2 * np.sin(2 * np.pi * 440 * t)
+             + 0.1 * np.sin(2 * np.pi * 660 * t))
+            * (0.55 + 0.45 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    p_sil = float(np.asarray(vad_probs(params, jnp.asarray(silence), cfg)).mean())
+    p_tone = float(np.asarray(vad_probs(params, jnp.asarray(tone[None]), cfg)).mean())
+    ok = p_sil < 0.35 and p_tone > p_sil + 0.05
+    return ok, p_sil, p_tone

@@ -53,9 +53,12 @@ class OfflineReverseGeocoder(ReverseGeocoder):
         if boxes and country_has_box and country not in boxes:
             # the nearest city's country claims territory elsewhere but not
             # here; countries without any box stay trusted (no evidence)
-            if len(set(boxes)) == 1:
-                return {"country": boxes[0], "state": None, "city": None}
-            return {"country": None, "state": None, "city": None}
+            # one candidate: unambiguous. Several overlapping boxes (common
+            # near European tri-borders): the point is genuinely inside at
+            # least one of them, so fall back to the first (most-specific,
+            # smallest-area-first ordering in COUNTRY_BOXES) containing box
+            # rather than discarding a valid match.
+            return {"country": boxes[0], "state": None, "city": None}
         if d[i] <= CITY_RADIUS_KM:
             return {"country": country, "state": state, "city": city}
         if d[i] <= STATE_RADIUS_KM:

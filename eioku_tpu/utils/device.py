@@ -42,3 +42,33 @@ def maybe_force_cpu() -> None:
     """Apply force_cpu() iff EIOKU_FORCE_CPU is truthy in the environment."""
     if os.environ.get("EIOKU_FORCE_CPU", "").lower() in ("1", "true", "yes"):
         force_cpu()
+
+
+def compile_cache_dir(base: str = "/tmp/eioku_jax_cache") -> str:
+    """Host-keyed persistent compile cache directory.
+
+    XLA:CPU AOT artifacts embed the compiling machine's CPU feature set;
+    loading them on a different host spams `cpu_aot_loader` machine-feature
+    errors and can SIGILL. /tmp is shared across heterogeneous hosts in this
+    deployment, so the cache dir is keyed by a hash of the host CPU identity
+    (machine arch + cpuinfo model/flags) — each distinct host gets its own
+    cache and never loads another machine's AOT code.
+    """
+    import hashlib
+    import platform
+
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            seen = set()
+            for line in f:
+                key = line.split(":", 1)[0].strip()
+                if key in ("model name", "flags") and key not in seen:
+                    seen.add(key)
+                    bits.append(line.strip())
+                if len(seen) == 2:
+                    break
+    except OSError:
+        bits.append(platform.processor() or "unknown")
+    digest = hashlib.sha1("|".join(bits).encode()).hexdigest()[:10]
+    return f"{base}_{digest}"

@@ -76,3 +76,23 @@ class TestDataset:
             info = geo.get_location_info(lat, lon)
             # a denser neighbor may win (e.g. suburbs), but country must hold
             assert info["country"] == country, (city, info)
+
+
+class TestBorderDisambiguation:
+    def test_multibox_border_falls_back_to_containing_box(self, monkeypatch):
+        # Tri-border case: the nearest city's country box does NOT contain
+        # the point, and TWO other boxes overlap it. The point is genuinely
+        # inside at least one of them, so the resolver must return the first
+        # (most-specific) containing box — not all-None.
+        import eioku_tpu.services.geocoding as g
+
+        monkeypatch.setattr(g, "CITIES",
+                            [("Borderton", "X", "Farlandia", 10.0, 10.0)])
+        monkeypatch.setattr(g, "COUNTRY_BOXES",
+                            [("Farlandia", 50.0, 60.0, 50.0, 60.0),
+                             ("Nearland", 9.0, 11.0, 9.0, 11.0),
+                             ("Otherland", 8.0, 12.0, 8.0, 12.0)])
+        monkeypatch.setattr(g, "city_coords",
+                            lambda: np.asarray([[10.0, 10.0]], np.float32))
+        info = g.OfflineReverseGeocoder().get_location_info(10.0, 10.0)
+        assert info == {"country": "Nearland", "state": None, "city": None}
