@@ -367,11 +367,14 @@ def _ebml_float(data: bytes) -> float | None:
 def _parse_mkv(f, filesize: int, out: dict) -> None:
     """Minimal EBML walk over Segment > Info/Tracks (clusters skipped by
     size, so multi-GB files cost a few seeks)."""
-    DESCEND = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0xE1}
+    # Segment > Info/Tracks(+TrackEntry/Video/Audio) + Tags>Tag>SimpleTag
+    DESCEND = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0xE1,
+               0x1254C367, 0x7373, 0x67C8}
 
     timecode_scale = 1_000_000  # ns, Matroska default
     duration_units: float | None = None
     track: dict | None = None
+    stags: list[dict] = []  # SimpleTag stack (SimpleTags can nest)
 
     def walk(end: int, depth: int):
         nonlocal timecode_scale, duration_units, track
@@ -388,10 +391,14 @@ def _parse_mkv(f, filesize: int, out: dict) -> None:
             if eid in DESCEND:
                 if eid == 0xAE:
                     track = {}
+                if eid == 0x67C8:
+                    stags.append({})
                 walk(body_end, depth + 1)
                 if eid == 0xAE and track is not None:
                     _mkv_apply_track(track, out)
                     track = None
+                if eid == 0x67C8 and stags:
+                    _mkv_apply_simpletag(stags.pop(), out)
             elif size <= 4096:
                 data = f.read(size)
                 if eid == 0x2AD7B1:
@@ -407,6 +414,10 @@ def _parse_mkv(f, filesize: int, out: dict) -> None:
                     out["extra"]["muxing_app"] = data.decode("utf-8", "replace")
                 elif eid == 0x5741:
                     out["extra"]["writing_app"] = data.decode("utf-8", "replace")
+                elif stags and eid == 0x45A3:  # TagName
+                    stags[-1]["name"] = data.decode("utf-8", "replace")
+                elif stags and eid == 0x4487:  # TagString
+                    stags[-1]["string"] = data.decode("utf-8", "replace")
                 elif track is not None:
                     if eid == 0x83:
                         track["type"] = _ebml_uint(data)
@@ -436,6 +447,28 @@ _MKV_CODEC_NAMES = {
 }
 
 
+def _mkv_apply_simpletag(st: dict, out: dict) -> None:
+    """Map a Tags>Tag>SimpleTag (TagName/TagString) onto payload fields.
+    Phones and muxers writing Matroska put camera identity here as
+    MAKE/MODEL tags (ffmpeg -metadata make=... model=... emits the same);
+    DATE_RECORDED is the Matroska-standard recording date tag."""
+    name = (st.get("name") or "").strip().upper()
+    val = (st.get("string") or "").strip()
+    if not name or not val:
+        return
+    if name == "MAKE" and out.get("camera_make") is None:
+        out["camera_make"] = val
+    elif name == "MODEL" and out.get("camera_model") is None:
+        out["camera_model"] = val
+    elif name in ("DATE_RECORDED", "CREATION_TIME") and \
+            out.get("create_date") is None:
+        out["create_date"] = val
+    elif name == "ENCODER":
+        out["extra"].setdefault("writing_app", val)
+    elif name == "TITLE":
+        out["extra"].setdefault("title", val)
+
+
 def _mkv_apply_track(track: dict, out: dict) -> None:
     codec = track.get("codec")
     name = _MKV_CODEC_NAMES.get(codec, codec)
@@ -458,8 +491,38 @@ def _mkv_apply_track(track: dict, out: dict) -> None:
 # -- AVI (RIFF) -----------------------------------------------------------------
 
 
+def _parse_riff_date(text: str) -> str | None:
+    """RIFF date text -> ISO string. ICRD is ISO-ish ('2008-08-18' or full
+    datetime); IDIT is ctime-style ('MON AUG 18 10:00:00 2008', case varies
+    by camera firmware)."""
+    text = text.strip()
+    if not text:
+        return None
+    try:
+        return _dt.datetime.fromisoformat(text[:19]).isoformat()
+    except ValueError:
+        pass
+    try:
+        return _dt.datetime.strptime(text.title()[:24],
+                                     "%a %b %d %H:%M:%S %Y").isoformat()
+    except ValueError:
+        return None
+
+
+# INFO LIST text chunks (the slots exiftool reads from camera AVIs; RIFF has
+# no standard make/model slot — camera identity lands in ISFT as the firmware
+# name, surfaced as writing_app)
+_AVI_INFO_TEXT = {b"ISFT": ("extra", "writing_app"),
+                  b"INAM": ("extra", "title"),
+                  b"IART": ("extra", "artist"),
+                  b"ICMT": ("extra", "comment")}
+
+
 def _parse_avi(data: bytes, out: dict) -> None:
-    """RIFF walk: avih (geometry/timing), per-stream strh/strf."""
+    """RIFF walk: avih (geometry/timing), per-stream strh/strf, INFO text
+    chunks (ISFT/INAM/IART/ICMT) and creation dates (ICRD, and IDIT — which
+    camera firmwares put inside the hdrl LIST, so it is handled wherever it
+    appears)."""
     if len(data) < 12:
         return
     micro_per_frame = total_frames = odml_frames = None
@@ -508,6 +571,18 @@ def _parse_avi(data: bytes, out: dict) -> None:
                         out["audio_codec"] = {0x0001: "pcm", 0x0055: "mp3",
                                               0x00FF: "aac",
                                               0x2000: "ac3"}.get(tag, hex(tag))
+            elif fourcc in _AVI_INFO_TEXT and size:
+                text = data[body:body + size].split(b"\x00")[0] \
+                    .decode("latin-1", "replace").strip()
+                if text:
+                    _, key = _AVI_INFO_TEXT[fourcc]
+                    out["extra"].setdefault(key, text)
+            elif fourcc in (b"ICRD", b"IDIT") and size:
+                text = data[body:body + size].split(b"\x00")[0] \
+                    .decode("latin-1", "replace")
+                iso = _parse_riff_date(text)
+                if iso and out.get("create_date") is None:
+                    out["create_date"] = iso
             pos = body + size + (size & 1)  # chunks are word-aligned
 
     walk(12, len(data), 0)

@@ -3,7 +3,7 @@
 Capability parity: /root/reference/backend/src/services/reverse_geocoding_service.py:12-54
 (Nominatim via geopy with an LRU cache, returning country/state/city). This
 environment has zero network egress and no geopy, so the default resolver is
-fully offline: nearest-city matching over an embedded ~460-city dataset with
+fully offline: nearest-city matching over an embedded ~1,350-city dataset with
 admin regions (services/geo_data.py) gives city-level results near population
 centers, with country bounding boxes as the open-country fallback. A
 network-backed resolver can be plugged in via the same interface.
@@ -23,6 +23,10 @@ from eioku_tpu.services.geo_data import (
 # (country, state) and then to country boxes
 CITY_RADIUS_KM = 60.0
 STATE_RADIUS_KM = 200.0
+# within this distance the city itself is stronger evidence than any coarse
+# country box: skip the border sanity check (boxes miss exclaves/islands —
+# the Alaska panhandle sits inside Canada's box, Rhodes outside Greece's)
+TRUST_CITY_KM = 25.0
 
 
 class ReverseGeocoder:
@@ -43,6 +47,8 @@ class OfflineReverseGeocoder(ReverseGeocoder):
         d = haversine_km(lat_q, lon_q, city_coords())
         i = int(d.argmin())
         city, state, country, _, _ = CITIES[i]
+        if d[i] <= TRUST_CITY_KM:
+            return {"country": country, "state": state, "city": city}
         # border sanity check: a point near a national border can sit within
         # CITY_RADIUS_KM of a neighbor-country city. The coarse country boxes
         # overlap at borders, so only distrust the city when its country's

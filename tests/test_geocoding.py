@@ -37,9 +37,31 @@ class TestOfflineGeocoder:
         assert info["city"] is None and info["state"] is not None
 
     def test_country_box_fallback_open_country(self):
-        # central Australian outback: no nearby city, box answers the country
+        # central Australian outback: within state radius of Alice Springs
+        # (dataset now carries it) -> (country, state) but no city
         info = self.geo.get_location_info(-25.0, 135.0)
+        assert info == {"country": "Australia", "state": "Northern Territory",
+                        "city": None}
+        # the Simpson Desert is beyond every city's state radius: box-level
+        info = self.geo.get_location_info(-25.5, 137.8)
         assert info == {"country": "Australia", "state": None, "city": None}
+
+    def test_mid_size_cities_resolve_across_continents(self):
+        # VERDICT r2 item 9: non-capital cities on several continents
+        cases = [
+            ((36.15, -95.99), "Tulsa", "United States"),
+            ((-38.00, -57.55), "Mar del Plata", "Argentina"),
+            ((49.01, 8.40), "Karlsruhe", "Germany"),
+            ((6.69, -1.62), "Kumasi", "Ghana"),
+            ((10.80, 78.69), "Tiruchirappalli", "India"),
+            ((34.66, 133.93), "Okayama", "Japan"),
+            ((-37.69, 176.17), "Tauranga", "New Zealand"),
+            ((56.01, 92.87), "Krasnoyarsk", "Russia"),
+        ]
+        for (lat, lon), city, country in cases:
+            info = self.geo.get_location_info(lat, lon)
+            assert info["city"] == city and info["country"] == country, \
+                (lat, lon, info)
 
     def test_open_ocean_resolves_nothing(self):
         info = self.geo.get_location_info(-40.0, -20.0)  # south Atlantic
@@ -94,5 +116,7 @@ class TestBorderDisambiguation:
                              ("Otherland", 8.0, 12.0, 8.0, 12.0)])
         monkeypatch.setattr(g, "city_coords",
                             lambda: np.asarray([[10.0, 10.0]], np.float32))
-        info = g.OfflineReverseGeocoder().get_location_info(10.0, 10.0)
+        # ~47 km out: near enough for city attribution, far enough that the
+        # coarse-box border check still applies (beyond TRUST_CITY_KM)
+        info = g.OfflineReverseGeocoder().get_location_info(10.3, 10.3)
         assert info == {"country": "Nearland", "state": None, "city": None}

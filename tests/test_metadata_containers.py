@@ -207,6 +207,99 @@ class TestMp4CameraTags:
         assert "create_date_source" not in meta["extra"]
 
 
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    assert len(body) < 0x7F
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big") \
+        + bytes([0x80 | len(body)]) + body
+
+
+def _simple_tag(name: bytes, value: bytes) -> bytes:
+    return _ebml_elem(0x67C8, _ebml_elem(0x45A3, name)
+                      + _ebml_elem(0x4487, value))
+
+
+class TestMkvCameraTags:
+    def test_tags_simpletag_make_model_date(self, tmp_path):
+        """Phones/muxers writing Matroska carry camera identity as
+        Tags>Tag>SimpleTag MAKE/MODEL (ffmpeg -metadata emits the same) and
+        the recording date as DATE_RECORDED."""
+        tags = _ebml_elem(
+            0x1254C367,
+            _ebml_elem(0x7373, _simple_tag(b"MAKE", b"GoPro")
+                       + _simple_tag(b"MODEL", b"HERO12 Black")))
+        tags2 = _ebml_elem(
+            0x1254C367,
+            _ebml_elem(0x7373, _simple_tag(b"DATE_RECORDED",
+                                           b"2023-11-05T09:30:00Z")))
+        tscale = _ebml_elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        dur = _ebml_elem(0x4489, struct.pack(">d", 4000.0))
+        info = _ebml_elem(0x1549A966, tscale + dur)
+        segment = (0x18538067).to_bytes(4, "big") + b"\xff" \
+            + info + tags + tags2
+        header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"matroska"))
+        p = tmp_path / "cam.mkv"
+        p.write_bytes(header + segment)
+        meta = extract_metadata(str(p))
+        assert meta["camera_make"] == "GoPro"
+        assert meta["camera_model"] == "HERO12 Black"
+        assert meta["create_date"] == "2023-11-05T09:30:00Z"
+        assert "create_date_source" not in meta["extra"]
+
+    def test_nested_simpletag_and_encoder(self, tmp_path):
+        """SimpleTags can nest; the walk must apply both levels. ENCODER
+        feeds writing_app without clobbering a Segment-level one."""
+        nested = _ebml_elem(0x67C8, _ebml_elem(0x45A3, b"MODEL")
+                            + _ebml_elem(0x4487, b"Pixel 8")
+                            + _simple_tag(b"ENCODER", b"android-mkv"))
+        tags = _ebml_elem(0x1254C367, _ebml_elem(0x7373, nested))
+        segment = (0x18538067).to_bytes(4, "big") + b"\xff" + tags
+        header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"matroska"))
+        p = tmp_path / "nested.mkv"
+        p.write_bytes(header + segment)
+        meta = extract_metadata(str(p))
+        assert meta["camera_model"] == "Pixel 8"
+        assert meta["extra"]["writing_app"] == "android-mkv"
+
+
+class TestAviInfoChunks:
+    def _chunk(self, fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", fourcc, len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def test_info_list_software_and_icrd_date(self, tmp_path):
+        info = self._chunk(b"ISFT", b"CanonMVI06\x00") \
+            + self._chunk(b"ICRD", b"2008-08-18\x00")
+        lst = struct.pack("<4sI", b"LIST", 4 + len(info)) + b"INFO" + info
+        from eioku_tpu.ml.metadata import _parse_avi
+
+        out = {"extra": {}}
+        _parse_avi(b"RIFF" + struct.pack("<I", 4 + len(lst)) + b"AVI " + lst,
+                   out)
+        assert out["extra"]["writing_app"] == "CanonMVI06"
+        assert out["create_date"].startswith("2008-08-18")
+
+    def test_idit_ctime_date_in_hdrl(self, tmp_path):
+        """Camera firmwares put IDIT (ctime format, case varies) inside the
+        hdrl LIST; it must be picked up wherever it appears."""
+        idit = self._chunk(b"IDIT", b"MON AUG 18 10:00:00 2008\n\x00")
+        hdrl = struct.pack("<4sI", b"LIST", 4 + len(idit)) + b"hdrl" + idit
+        from eioku_tpu.ml.metadata import _parse_avi
+
+        out = {"extra": {}}
+        _parse_avi(b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI "
+                   + hdrl, out)
+        assert out["create_date"] == "2008-08-18T10:00:00"
+
+    def test_riff_date_formats(self):
+        from eioku_tpu.ml.metadata import _parse_riff_date
+
+        assert _parse_riff_date("2008-08-18") == "2008-08-18T00:00:00"
+        assert _parse_riff_date("Mon Aug 18 10:00:00 2008") == \
+            "2008-08-18T10:00:00"
+        assert _parse_riff_date("not a date") is None
+        assert _parse_riff_date("") is None
+
+
 class TestEbmlUnknownSize:
     def test_short_unknown_size_vints(self, tmp_path):
         """Live-recorded MKVs mark Segment/Cluster unknown-size with SHORT
