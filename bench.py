@@ -329,25 +329,35 @@ def _run_full_pipeline(path: str, clip_s: int) -> tuple[float, dict]:
     emb_cfg = MiniLMConfig(compute_dtype="bfloat16")
     emb_params = init_minilm_params(emb_cfg, seed=0)
 
+    def audio_chain():
+        """transcribe -> chunk-embed -> IVF build, one worker thread: the
+        whole text chain is independent of the visual pass, so it overlaps
+        it end-to-end instead of serializing an embed+IVF tail after the
+        join (the chain is exactly the production task order)."""
+        segments = run_transcription(path, tr_cfg)
+        # embed transcript chunks (random weights emit no text: embed one
+        # chunk per 30 s window — the real per-window embedding cost)
+        texts = [s["payload"].get("text", "") for s in segments
+                 if s.get("payload")] or None
+        n_chunks = len(texts) if texts else max(clip_s // 30, 1)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, emb_cfg.vocab_size,
+                                       (max(n_chunks, 1), 256),
+                                       dtype=np.int32))
+        mask = jnp.ones(ids.shape, jnp.int32)
+        vecs = np.asarray(minilm_embed(emb_params, ids, mask, emb_cfg),
+                          np.float32)
+        index = IvfIndex.build(vecs)
+        index.search(vecs[0], top_k=1)  # force materialization + transfer
+        return segments, n_chunks
+
     t0 = time.time()
-    # audio (decode + mel + whisper) runs on a worker thread: its host-side
-    # decode overlaps the visual pass's, and device dispatches interleave
+    # the audio/text chain runs on a worker thread: its host-side decode
+    # overlaps the visual pass's, and device dispatches interleave
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(run_transcription, path, tr_cfg)
+        fut = pool.submit(audio_chain)
         visual = run_visual_analysis(path, vis_cfg)
-        segments = fut.result()
-    # embed transcript chunks (random weights emit no text: embed one chunk
-    # per 30 s window — the real per-window embedding cost) -> IVF build
-    texts = [s["payload"].get("text", "") for s in segments
-             if s.get("payload")] or None
-    n_chunks = len(texts) if texts else max(clip_s // 30, 1)
-    rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, emb_cfg.vocab_size, (max(n_chunks, 1), 256),
-                                   dtype=np.int32))
-    mask = jnp.ones(ids.shape, jnp.int32)
-    vecs = np.asarray(minilm_embed(emb_params, ids, mask, emb_cfg), np.float32)
-    index = IvfIndex.build(vecs)
-    index.search(vecs[0], top_k=1)  # force build materialization + transfer
+        segments, n_chunks = fut.result()
     elapsed = time.time() - t0
     counts = {"scenes": len(visual.get("scene_detection", [])),
               "objects": len(visual.get("object_detection", [])),
@@ -702,16 +712,12 @@ def main() -> None:
     # budgets — outages are transient (measured: minutes to hours), so while
     # the backend is unreachable and meaningful deadline remains, sleep and
     # re-probe instead of launching stages that can only time out.
-    while not _backend_alive(90):
-        if _remaining() < 240:
-            _log("backend still unreachable near deadline; attempting "
-                 "stages anyway (they fail fast on their own budgets)")
-            break
+    while _remaining() > 240 and not _backend_alive(90):
         _log(f"backend unreachable; re-probing in 45s "
              f"({_remaining():.0f}s of deadline left)")
         time.sleep(45)
     else:
-        _log(f"[{time.monotonic() - _START:.0f}s] backend alive; "
+        _log(f"[{time.monotonic() - _START:.0f}s] probe loop done; "
              "running stages")
 
     # cheapest-first on warm cache: ANY alive window records a number before
