@@ -127,9 +127,9 @@ def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
     dt = time.time() - t0
     fps = n_batches * batch / dt
     extra = {}
-    try:  # MFU from XLA's own cost model (no hand-counted FLOPs)
-        ca = jax.jit(run).lower(params, frames, jnp.int32(0)).compile() \
-            .cost_analysis()
+    try:  # MFU from XLA's own cost model (no hand-counted FLOPs); `run` is
+        # already jitted, so this lowering reuses the cached executable
+        ca = run.lower(params, frames, jnp.int32(0)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_frame = float(ca["flops"]) / (n_batches * batch)
         peak = float(os.environ.get("EIOKU_TPU_PEAK_TFLOPS", "197")) * 1e12

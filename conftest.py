@@ -23,3 +23,15 @@ sys.path.insert(0, os.path.dirname(__file__))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent host-keyed compile cache: XLA compiles dominate the suite's wall
+# clock on this 1-core image, and they are identical across runs of unchanged
+# code — warm re-runs cut the fast selection by minutes. (Host-keyed so a
+# /tmp shared across machines never serves foreign XLA:CPU AOT code.)
+try:
+    from eioku_tpu.utils.device import compile_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass

@@ -511,6 +511,7 @@ class TestStripedDecode:
 
 
 class TestCombinedVisual:
+    @pytest.mark.slow  # heaviest e2e: ~1-2 min each on the 1-core image
     def test_combined_matches_separate_artifact_types(self, scene_video):
         from eioku_tpu.ml.combined import run_visual_analysis
         results = run_visual_analysis(scene_video, {
@@ -533,6 +534,7 @@ class TestCombinedVisual:
         for r in results["object_detection"][:10]:
             SchemaRegistry.validate("object.detection", 1, r["payload"])
 
+    @pytest.mark.slow  # heaviest e2e: ~1-2 min each on the 1-core image
     def test_fused_places_matches_standalone_on_letterboxed_video(
             self, scene_video):
         """Sub-640 videos take the host-letterbox path; fused places must
@@ -553,6 +555,7 @@ class TestCombinedVisual:
             assert [p["label"] for p in f["payload"]["predictions"]] == \
                 [p["label"] for p in s["payload"]["predictions"]]
 
+    @pytest.mark.slow  # heaviest e2e: ~1-2 min each on the 1-core image
     def test_combined_includes_ocr_when_configured(self, scene_video):
         from eioku_tpu.domain.schema_registry import (
             SchemaRegistry,

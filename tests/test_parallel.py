@@ -62,6 +62,7 @@ class TestDataParallelInference:
         assert sharded.shape == (6, 32)
         np.testing.assert_allclose(sharded, single, atol=1e-5)
 
+    @pytest.mark.slow  # ~30 s 8-device compile; dryrun_multichip covers it too
     def test_dp_detector_runs(self, mesh8):
         from eioku_tpu.models.yolo.model import YoloConfig, init_yolo_params
         from eioku_tpu.parallel.inference import DataParallelDetector
