@@ -44,6 +44,40 @@ def maybe_force_cpu() -> None:
         force_cpu()
 
 
+def _cpu_fingerprint() -> str:
+    """CPU identity as LLVM's host detection sees it.
+
+    XLA:CPU AOT target features (incl. tuning toggles like prefer-no-gather)
+    come from LLVM reading CPUID + XGETBV directly — NOT from /proc/cpuinfo,
+    which this deployment's VMs present fully genericised (identical model
+    name/flags on different physical hosts). So the fingerprint is a raw
+    CPUID-leaf dump from a tiny native helper (native/cpuid.cpp). When the
+    helper can't build (no toolchain), fall back to the kernel boot_id:
+    per-boot isolation trades cross-boot cache reuse for guaranteed safety.
+    """
+    import ctypes
+
+    from eioku_tpu.utils.native_build import load_native_lib
+
+    def _configure(lib: ctypes.CDLL) -> None:
+        lib.eioku_cpuid_fingerprint.restype = ctypes.c_int
+        lib.eioku_cpuid_fingerprint.argtypes = [ctypes.c_char_p, ctypes.c_int]
+
+    lib = load_native_lib("cpuid", _configure)
+    if lib is not None:
+        buf = ctypes.create_string_buffer(4096)
+        n = lib.eioku_cpuid_fingerprint(buf, len(buf))
+        if n > 0:
+            return buf.raw[:n].decode("ascii", "replace")
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return "boot:" + f.read().strip()
+    except OSError:
+        import platform
+
+        return "plat:" + platform.processor() + platform.machine()
+
+
 def compile_cache_dir(base: str = "/tmp/eioku_jax_cache") -> str:
     """Host-keyed persistent compile cache directory.
 
@@ -51,24 +85,16 @@ def compile_cache_dir(base: str = "/tmp/eioku_jax_cache") -> str:
     loading them on a different host spams `cpu_aot_loader` machine-feature
     errors and can SIGILL. /tmp is shared across heterogeneous hosts in this
     deployment, so the cache dir is keyed by a hash of the host CPU identity
-    (machine arch + cpuinfo model/flags) — each distinct host gets its own
-    cache and never loads another machine's AOT code.
+    — a native CPUID dump matching what LLVM's host detection reads (see
+    _cpu_fingerprint; generic /proc/cpuinfo proved insufficient) plus the
+    jax/jaxlib versions — so no host ever loads another machine's (or
+    another compiler's) AOT code.
     """
     import hashlib
-    import platform
 
-    bits = [platform.machine()]
-    try:
-        with open("/proc/cpuinfo") as f:
-            seen = set()
-            for line in f:
-                key = line.split(":", 1)[0].strip()
-                if key in ("model name", "flags") and key not in seen:
-                    seen.add(key)
-                    bits.append(line.strip())
-                if len(seen) == 2:
-                    break
-    except OSError:
-        bits.append(platform.processor() or "unknown")
+    import jax
+    import jaxlib
+
+    bits = [_cpu_fingerprint(), jax.__version__, jaxlib.__version__]
     digest = hashlib.sha1("|".join(bits).encode()).hexdigest()[:10]
     return f"{base}_{digest}"
