@@ -63,6 +63,24 @@ class TestOfflineGeocoder:
             assert info["city"] == city and info["country"] == country, \
                 (lat, lon, info)
 
+    def test_round3_expansion_cities_resolve(self):
+        # Spot checks over the round-3 breadth expansion (one new city per
+        # continent, coordinates offset ~2 km from the dataset row)
+        cases = [
+            ((14.84, -91.50), "Quetzaltenango", "Guatemala"),
+            ((-18.93, -48.29), "Uberlandia", "Brazil"),
+            ((52.93, -1.49), "Derby", "United Kingdom"),
+            ((34.69, -1.92), "Oujda", "Morocco"),
+            ((51.84, 107.59), "Ulan-Ude", "Russia"),
+            ((36.72, 119.11), "Weifang", "China"),
+            ((-35.12, 147.38), "Wagga Wagga", "Australia"),
+            ((50.68, -120.34), "Kamloops", "Canada"),
+        ]
+        for (lat, lon), city, country in cases:
+            info = self.geo.get_location_info(lat, lon)
+            assert info["city"] == city and info["country"] == country, \
+                (lat, lon, info)
+
     def test_open_ocean_resolves_nothing(self):
         info = self.geo.get_location_info(-40.0, -20.0)  # south Atlantic
         assert info == {"country": None, "state": None, "city": None}
