@@ -21,6 +21,22 @@ class TestCompileCacheDir:
     def test_respects_base(self):
         assert compile_cache_dir("/tmp/other").startswith("/tmp/other_")
 
+    def test_cpu_fingerprint_reflects_cpuid_or_boot(self):
+        """The key must come from CPUID (what LLVM's host detection reads) or,
+        failing that, the boot id — never from the genericised /proc/cpuinfo
+        that proved identical across different physical hosts."""
+        from eioku_tpu.utils.device import _cpu_fingerprint
+
+        fp = _cpu_fingerprint()
+        assert fp == _cpu_fingerprint()  # stable within a process
+        import platform
+        if platform.machine() in ("x86_64", "i686"):
+            # native path: leaf dump incl. vendor leaf 0 and feature leaf 7.0,
+            # or the boot_id fallback when the toolchain is absent
+            assert fp.startswith(("0.0:", "boot:", "plat:"))
+            if fp.startswith("0.0:"):
+                assert "7.0:" in fp and "1.0:" in fp
+
 
 class TestDeviceInfoSingleProbeThread:
     def test_blocked_probe_reuses_one_thread(self, monkeypatch):
