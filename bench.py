@@ -570,10 +570,11 @@ def _backend_alive(budget_s: float = 90.0) -> bool:
         return False
 
 
-def _run_stage_subprocess(stage: str) -> float | None:
+def _run_stage_subprocess(stage: str, force_cpu: bool = False) -> float | None:
     """Run one stage in a subprocess with a timeout so a hung TPU tunnel can't
     take down the whole benchmark. The budget never exceeds the remaining
-    global deadline."""
+    global deadline. force_cpu runs the stage with EIOKU_FORCE_CPU=1 (the
+    dead-tunnel fallback: a labeled CPU measurement beats recording 0.0)."""
     import subprocess
 
     global _CHILD
@@ -582,11 +583,15 @@ def _run_stage_subprocess(stage: str) -> float | None:
         _log(f"stage {stage}: SKIPPED ({_remaining():.0f}s left < "
              f"{STAGE_MIN_S.get(stage, 60)}s minimum)")
         return None
+    env = None
+    if force_cpu:
+        env = dict(os.environ)
+        env["EIOKU_FORCE_CPU"] = "1"
     try:
         _CHILD = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--stage", stage],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
         out, err = _CHILD.communicate(timeout=budget)
     except subprocess.TimeoutExpired:
         _CHILD.kill()
@@ -637,8 +642,17 @@ def _assemble(vals: dict[str, float | None], backend: str) -> dict:
         # Combined detect+embed frames/s/chip: per indexed frame the pipeline
         # runs one detection and (amortized) ~1/30 of an embedding chunk.
         combined = 1.0 / (1.0 / fps + (1.0 / 30.0) / chunks_per_s)
+    elif fps:
+        combined = fps
+    elif vals.get("scenes"):
+        # last-resort headline: the scene pipeline scans frames at 4 fps
+        # sampling (bench_scene_pipeline), so vh/h * 4 is a real frames/s
+        # through the cheapest indexing path — labeled so it can't be
+        # mistaken for the detect+embed figure
+        combined = vals["scenes"] * 4.0
+        extra["headline_path"] = "scene_scan_fallback"
     else:
-        combined = fps or 0.0
+        combined = 0.0
     if vals.get("pipeline") is None and vals.get("combined") and chunks_per_s:
         # estimate only when the measured pipeline stage was skipped
         t_per_vh = 3600.0 / vals["combined"] + 120.0 / chunks_per_s
@@ -712,33 +726,51 @@ def main() -> None:
     # budgets — outages are transient (measured: minutes to hours), so while
     # the backend is unreachable and meaningful deadline remains, sleep and
     # re-probe instead of launching stages that can only time out.
-    while _remaining() > 240 and not _backend_alive(90):
+    alive = True
+    while _remaining() > 240 and not (alive := _backend_alive(90)):
         _log(f"backend unreachable; re-probing in 45s "
              f"({_remaining():.0f}s of deadline left)")
         time.sleep(45)
-    else:
-        _log(f"[{time.monotonic() - _START:.0f}s] probe loop done; "
-             "running stages")
+    _log(f"[{time.monotonic() - _START:.0f}s] probe loop done "
+         f"(alive={alive}); running stages")
 
-    # cheapest-first on warm cache: ANY alive window records a number before
-    # the expensive stages get a chance to eat the deadline
-    order = ["query", "scenes", "embed", "detect", "detect_m", "combined",
-             "pipeline"]
-    if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
-        # beam-5 first: it is the production default, and the k=1 variant of
-        # the decode program has shown pathological compile times on this
-        # backend — it must not be able to burn the beam stage's budget
-        order += ["whisper_beam", "whisper_beam_full", "whisper"]
+    force_cpu = False
+    if not alive:
+        # Tunnel stayed dead for the whole probe window: record a LABELED
+        # CPU measurement of the cheap stages instead of a 0.0 — the stage
+        # subprocesses set EIOKU_FORCE_CPU=1 and report backend="cpu", and
+        # the scene-derived headline is tagged headline_path so nothing
+        # masquerades as a TPU number.
+        force_cpu = True
+        order = ["query", "scenes"]
+        _log("dead-backend fallback: measuring cheap stages on CPU")
+    else:
+        # cheapest-first on warm cache: ANY alive window records a number
+        # before the expensive stages get a chance to eat the deadline
+        order = ["query", "scenes", "embed", "detect", "detect_m", "combined",
+                 "pipeline"]
+        if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
+            # beam-5 first: it is the production default, and the k=1 variant
+            # of the decode program has shown pathological compile times on
+            # this backend — it must not burn the beam stage's budget
+            order += ["whisper_beam", "whisper_beam_full", "whisper"]
     misses = 0
     for stage in order:
-        vals[stage] = _run_stage_subprocess(stage)
+        vals[stage] = _run_stage_subprocess(stage, force_cpu=force_cpu)
         _flush_partial(_assemble(vals, _BACKEND))
         _log(f"[{time.monotonic() - _START:.0f}s] {stage} done; "
              f"{_remaining():.0f}s budget left")
         misses = misses + 1 if vals[stage] is None else 0
-        if misses >= 2 and not _backend_alive():
+        if misses >= 2 and not force_cpu and not _backend_alive():
             _log("backend unreachable after consecutive stage failures; "
-                 "skipping remaining stages")
+                 "switching to the CPU fallback for remaining cheap stages")
+            force_cpu = True
+            # re-queue only the cheap CPU-feasible stages not yet recorded
+            order = [s for s in ("query", "scenes")
+                     if vals.get(s) is None]
+            for stage in order:
+                vals[stage] = _run_stage_subprocess(stage, force_cpu=True)
+                _flush_partial(_assemble(vals, _BACKEND))
             break
     _print_final()
 
