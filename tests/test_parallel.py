@@ -378,3 +378,55 @@ class TestPipelineParallel:
         placed = shard_pipeline_params(stacked, mesh8)
         shard = placed["w"].addressable_shards[0]
         assert shard.data.shape == (1, 8, 8)  # one stage block per device
+
+
+class TestExpertParallelMoe:
+    """Switch-style MoE (ops/moe.py): einsum dispatch parity with the
+    per-token reference, and EP sharding over the model axis."""
+
+    def test_moe_matches_reference_with_ample_capacity(self):
+        from eioku_tpu.ops.moe import (
+            init_moe_params,
+            moe_ffn,
+            moe_ffn_reference,
+        )
+        rng = np.random.default_rng(0)
+        params = init_moe_params(d=16, ffn=32, n_experts=4, seed=0)
+        x = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+        # capacity_factor high enough that nothing drops -> exact parity
+        out = moe_ffn(params, x, capacity_factor=8.0)
+        ref = moe_ffn_reference(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_moe_drops_overflow_tokens_to_zero(self):
+        from eioku_tpu.ops.moe import MoeParams, init_moe_params, moe_ffn
+        params = init_moe_params(d=8, ffn=16, n_experts=2, seed=1)
+        # force every token to expert 0 via a biased router
+        router = jnp.zeros((8, 2)).at[:, 0].set(10.0)
+        params = MoeParams(router, *params[1:])
+        x = jnp.ones((8, 8), jnp.float32)
+        out = moe_ffn(params, x, capacity_factor=0.5)  # capacity 2 of 8
+        nonzero = np.abs(np.asarray(out)).sum(axis=1) > 1e-6
+        assert nonzero.sum() == 2  # first two tokens kept, rest dropped
+
+    def test_moe_runs_sharded_with_parity(self, mesh8):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from eioku_tpu.ops.moe import (
+            init_moe_params,
+            moe_ffn,
+            shard_moe_params,
+        )
+        rng = np.random.default_rng(2)
+        params = init_moe_params(d=16, ffn=32, n_experts=4, seed=2)
+        x = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+        expected = moe_ffn(params, x, capacity_factor=8.0)
+
+        sharded = shard_moe_params(params, mesh8)
+        # each device holds E/S whole experts
+        assert sharded.w1.addressable_shards[0].data.shape == (2, 16, 32)
+        xd = jax.device_put(x, NamedSharding(mesh8, P("data")))
+        fn = jax.jit(lambda p, v: moe_ffn(p, v, capacity_factor=8.0))
+        out = fn(sharded, xd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)
