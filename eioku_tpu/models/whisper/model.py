@@ -225,10 +225,39 @@ def whisper_encode(params: Params, mel: jnp.ndarray,
     x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
     x = x + jnp.asarray(sinusoids(x.shape[1], x.shape[2]))[None].astype(x.dtype)
     for layer in enc["layers"]:
-        x = x + _self_attn_flash(layernorm(x, layer["ln1"], eps=1e-5),
-                                 layer["attn"], cfg.n_heads)
-        h = layernorm(x, layer["ln2"], eps=1e-5)
-        x = x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
+        x = _enc_layer(layer, x, cfg.n_heads)
+    return layernorm(x, enc["ln_post"], eps=1e-5)
+
+
+def _enc_layer(layer: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """One encoder block (pre-LN self-attention + MLP residuals)."""
+    x = x + _self_attn_flash(layernorm(x, layer["ln1"], eps=1e-5),
+                             layer["attn"], n_heads)
+    h = layernorm(x, layer["ln2"], eps=1e-5)
+    return x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
+
+
+def whisper_encode_pp(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
+                      mesh, n_micro: int | None = None,
+                      axis: str = "model") -> jnp.ndarray:
+    """Pipeline-parallel whisper_encode: the encoder layer trunk spans the
+    mesh's `axis` devices (GPipe microbatch rotation, parallel/pipeline.py),
+    for checkpoints whose encoder overflows one chip's HBM or to shrink
+    per-chip weight residency when serving many models. The conv stem,
+    positional embedding, and final layernorm replicate (they are <1% of the
+    weights); cfg.n_enc_layers must divide by mesh.shape[axis]. Numerically
+    identical to whisper_encode (same _enc_layer blocks)."""
+    from eioku_tpu.parallel.pipeline import pipeline_transformer_layers
+
+    enc = params["enc"]
+    x = mel.transpose(0, 2, 1).astype(jnp.dtype(cfg.compute_dtype))
+    x = jax.nn.gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"]))
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
+    x = x + jnp.asarray(sinusoids(x.shape[1], x.shape[2]))[None].astype(x.dtype)
+    x = pipeline_transformer_layers(
+        enc["layers"], x,
+        lambda layer, h: _enc_layer(layer, h, cfg.n_heads),
+        mesh, axis=axis, n_micro=n_micro)
     return layernorm(x, enc["ln_post"], eps=1e-5)
 
 

@@ -107,6 +107,13 @@ def pipeline_apply(stacked_params, x: jax.Array, stage_fn: Callable,
         n_micro = max(2 * n_stages, 1)  # keep the fill/drain bubble modest
     data_axes = tuple(a for a in mesh.axis_names if a != axis)
     batch_spec = P(data_axes if data_axes else None)
+    n_data = 1
+    for a in data_axes:
+        n_data *= mesh.shape[a]
+    if x.shape[0] % (n_data * n_micro) != 0:
+        raise ValueError(
+            f"batch {x.shape[0]} must divide by data shards ({n_data}) x "
+            f"microbatches ({n_micro})")
 
     def local(params, xb):
         # shard_map hands each device its [1, ...] slice of the stage axis;

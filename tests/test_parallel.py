@@ -430,3 +430,29 @@ class TestExpertParallelMoe:
         out = fn(sharded, xd)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestPipelineParallelWhisper:
+    def test_whisper_encode_pp_matches_single_device(self, mesh8):
+        """The PP encoder (layer trunk spanning the model axis) must be
+        numerically identical to the monolithic whisper_encode."""
+        from eioku_tpu.models.whisper.mel import log_mel_spectrogram
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+            whisper_encode,
+            whisper_encode_pp,
+        )
+        cfg = WhisperConfig("tiny")  # 4 encoder layers -> 2 per stage
+        params = init_whisper_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        # batch 8: 2 per data replica -> 2 microbatches of 1
+        wav = jnp.asarray(rng.standard_normal((8, 4 * 16000)) * 0.1,
+                          jnp.float32)
+        mel = log_mel_spectrogram(wav, n_mels=cfg.n_mels)[:, :, :200]
+
+        ref = whisper_encode(params, mel, cfg)
+        out = whisper_encode_pp(params, mel, cfg, mesh8, n_micro=2)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=1e-4, atol=1e-5)
