@@ -534,10 +534,12 @@ def _setup_jax():
         # remote compile, and the key prevents loading XLA:CPU AOT artifacts
         # compiled on a different machine (SIGILL risk — /tmp is shared
         # across heterogeneous hosts here)
-        from eioku_tpu.utils.device import compile_cache_dir
+        from eioku_tpu.utils.device import (compile_cache_dir,
+                                            suppress_spurious_aot_feature_errors)
 
         jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        suppress_spurious_aot_feature_errors()
     except Exception:
         pass
     return jax

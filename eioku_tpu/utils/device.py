@@ -78,6 +78,58 @@ def _cpu_fingerprint() -> str:
         return "plat:" + platform.processor() + platform.machine()
 
 
+def suppress_spurious_aot_feature_errors() -> None:
+    """Drop XLA's false-positive `cpu_aot_loader` machine-feature errors.
+
+    XLA:CPU stamps persistent-cache artifacts with tuning *pseudo*-features
+    (`+prefer-no-gather` / `+prefer-no-scatter`, slow-gather mitigations) in
+    addition to real ISA features. Its load-time host probe only reports real
+    ISA features, so EVERY warm-cache reload logs two "machine feature not
+    supported ... could lead to SIGILL" errors — even on the very host that
+    compiled the entry (verified: fresh cache dir, compile then reload in a
+    second process on one machine reproduces it; the computation is correct).
+
+    Filters stderr at the fd level (XLA logs bypass sys.stderr) and drops
+    exactly the lines naming a `prefer-no-*` pseudo-feature. Real feature
+    mismatches (foreign artifacts, e.g. `+amx-fp16`) are logged one feature
+    per line and still pass through — those are the SIGILL-risk cases the
+    host-keyed cache dir exists to prevent. Idempotent per process.
+    """
+    global _AOT_FILTER_INSTALLED
+    if _AOT_FILTER_INSTALLED:
+        return
+    _AOT_FILTER_INSTALLED = True
+    import threading
+
+    real_fd = os.dup(2)
+    read_fd, write_fd = os.pipe()
+    os.dup2(write_fd, 2)
+    os.close(write_fd)
+
+    def _pump() -> None:
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(read_fd, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for line in lines:
+                if b"cpu_aot_loader" in line and b"prefer-no-" in line:
+                    continue
+                os.write(real_fd, line + b"\n")
+        if buf:
+            os.write(real_fd, buf)
+
+    threading.Thread(target=_pump, daemon=True, name="xla-aot-log-filter").start()
+
+
+_AOT_FILTER_INSTALLED = False
+
+
 def compile_cache_dir(base: str = "/tmp/eioku_jax_cache") -> str:
     """Host-keyed persistent compile cache directory.
 

@@ -97,3 +97,35 @@ class TestDeviceInfoSingleProbeThread:
         engine._DEVICE_PROBE_FAILED_AT = 0.0  # step past the failure memo
         out = engine.device_info(timeout_s=2.0)
         assert out["backend"] == "cpu" and out["device_count"] == 1
+
+
+class TestSpuriousAotErrorFilter:
+    def test_drops_only_pseudo_feature_lines(self, tmp_path):
+        """The stderr filter must drop XLA's false-positive prefer-no-*
+        cpu_aot_loader errors (logged on every warm-cache reload even on the
+        compiling host) while passing real feature mismatches and ordinary
+        stderr through. Runs in a subprocess: the filter rewires fd 2."""
+        import subprocess
+        import sys
+
+        out = tmp_path / "err.txt"
+        code = (
+            "import os, sys, time\n"
+            "sys.path.insert(0, %r)\n"
+            "from eioku_tpu.utils.device import "
+            "suppress_spurious_aot_feature_errors as s\n"
+            "s(); s()  # idempotent\n"
+            "os.write(2, b'E cpu_aot_loader.cc:210] Target machine feature "
+            "+prefer-no-gather is not supported\\n')\n"
+            "os.write(2, b'E cpu_aot_loader.cc:210] Target machine feature "
+            "+amx-fp16 is not supported\\n')\n"
+            "os.write(2, b'ordinary stderr line\\n')\n"
+            "time.sleep(0.3)\n"  # let the pump thread forward
+        ) % "/root/repo"
+        with open(out, "wb") as f:
+            subprocess.run([sys.executable, "-c", code], stderr=f,
+                           check=True, timeout=60)
+        text = out.read_text()
+        assert "prefer-no-gather" not in text
+        assert "+amx-fp16" in text          # real mismatch passes through
+        assert "ordinary stderr line" in text
