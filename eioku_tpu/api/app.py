@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from eioku_tpu.config.settings import AppConfig, load_config
-from eioku_tpu.db.connection import Database
+from eioku_tpu.db.connection import Database, connect
 from eioku_tpu.db.migrations import run_migrations
 from eioku_tpu.domain.models import PathConfig
 from eioku_tpu.domain.schema_registry import register_all_schemas
@@ -63,7 +63,7 @@ def build_context(config: AppConfig | None = None,
                   producer: JobProducer | None = None) -> AppContext:
     config = config or AppConfig()
     register_all_schemas()
-    db = db or Database(config.database_url)
+    db = db or connect(config.database_url)
     run_migrations(db)
     sync = ProjectionSyncService(db)
     artifacts = ArtifactRepository(db, projection_sync=sync.sync_artifact)

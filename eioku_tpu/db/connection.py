@@ -8,8 +8,13 @@ Replaces the reference's SQLAlchemy engine + scoped sessions
     PG pool is used in practice.
   - URL forms: "sqlite:///relative/path.db", "sqlite:////abs/path.db",
     "sqlite:///:memory:", or a bare filesystem path.
-  - PostgreSQL URLs are gated: accepted by the parser, but raise a clear error
-    unless a psycopg2 driver is importable (not present in this environment).
+  - PostgreSQL (the reference's deploy dialect, dev/docker-compose.yml:68) is
+    served by PostgresDatabase below via the connect() factory: same
+    interface, qmark SQL translated to %s at execute time, dialect-divergent
+    SQL built by db.dialect (eioku_tpu/db/dialect.py). Execution requires a
+    DBAPI driver (psycopg2 or pg8000) at runtime — not shipped in this image,
+    so construction raises a clear error here; the PG SQL surface itself is
+    unit-tested driver-free (tests/test_pg_dialect.py).
 """
 from __future__ import annotations
 
@@ -18,6 +23,8 @@ import sqlite3
 import threading
 from contextlib import contextmanager
 from typing import Any, Iterator
+
+from eioku_tpu.db.dialect import POSTGRES, SQLITE, translate_qmark
 
 DEFAULT_DATABASE_URL = "sqlite:///./data/eioku.db"
 
@@ -31,13 +38,15 @@ def _parse_sqlite_url(url: str) -> str:
 
 
 class Database:
+    dialect = SQLITE
+
     def __init__(self, url: str | None = None):
         url = url or os.environ.get("EIOKU_DATABASE_URL") or os.environ.get(
             "DATABASE_URL") or DEFAULT_DATABASE_URL
         if url.startswith(("postgresql://", "postgres://")):
             raise RuntimeError(
-                "PostgreSQL driver is not available in this environment; "
-                "use a sqlite:/// URL (WAL mode supports multi-process access)"
+                "Database is the sqlite engine; use connect(url) to open "
+                "PostgreSQL URLs (requires a psycopg2/pg8000 driver)"
             )
         self.url = url
         self.path = _parse_sqlite_url(url)
@@ -133,6 +142,180 @@ def execute_script(conn: sqlite3.Connection, script: str) -> None:
 
 
 
+class _PgRow:
+    """Row supporting r["col"], r[0], iteration, and dict(r) — the sqlite3.Row
+    surface the repositories rely on."""
+
+    __slots__ = ("_cols", "_vals")
+
+    def __init__(self, cols: tuple[str, ...], vals: tuple):
+        self._cols, self._vals = cols, vals
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self._vals[self._cols.index(key)]
+        return self._vals[key]
+
+    def __iter__(self):
+        return iter(self._vals)
+
+    def __len__(self):
+        return len(self._vals)
+
+    def keys(self):
+        return list(self._cols)
+
+
+class _PgCursor:
+    def __init__(self, cur):
+        self._cur = cur
+
+    @property
+    def rowcount(self) -> int:
+        return self._cur.rowcount
+
+    @property
+    def lastrowid(self):  # parity attr; PG callers use INSERT ... RETURNING
+        return None
+
+    def _cols(self) -> tuple[str, ...]:
+        return tuple(d[0] for d in (self._cur.description or ()))
+
+    def fetchone(self):
+        row = self._cur.fetchone()
+        return None if row is None else _PgRow(self._cols(), tuple(row))
+
+    def fetchall(self):
+        cols = None
+        out = []
+        for row in self._cur.fetchall():
+            cols = cols or self._cols()
+            out.append(_PgRow(cols, tuple(row)))
+        return out
+
+
+class _PgConn:
+    """Connection adapter yielded by PostgresDatabase.transaction(): matches
+    the sqlite3.Connection execute surface and translates qmark placeholders."""
+
+    def __init__(self, raw):
+        self._raw = raw
+
+    def execute(self, sql: str, params: tuple | dict = ()) -> _PgCursor:
+        cur = self._raw.cursor()
+        cur.execute(translate_qmark(sql), tuple(params))
+        return _PgCursor(cur)
+
+    def executemany(self, sql: str, seq: list[tuple]) -> None:
+        cur = self._raw.cursor()
+        cur.executemany(translate_qmark(sql), [tuple(p) for p in seq])
+
+
+def _import_pg_driver():
+    """psycopg2 preferred (the reference's driver), pg8000 as the pure-Python
+    fallback; both expose connect(dsn)."""
+    try:
+        import psycopg2  # type: ignore
+
+        return psycopg2
+    except ImportError:
+        pass
+    try:
+        import pg8000.dbapi  # type: ignore
+
+        return pg8000.dbapi
+    except ImportError:
+        raise RuntimeError(
+            "PostgreSQL URL given but no DBAPI driver is importable "
+            "(install psycopg2 or pg8000); in driverless environments use a "
+            "sqlite:/// URL — WAL mode supports multi-process access"
+        ) from None
+
+
+class PostgresDatabase:
+    """PostgreSQL engine with the Database interface (same method surface,
+    same qmark SQL — translated per-execute) and dialect=POSTGRES so
+    dialect-divergent statements are built in PG form."""
+
+    dialect = POSTGRES
+
+    def __init__(self, url: str):
+        driver = _import_pg_driver()
+        self.url = url
+        self._lock = threading.RLock()
+        self._txn_depth = 0
+        self._raw = driver.connect(url) if driver.__name__.startswith(
+            "psycopg2") else _pg8000_connect(driver, url)
+        self._raw.autocommit = False
+
+    @contextmanager
+    def transaction(self) -> Iterator[_PgConn]:
+        with self._lock:
+            outermost = self._txn_depth == 0
+            self._txn_depth += 1
+            try:
+                yield _PgConn(self._raw)
+            except BaseException:
+                self._txn_depth -= 1
+                if outermost:
+                    self._raw.rollback()
+                raise
+            self._txn_depth -= 1
+            if outermost:
+                self._raw.commit()
+
+    def execute(self, sql: str, params: tuple | dict = ()) -> _PgCursor:
+        with self._lock:
+            cur = _PgConn(self._raw).execute(sql, params)
+            if self._txn_depth == 0:
+                self._raw.commit()
+            return cur
+
+    def executemany(self, sql: str, seq: list[tuple]) -> None:
+        with self._lock:
+            _PgConn(self._raw).executemany(sql, seq)
+            if self._txn_depth == 0:
+                self._raw.commit()
+
+    def query(self, sql: str, params: tuple | dict = ()) -> list[_PgRow]:
+        with self._lock:
+            return _PgConn(self._raw).execute(sql, params).fetchall()
+
+    def query_one(self, sql: str, params: tuple | dict = ()) -> _PgRow | None:
+        with self._lock:
+            return _PgConn(self._raw).execute(sql, params).fetchone()
+
+    def scalar(self, sql: str, params: tuple | dict = ()) -> Any:
+        row = self.query_one(sql, params)
+        return None if row is None else row[0]
+
+    def close(self) -> None:
+        with self._lock:
+            self._raw.close()
+
+
+def _pg8000_connect(driver, url: str):
+    """pg8000.dbapi.connect takes keyword args, not a DSN."""
+    from urllib.parse import urlparse
+
+    u = urlparse(url)
+    return driver.connect(
+        user=u.username or "postgres", password=u.password,
+        host=u.hostname or "localhost", port=u.port or 5432,
+        database=(u.path or "/").lstrip("/") or "postgres")
+
+
+def connect(url: str | None = None) -> "Database | PostgresDatabase":
+    """Open a database by URL scheme: sqlite:/// (or bare path) -> Database,
+    postgresql:// -> PostgresDatabase. The entrypoints' single construction
+    point (reference analog: database/connection.py:6-62 engine factory)."""
+    url = url or os.environ.get("EIOKU_DATABASE_URL") or os.environ.get(
+        "DATABASE_URL") or DEFAULT_DATABASE_URL
+    if url.startswith(("postgresql://", "postgres://")):
+        return PostgresDatabase(url)
+    return Database(url)
+
+
 _global_db: Database | None = None
 _global_lock = threading.Lock()
 
@@ -142,7 +325,7 @@ def get_database() -> Database:
     global _global_db
     with _global_lock:
         if _global_db is None:
-            _global_db = Database()
+            _global_db = connect()
         return _global_db
 
 

@@ -18,12 +18,14 @@ log = logging.getLogger(__name__)
 
 def run_migrations(db: Database) -> int:
     """Apply all unapplied migrations in order. Returns number applied."""
+    from datetime import datetime, timezone
+
     with db.transaction() as conn:
         conn.execute(
             "CREATE TABLE IF NOT EXISTS schema_migrations ("
             " version INTEGER PRIMARY KEY,"
             " name TEXT NOT NULL,"
-            " applied_at TEXT NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')))"
+            " applied_at TEXT NOT NULL)"
         )
     applied = {r[0] for r in db.query("SELECT version FROM schema_migrations")}
     count = 0
@@ -31,9 +33,12 @@ def run_migrations(db: Database) -> int:
         if version in applied:
             continue
         with db.transaction() as conn:
-            up(conn)
+            up(conn, db.dialect)
             conn.execute(
-                "INSERT INTO schema_migrations (version, name) VALUES (?, ?)", (version, name)
+                "INSERT INTO schema_migrations (version, name, applied_at)"
+                " VALUES (?, ?, ?)",
+                (version, name,
+                 datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")),
             )
         log.info("applied migration", extra={"version": version, "migration": name})
         count += 1

@@ -8,18 +8,18 @@ object_labels, face_clusters, video_locations, topics) and the queue tables this
 framework adds (the reference used Redis for its queue; this framework's queue is
 sqlite-durable, see eioku_tpu/queue/).
 
-FTS projections use SQLite FTS5 with porter stemming + a sidecar metadata table,
-matching the reference's SQLite branch
-(/root/reference/backend/alembic/versions/f8a2b3c4d5e6_...py:23-99).
+All DDL is ANSI-portable across SQLite and PostgreSQL except the FTS
+projections, which are dialect-built (SQLite FTS5 + porter stemming vs PG
+tsvector + GIN — the reference's dual branches,
+/root/reference/backend/alembic/versions/f8a2b3c4d5e6_...py:23-99); each
+migration receives the database's dialect (eioku_tpu/db/dialect.py).
 """
 from __future__ import annotations
 
 from eioku_tpu.db.connection import execute_script
 
-import sqlite3
 
-
-def m0001_core_tables(conn: sqlite3.Connection) -> None:
+def m0001_core_tables(conn, dialect) -> None:
     execute_script(conn, 
         """
         CREATE TABLE videos (
@@ -66,7 +66,7 @@ def m0001_core_tables(conn: sqlite3.Connection) -> None:
     )
 
 
-def m0002_artifact_envelope(conn: sqlite3.Connection) -> None:
+def m0002_artifact_envelope(conn, dialect) -> None:
     execute_script(conn, 
         """
         CREATE TABLE runs (
@@ -117,41 +117,18 @@ def m0002_artifact_envelope(conn: sqlite3.Connection) -> None:
     )
 
 
-def m0003_fts_projections(conn: sqlite3.Connection) -> None:
-    execute_script(conn, 
-        """
-        CREATE VIRTUAL TABLE transcript_fts USING fts5(
-            text, tokenize='porter unicode61'
-        );
-        CREATE TABLE transcript_fts_meta (
-            rowid INTEGER PRIMARY KEY,
-            artifact_id TEXT NOT NULL UNIQUE,
-            asset_id TEXT NOT NULL,
-            start_ms INTEGER NOT NULL,
-            end_ms INTEGER NOT NULL,
-            language TEXT,
-            run_id TEXT NOT NULL
-        );
-        CREATE INDEX idx_tfts_meta_asset ON transcript_fts_meta(asset_id, start_ms);
-
-        CREATE VIRTUAL TABLE ocr_fts USING fts5(
-            text, tokenize='porter unicode61'
-        );
-        CREATE TABLE ocr_fts_meta (
-            rowid INTEGER PRIMARY KEY,
-            artifact_id TEXT NOT NULL UNIQUE,
-            asset_id TEXT NOT NULL,
-            start_ms INTEGER NOT NULL,
-            end_ms INTEGER NOT NULL,
-            language TEXT,
-            run_id TEXT NOT NULL
-        );
-        CREATE INDEX idx_ofts_meta_asset ON ocr_fts_meta(asset_id, start_ms);
-        """
-    )
+def m0003_fts_projections(conn, dialect) -> None:
+    """FTS projections are the schema's one dialect-divergent DDL: SQLite FTS5
+    + porter stemming vs PG tsvector GENERATED column + GIN (reference's dual
+    branches: alembic/versions/f8a2b3c4d5e6_...py:23-99). Both keep the same
+    content-table + sidecar-meta topology joined on rowid."""
+    execute_script(conn, dialect.fts_schema(
+        "transcript_fts", "transcript_fts_meta", "idx_tfts_meta_asset"))
+    execute_script(conn, dialect.fts_schema(
+        "ocr_fts", "ocr_fts_meta", "idx_ofts_meta_asset"))
 
 
-def m0004_nav_projections(conn: sqlite3.Connection) -> None:
+def m0004_nav_projections(conn, dialect) -> None:
     execute_script(conn, 
         """
         CREATE TABLE scene_ranges (
@@ -208,7 +185,7 @@ def m0004_nav_projections(conn: sqlite3.Connection) -> None:
     )
 
 
-def m0005_job_queue(conn: sqlite3.Connection) -> None:
+def m0005_job_queue(conn, dialect) -> None:
     execute_script(conn, 
         """
         CREATE TABLE jobs (
@@ -236,7 +213,7 @@ def m0005_job_queue(conn: sqlite3.Connection) -> None:
     )
 
 
-def m0006_semantic_index(conn: sqlite3.Connection) -> None:
+def m0006_semantic_index(conn, dialect) -> None:
     execute_script(conn, 
         """
         CREATE TABLE embedding_chunks (

@@ -124,10 +124,10 @@ class ArtifactRepository:
             for key, value in payload_filters.items():
                 # Match either a scalar field or membership in an array field
                 # (reference uses JSONB `?` for arrays, artifact_repository.py:173-182).
+                d = self.db.dialect
                 clauses.append(
-                    "(json_extract(payload_json, '$.' || ?) = ?"
-                    " OR EXISTS (SELECT 1 FROM json_each(payload_json, '$.' || ?)"
-                    "            WHERE json_each.value = ?))"
+                    f"({d.json_field('payload_json')} = ?"
+                    f" OR {d.json_array_contains('payload_json')})"
                 )
                 params.extend([key, value, key, value])
         if selection is not None and run_id is None and artifact_type is not None:
@@ -161,7 +161,8 @@ class ArtifactRepository:
             if sel_clause:
                 clauses.append(sel_clause)
                 params.extend(sel_params)
-        sql = ("SELECT json_extract(payload_json, ?) AS v, COUNT(*) AS n"
+        sql = (f"SELECT {self.db.dialect.json_path('payload_json')} AS v,"
+               " COUNT(*) AS n"
                " FROM artifacts WHERE " + " AND ".join(clauses)
                + " GROUP BY v ORDER BY n DESC, v ASC")
         rows = self.db.query(sql, tuple(params))
@@ -199,7 +200,7 @@ class ArtifactRepository:
         rows = self.db.query(
             "SELECT run_id, artifact_type, model_profile, producer, producer_version,"
             " config_hash, COUNT(*) AS artifact_count, MIN(created_at) AS created_at,"
-            " json_extract(MIN(payload_json), '$.language') AS language"
+            f" {self.db.dialect.json_field_literal('MIN(payload_json)', 'language')} AS language"
             " FROM artifacts WHERE " + " AND ".join(clauses)
             + " GROUP BY run_id, artifact_type ORDER BY created_at DESC",
             tuple(params))
@@ -218,18 +219,11 @@ class ArtifactRepository:
                 [asset_id, artifact_type],
             )
         if policy.mode == "latest_per_language":
-            # Newest run per distinct payload language (reference:
-            # artifact_repository.py:258-287, DISTINCT ON in PG).
-            # SQLite guarantees bare columns come from the MAX row when a single
-            # MAX() aggregate is present, so run_id here is the newest run per lang.
-            return (
-                "run_id IN (SELECT run_id FROM ("
-                " SELECT run_id, COALESCE(json_extract(payload_json,'$.language'),'') AS lang,"
-                "        MAX(created_at || run_id) AS newest"
-                " FROM artifacts WHERE asset_id=? AND artifact_type=?"
-                " GROUP BY lang))",
-                [asset_id, artifact_type],
-            )
+            # Newest run per distinct payload language; the SQL is
+            # dialect-divergent (PG DISTINCT ON vs SQLite's MAX-row rule,
+            # reference: artifact_repository.py:258-287)
+            return (self.db.dialect.latest_run_per_language_clause(),
+                    [asset_id, artifact_type])
         if policy.mode == "profile":
             return (
                 "run_id = (SELECT run_id FROM artifacts WHERE asset_id=? AND artifact_type=?"

@@ -32,9 +32,11 @@ class RunRepository:
 
     def save(self, run: Run) -> Run:
         self.db.execute(
-            "INSERT OR REPLACE INTO runs (run_id, asset_id, task_type, producer,"
-            " producer_version, model_profile, config_hash, input_hash, created_at,"
-            " config_json) VALUES (?,?,?,?,?,?,?,?,?,?)",
+            self.db.dialect.upsert(
+                "runs", ["run_id", "asset_id", "task_type", "producer",
+                         "producer_version", "model_profile", "config_hash",
+                         "input_hash", "created_at", "config_json"],
+                ["run_id"]),
             (run.run_id, run.asset_id, run.task_type, run.producer, run.producer_version,
              run.model_profile, run.config_hash, run.input_hash, dt_to_str(run.created_at),
              json.dumps(run.config_json)),

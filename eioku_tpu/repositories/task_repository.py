@@ -74,7 +74,7 @@ class TaskRepository:
             "started_at": "started_at",
             "completed_at": "completed_at",
             "priority": "priority",
-            "running_time": "julianday(COALESCE(completed_at, strftime('%Y-%m-%dT%H:%M:%fZ','now'))) - julianday(started_at)",
+            "running_time": self.db.dialect.running_seconds_expr(),
         }.get(sort_by, "created_at")
         direction = "DESC" if descending else "ASC"
         rows = self.db.query(

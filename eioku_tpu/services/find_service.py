@@ -18,11 +18,13 @@ from eioku_tpu.db.connection import Database
 _PER_SOURCE_LIMIT = 10
 
 
-def _fts_query(query: str) -> str:
-    """Sanitize a user query into an FTS5 AND-of-terms match expression
-    (the reference does q.replace(' ', ' & ') for PG to_tsquery)."""
+def _fts_query(query: str, dialect) -> str:
+    """Sanitize a user query into an AND-of-terms match expression in the
+    dialect's syntax: FTS5 `"a" AND "b"` vs PG to_tsquery `a & b` (the
+    reference does q.replace(' ', ' & ') for PG,
+    find_within_video_service.py:139-197)."""
     terms = re.findall(r"\w+", query, flags=re.UNICODE)
-    return " AND ".join(f'"{t}"' for t in terms) if terms else ""
+    return dialect.fts_match_expr(terms) if terms else ""
 
 
 class FindWithinVideoService:
@@ -48,7 +50,8 @@ class FindWithinVideoService:
         bm25 relevance (beyond the reference: its find is per-video and
         time-ordered). Result shape matches SemanticIndex.search so the
         /search endpoint can serve keyword and hybrid modes."""
-        match = _fts_query(query)
+        d = self.db.dialect
+        match = _fts_query(query, d)
         if not match:
             return []
         out: list[dict] = []
@@ -56,19 +59,22 @@ class FindWithinVideoService:
                                    "transcript_fts_meta"),
                                   ("ocr", "ocr_fts", "ocr_fts_meta")):
             where_asset = " AND m.asset_id = ?" if asset_id else ""
+            # ONE query param in both dialects, bound first: SQLite in the
+            # MATCH predicate, PG in the to_tsquery(?) in FROM (which
+            # precedes WHERE in bind order)
             params: tuple = (match,) + ((asset_id,) if asset_id else ()) + (limit,)
             try:
                 rows = self.db.query(
                     f"SELECT m.artifact_id, m.asset_id, m.start_ms, m.end_ms,"
-                    f" f.rank AS rank,"
-                    f" snippet({fts}, 0, '<b>', '</b>', '…', 12) AS snip"
-                    f" FROM {fts} f JOIN {meta} m ON m.rowid = f.rowid"
-                    f" WHERE f.{fts} MATCH ?{where_asset}"
-                    f" ORDER BY f.rank LIMIT ?", params)
+                    f" {d.fts_rank(fts)} AS rank,"
+                    f" {d.fts_snippet(fts)} AS snip"
+                    f" {d.fts_from(fts, meta)}"
+                    f" WHERE {d.fts_match_where(fts)}{where_asset}"
+                    f" ORDER BY {d.fts_order_by_rank(fts)} LIMIT ?", params)
             except Exception:
                 continue
             out.extend({
-                "score": round(-float(r["rank"]), 4),  # bm25: lower = better
+                "score": round(d.fts_score(r["rank"]), 4),
                 "video_id": r["asset_id"],
                 "text": r["snip"],
                 "source": source,
@@ -80,7 +86,8 @@ class FindWithinVideoService:
 
     def _search(self, source: str, fts_table: str, meta_table: str, asset_id: str,
                 query: str, from_ms: int, direction: str, limit: int) -> list[dict]:
-        match = _fts_query(query)
+        d = self.db.dialect
+        match = _fts_query(query, d)
         time_op = ">=" if direction == "next" else "<"
         order = "ASC" if direction == "next" else "DESC"
         rows: list = []
@@ -88,9 +95,9 @@ class FindWithinVideoService:
             try:
                 rows = self.db.query(
                     f"SELECT m.artifact_id, m.start_ms, m.end_ms, m.language,"
-                    f" snippet({fts_table}, 0, '<b>', '</b>', '…', 12) AS snip"
-                    f" FROM {fts_table} f JOIN {meta_table} m ON m.rowid = f.rowid"
-                    f" WHERE f.{fts_table} MATCH ? AND m.asset_id = ?"
+                    f" {d.fts_snippet(fts_table)} AS snip"
+                    f" {d.fts_from(fts_table, meta_table)}"
+                    f" WHERE {d.fts_match_where(fts_table)} AND m.asset_id = ?"
                     f" AND m.start_ms {time_op} ?"
                     f" ORDER BY m.start_ms {order} LIMIT ?",
                     (match, asset_id, from_ms, limit),
@@ -104,7 +111,8 @@ class FindWithinVideoService:
                 f"SELECT m.artifact_id, m.start_ms, m.end_ms, m.language,"
                 f" f.text AS snip"
                 f" FROM {fts_table} f JOIN {meta_table} m ON m.rowid = f.rowid"
-                f" WHERE f.text LIKE ? AND m.asset_id = ? AND m.start_ms {time_op} ?"
+                f" WHERE f.text {d.ilike()} ? AND m.asset_id = ?"
+                f" AND m.start_ms {time_op} ?"
                 f" ORDER BY m.start_ms {order} LIMIT ?",
                 (f"%{query}%", asset_id, from_ms, limit),
             )

@@ -56,11 +56,21 @@ class ProjectionSyncService:
             if old is not None:
                 conn.execute(f"DELETE FROM {fts_table} WHERE rowid=?", (old[0],))
                 conn.execute(f"DELETE FROM {meta_table} WHERE rowid=?", (old[0],))
-            cur = conn.execute(f"INSERT INTO {fts_table} (text) VALUES (?)", (text,))
+            # content rowid keys the sidecar meta row; PG yields it via
+            # RETURNING, while SQLite's fts5 virtual tables return -1 from
+            # RETURNING (tested) so there it must come from lastrowid
+            if self.db.dialect.name == "postgresql":
+                rid = conn.execute(
+                    f"INSERT INTO {fts_table} (text) VALUES (?) RETURNING rowid",
+                    (text,)).fetchone()[0]
+            else:
+                rid = conn.execute(
+                    f"INSERT INTO {fts_table} (text) VALUES (?)",
+                    (text,)).lastrowid
             conn.execute(
                 f"INSERT INTO {meta_table} (rowid, artifact_id, asset_id, start_ms,"
                 " end_ms, language, run_id) VALUES (?,?,?,?,?,?,?)",
-                (cur.lastrowid, env.artifact_id, env.asset_id, env.span_start_ms,
+                (rid, env.artifact_id, env.asset_id, env.span_start_ms,
                  env.span_end_ms, language, env.run_id),
             )
 
@@ -80,8 +90,10 @@ class ProjectionSyncService:
     def _sync_scene(self, env: ArtifactEnvelope) -> None:
         p = env.payload_json
         self.db.execute(
-            "INSERT OR REPLACE INTO scene_ranges (artifact_id, asset_id, scene_index,"
-            " start_ms, end_ms, run_id) VALUES (?,?,?,?,?,?)",
+            self.db.dialect.upsert(
+                "scene_ranges", ["artifact_id", "asset_id", "scene_index",
+                                 "start_ms", "end_ms", "run_id"],
+                ["artifact_id"]),
             (env.artifact_id, env.asset_id, p["scene_index"], env.span_start_ms,
              env.span_end_ms, env.run_id),
         )
@@ -89,8 +101,10 @@ class ProjectionSyncService:
     def _sync_object(self, env: ArtifactEnvelope) -> None:
         p = env.payload_json
         self.db.execute(
-            "INSERT OR REPLACE INTO object_labels (artifact_id, asset_id, label,"
-            " confidence, start_ms, end_ms, run_id) VALUES (?,?,?,?,?,?,?)",
+            self.db.dialect.upsert(
+                "object_labels", ["artifact_id", "asset_id", "label",
+                                  "confidence", "start_ms", "end_ms", "run_id"],
+                ["artifact_id"]),
             (env.artifact_id, env.asset_id, p["label"], p["confidence"],
              env.span_start_ms, env.span_end_ms, env.run_id),
         )
@@ -98,8 +112,10 @@ class ProjectionSyncService:
     def _sync_face(self, env: ArtifactEnvelope) -> None:
         p = env.payload_json
         self.db.execute(
-            "INSERT OR REPLACE INTO face_clusters (artifact_id, asset_id, cluster_id,"
-            " confidence, start_ms, end_ms, run_id) VALUES (?,?,?,?,?,?,?)",
+            self.db.dialect.upsert(
+                "face_clusters", ["artifact_id", "asset_id", "cluster_id",
+                                  "confidence", "start_ms", "end_ms", "run_id"],
+                ["artifact_id"]),
             (env.artifact_id, env.asset_id, p.get("cluster_id"), p["confidence"],
              env.span_start_ms, env.span_end_ms, env.run_id),
         )
@@ -117,17 +133,27 @@ class ProjectionSyncService:
         except Exception:
             log.exception("reverse geocoding failed", extra={"asset_id": env.asset_id})
         self.db.execute(
-            "INSERT OR REPLACE INTO video_locations (asset_id, latitude, longitude,"
-            " country, state, city, updated_at) VALUES (?,?,?,?,?,?,?)",
+            self.db.dialect.upsert(
+                "video_locations", ["asset_id", "latitude", "longitude",
+                                    "country", "state", "city", "updated_at"],
+                ["asset_id"]),
             (env.asset_id, lat, lon, info.get("country"), info.get("state"),
              info.get("city"), dt_to_str(utcnow())),
         )
 
     def _sync_embedding(self, env: ArtifactEnvelope) -> None:
         p = env.payload_json
+        # re-embedding can move an artifact to a new slot; clear the old row
+        # (artifact_id is UNIQUE, and the upsert only resolves slot conflicts)
         self.db.execute(
-            "INSERT OR REPLACE INTO embedding_chunks (slot, artifact_id, asset_id,"
-            " start_ms, end_ms, text, source, model, run_id) VALUES (?,?,?,?,?,?,?,?,?)",
+            "DELETE FROM embedding_chunks WHERE artifact_id=? AND slot<>?",
+            (env.artifact_id, p["index_slot"]))
+        self.db.execute(
+            self.db.dialect.upsert(
+                "embedding_chunks", ["slot", "artifact_id", "asset_id",
+                                     "start_ms", "end_ms", "text", "source",
+                                     "model", "run_id"],
+                ["slot"]),
             (p["index_slot"], env.artifact_id, env.asset_id, env.span_start_ms,
              env.span_end_ms, p["text"], p["source"], p["model"], env.run_id),
         )

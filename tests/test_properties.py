@@ -118,7 +118,9 @@ class TestFtsQueryProperties:
     @given(q=st.text(max_size=80))
     @settings(max_examples=200, deadline=None)
     def test_sanitizer_output_is_safe(self, q):
-        out = _fts_query(q)
+        from eioku_tpu.db.dialect import SQLITE
+
+        out = _fts_query(q, SQLITE)
         # either empty or strictly AND-of-quoted-word-tokens
         if out:
             parts = out.split(" AND ")
@@ -126,6 +128,18 @@ class TestFtsQueryProperties:
                 assert p.startswith('"') and p.endswith('"')
                 inner = p[1:-1]
                 assert '"' not in inner
+
+    @given(q=st.text(max_size=80))
+    @settings(max_examples=200, deadline=None)
+    def test_pg_sanitizer_output_is_safe(self, q):
+        """The PG form must be a bare &-of-word-terms: no tsquery operators
+        (& | ! < > ( ) :) or quotes can leak from user text."""
+        from eioku_tpu.db.dialect import POSTGRES
+
+        out = _fts_query(q, POSTGRES)
+        if out:
+            for term in out.split(" & "):
+                assert term and not set(term) & set("&|!()<>:'\" ")
 
 
 class TestTokenizerProperties:
