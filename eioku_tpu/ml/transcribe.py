@@ -208,6 +208,28 @@ def run_transcription(video_path: str, config: dict,
         log.info("auto-detected language", extra={"language": language})
     sot = tokens.sot_sequence(language or "en", timestamps=use_timestamps)
 
+    # custom-vocabulary / initial-prompt biasing (reference engine:
+    # faster-whisper's initial_prompt + hotwords; spec requirement 5.6,
+    # .kiro/specs/semantic-video-search/requirements.md): the terms ride as
+    # sot_prev left context so the decoder prioritizes them. Capped at half
+    # the 448-token decoder context minus the sot_prev slot, Whisper's rule.
+    prompt_text = str(config.get("initial_prompt") or "")
+    hot = config.get("hotwords") or config.get("custom_vocabulary")
+    if hot:
+        hot_text = ", ".join(hot) if isinstance(hot, (list, tuple)) else str(hot)
+        prompt_text = (prompt_text + " " + hot_text).strip()
+    prompt_ids: list[int] = []
+    if prompt_text and pretrained:
+        from eioku_tpu.models.whisper.tokenizer import WhisperTextEncoder
+
+        prompt_ids = WhisperTextEncoder.from_cache_dir(
+            model_cache_dir).encode(" " + prompt_text.strip())[-(448 // 2 - 1):]
+        if not prompt_ids:
+            log.warning("initial_prompt/custom_vocabulary set but no "
+                        "vocab.json under the model cache; prompt disabled")
+    init_seq = ([tokens.sot_prev] + prompt_ids if prompt_ids else []) + sot
+    sot_index = len(init_seq) - len(sot)
+
     batch_size = int(config.get("batch_size", 8))
     max_tokens = int(config.get("max_tokens", 128))
     # faster-whisper decode defaults (the reference's engine): beam_size 5,
@@ -307,7 +329,7 @@ def run_transcription(video_path: str, config: dict,
                          want_words, emit_window, frame_count, alignment,
                          text_decoder, temperatures,
                          (logprob_threshold, no_speech_threshold,
-                          cr_threshold))
+                          cr_threshold), initial_prev=prompt_ids)
         return results
 
     for i in range(0, len(windows), batch_size):
@@ -317,11 +339,11 @@ def run_transcription(video_path: str, config: dict,
                        [np.zeros(SAMPLES_PER_WINDOW, np.float32)] * pad)
         mel = log_mel_spectrogram(jnp.asarray(wav), n_mels=cfg.n_mels)
         enc = whisper_encode(params, mel, cfg)
-        init = jnp.asarray([sot] * batch_size, jnp.int32)
+        init = jnp.asarray([init_seq] * batch_size, jnp.int32)
         out, avg_lp, no_speech = whisper_decode_windows(
             params, enc, init, suppress_always, suppress_begin, cfg,
-            max_len=max_tokens, beam_size=beam_size,
-            timestamps=use_timestamps)
+            max_len=max_tokens + sot_index, beam_size=beam_size,
+            timestamps=use_timestamps, sot_index=sot_index)
         out_j = out
         out = np.array(out)  # writable: the fallback ladder adopts rows
         avg_lp = np.array(avg_lp)
@@ -330,7 +352,8 @@ def run_transcription(video_path: str, config: dict,
         def _fallback_needed(j: int) -> bool:
             return needs_temperature_fallback(
                 float(avg_lp[j]), float(no_speech[j]),
-                decoded_text(out[j].tolist(), len(sot), tokens, text_decoder),
+                decoded_text(out[j].tolist(), len(init_seq), tokens,
+                             text_decoder),
                 logprob_threshold, no_speech_threshold, cr_threshold)
 
         failed = [j for j in range(len(chunk)) if _fallback_needed(j)] \
@@ -346,9 +369,9 @@ def run_transcription(video_path: str, config: dict,
             key = jax.random.PRNGKey((i << 8) | ti)
             out_t, lp_t, _ = whisper_decode_windows(
                 params, enc, init, suppress_always, suppress_begin, cfg,
-                max_len=max_tokens, beam_size=beam_size,
-                timestamps=use_timestamps, sample=True, temperature=temp,
-                key=key)
+                max_len=max_tokens + sot_index, beam_size=beam_size,
+                timestamps=use_timestamps, sot_index=sot_index,
+                sample=True, temperature=temp, key=key)
             out_t, lp_t = np.asarray(out_t), np.asarray(lp_t)
             out[failed] = out_t[failed]
             avg_lp[failed] = lp_t[failed]
@@ -367,7 +390,7 @@ def run_transcription(video_path: str, config: dict,
                 counts[j] = frame_count(start_ms)
             align = alignment(out_j, enc, counts)
         for j, (start_ms, _) in enumerate(chunk):
-            emit_window(out[j].tolist(), len(sot), float(avg_lp[j]),
+            emit_window(out[j].tolist(), len(init_seq), float(avg_lp[j]),
                         float(no_speech[j]), start_ms,
                         align[j] if align is not None else None)
     return results
@@ -381,16 +404,19 @@ _PROMPT_BUCKETS = (0, 16, 32, 64, 128)
 def _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
                      suppress_begin, max_tokens, beam_size, use_timestamps,
                      want_words, emit_window, frame_count, alignment,
-                     text_decoder, temperatures, thresholds) -> None:
+                     text_decoder, temperatures, thresholds,
+                     initial_prev: list[int] | None = None) -> None:
     """Sequential decode with previous-text conditioning (sot_prev prompt).
 
     Mirrors faster-whisper's condition_on_previous_text: each window's prompt
     is [sot_prev] + tail of the previous text + the SOT sequence; context
     resets after a gated (silent/low-quality) window to stop hallucination
-    loops, the same reset rule the reference's engine applies.
+    loops, the same reset rule the reference's engine applies. initial_prev
+    seeds the context with initial_prompt/custom-vocabulary tokens (exactly
+    faster-whisper's initial_prompt placement: prev text of window 0).
     """
     logprob_threshold, no_speech_threshold, cr_threshold = thresholds
-    prev: list[int] = []
+    prev: list[int] = list(initial_prev or [])
     for w_idx, (start_ms, wav) in enumerate(windows):
         bucket = max((b for b in _PROMPT_BUCKETS if b <= len(prev)), default=0)
         prompt = ([tokens.sot_prev] + prev[-bucket:] if bucket else []) + sot

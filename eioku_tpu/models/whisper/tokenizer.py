@@ -1,10 +1,15 @@
 """Whisper token vocabulary: special-token layout + GPT2-style byte-level BPE
-decoding.
+decoding and encoding.
 
-Transcription only needs *decoding* (ids -> text). When a standard vocab.json
-is present under the model cache dir it is used; otherwise a deterministic
-placeholder decoding keeps the pipeline functional (zero-egress environments
-run with random weights, so token ids are arbitrary there anyway).
+Transcription needs *decoding* (ids -> text); *encoding* (text -> ids,
+WhisperTextEncoder) serves sot_prev prompt conditioning — custom vocabulary /
+initial-prompt biasing, the reference engine's `initial_prompt`/`hotwords`
+(faster-whisper WhisperModel.transcribe) and spec requirement 5.6
+(.kiro/specs/semantic-video-search/requirements.md). When a standard
+vocab.json (+ merges.txt for exact BPE) is present under the model cache dir
+it is used; otherwise a deterministic placeholder decoding keeps the pipeline
+functional (zero-egress environments run with random weights, so token ids
+are arbitrary there anyway).
 
 Special-token layout follows the public Whisper vocabularies:
   multilingual v2 (n_vocab 51865): eot 50257, sot 50258, 99 languages from
@@ -79,6 +84,92 @@ def _byte_decoder() -> dict[str, int]:
             cs.append(256 + n)
             n += 1
     return {chr(c): b for b, c in zip(bs, cs)}
+
+
+@lru_cache(maxsize=1)
+def _byte_encoder() -> dict[int, str]:
+    return {b: ch for ch, b in _byte_decoder().items()}
+
+
+# GPT2 pre-tokenizer pattern (contractions, letter runs, number runs,
+# punctuation runs, whitespace) — the same split OpenAI's tiktoken applies
+_GPT2_SPLIT = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+               r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
+
+
+class WhisperTextEncoder:
+    """text -> ids for prompt conditioning.
+
+    With merges.txt: exact byte-level BPE (tiktoken-equivalent). With only
+    vocab.json: greedy longest-match over vocabulary pieces — every id is
+    valid, segmentation is near-canonical, which is all prompt biasing needs.
+    With neither: encode() returns [] and callers skip the prompt.
+    """
+
+    def __init__(self, vocab: dict[str, int] | None,
+                 merges: list[tuple[str, str]] | None):
+        self.vocab = vocab
+        self.ranks = {m: i for i, m in enumerate(merges)} if merges else None
+        self._max_piece = max((len(t) for t in vocab), default=0) if vocab else 0
+
+    @classmethod
+    def from_cache_dir(cls, cache_dir: str | None) -> "WhisperTextEncoder":
+        vocab = merges = None
+        if cache_dir:
+            for cand in ("whisper/vocab.json", "vocab.json"):
+                path = os.path.join(cache_dir, cand)
+                if os.path.isfile(path):
+                    with open(path, encoding="utf-8") as f:
+                        vocab = json.load(f)
+                    break
+            for cand in ("whisper/merges.txt", "merges.txt"):
+                path = os.path.join(cache_dir, cand)
+                if os.path.isfile(path):
+                    with open(path, encoding="utf-8") as f:
+                        merges = [tuple(ln.split()) for ln in f
+                                  if ln.strip() and not ln.startswith("#")
+                                  and len(ln.split()) == 2]
+                    break
+        return cls(vocab, merges)
+
+    def _bpe(self, piece: str) -> list[str]:
+        parts = list(piece)
+        while len(parts) > 1:
+            pairs = [(self.ranks.get((a, b), 1 << 30), i)
+                     for i, (a, b) in enumerate(zip(parts, parts[1:]))]
+            rank, i = min(pairs)
+            if rank == 1 << 30:
+                break
+            parts[i:i + 2] = [parts[i] + parts[i + 1]]
+        return parts
+
+    def encode(self, text: str) -> list[int]:
+        if not self.vocab or not text:
+            return []
+        import regex  # GPT2 pattern needs \p{L}/\p{N}; dep of transformers
+
+        be = _byte_encoder()
+        ids: list[int] = []
+        for piece in regex.findall(_GPT2_SPLIT, text):
+            mapped = "".join(be[b] for b in piece.encode("utf-8"))
+            if self.ranks is not None:
+                for part in self._bpe(mapped):
+                    tok = self.vocab.get(part)
+                    if tok is not None:
+                        ids.append(tok)
+                continue
+            # greedy longest-match fallback (no merges.txt)
+            i = 0
+            while i < len(mapped):
+                for ln in range(min(self._max_piece, len(mapped) - i), 0, -1):
+                    tok = self.vocab.get(mapped[i:i + ln])
+                    if tok is not None:
+                        ids.append(tok)
+                        i += ln
+                        break
+                else:
+                    i += 1  # unmappable byte char: skip
+        return ids
 
 
 class WhisperTextDecoder:

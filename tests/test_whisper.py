@@ -899,3 +899,145 @@ class TestWordAlignment:
         m = np.asarray(cross_attention_alignment(tiny_params, toks, enc, TINY))
         assert m.shape == (2, 12, 1500)
         assert np.isfinite(m).all()
+
+
+class TestTextEncoder:
+    """WhisperTextEncoder: text -> ids for initial_prompt / custom-vocabulary
+    conditioning (reference engine: faster-whisper initial_prompt+hotwords)."""
+
+    @staticmethod
+    def _mini_bpe(tmp_path):
+        import json
+        # byte-level pieces for " hello": merges build Ġhello bottom-up
+        vocab = {"Ġ": 0, "h": 1, "e": 2, "l": 3, "o": 4, "he": 5,
+                 "ll": 6, "hell": 7, "hello": 8, "Ġhello": 9}
+        merges = ["#version: 0.2", "h e", "l l", "he ll", "hell o",
+                  "Ġ hello"]
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        (tmp_path / "merges.txt").write_text("\n".join(merges) + "\n")
+        return vocab
+
+    def test_bpe_with_merges(self, tmp_path):
+        from eioku_tpu.models.whisper.tokenizer import WhisperTextEncoder
+
+        self._mini_bpe(tmp_path)
+        enc = WhisperTextEncoder.from_cache_dir(str(tmp_path))
+        assert enc.encode(" hello") == [9]
+        assert enc.encode(" hello hello") == [9, 9]
+        # partial merges: "hell" exists, trailing chars fall out separately
+        assert enc.encode("hello") == [8]
+
+    def test_matches_transformers_gpt2(self, tmp_path):
+        """Exact parity with the HF slow GPT2 tokenizer on the same files."""
+        pytest.importorskip("transformers")
+        from transformers import GPT2Tokenizer
+
+        from eioku_tpu.models.whisper.tokenizer import WhisperTextEncoder
+
+        self._mini_bpe(tmp_path)
+        ours = WhisperTextEncoder.from_cache_dir(str(tmp_path))
+        hf = GPT2Tokenizer(str(tmp_path / "vocab.json"),
+                           str(tmp_path / "merges.txt"))
+        for text in (" hello", " hello hello", "hello", " hellohello"):
+            assert ours.encode(text) == hf.encode(text), text
+
+    def test_greedy_fallback_without_merges(self, tmp_path):
+        import json
+
+        from eioku_tpu.models.whisper.tokenizer import WhisperTextEncoder
+
+        (tmp_path / "vocab.json").write_text(json.dumps(
+            {"Ġhello": 9, "hel": 7, "lo": 6, "l": 3, "o": 4}))
+        enc = WhisperTextEncoder.from_cache_dir(str(tmp_path))
+        assert enc.encode(" hello") == [9]
+        assert enc.encode("hello") == [7, 6]  # longest-match segmentation
+
+    def test_no_vocab_returns_empty(self, tmp_path):
+        from eioku_tpu.models.whisper.tokenizer import WhisperTextEncoder
+
+        assert WhisperTextEncoder.from_cache_dir(str(tmp_path)).encode("x") == []
+        assert WhisperTextEncoder.from_cache_dir(None).encode("x") == []
+
+
+class TestCustomVocabularyPrompt:
+    def test_prompt_rides_as_sot_prev_context(self, tmp_path, monkeypatch):
+        """custom_vocabulary terms must reach the decoder as a [sot_prev]+ids
+        prefix with sot_index pointing at the SOT sequence (spec req 5.6)."""
+        import json
+        import wave
+
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+        from eioku_tpu.models.whisper.tokenizer import WhisperTokens
+
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        x = (np.sin(2 * np.pi * 250 * t) * 0.4 * 32767).astype(np.int16)
+        wav = tmp_path / "clip.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        vocab = {"Ġkubernetes": 101, "Ġeioku": 102, ",": 103}
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        monkeypatch.setattr(transcribe, "_load_model",
+                            lambda *a, **kw: (params, cfg, True))
+        captured = {}
+        real = transcribe.whisper_decode_windows
+
+        def spy(params_, enc, init, *a, **kw):
+            captured["init"] = np.asarray(init)[0].tolist()
+            captured["sot_index"] = kw.get("sot_index", 0)
+            return real(params_, enc, init, *a, **kw)
+
+        monkeypatch.setattr(transcribe, "whisper_decode_windows", spy)
+        transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "max_tokens": 8,
+                       "batch_size": 1, "beam_size": 1, "language": "en",
+                       "custom_vocabulary": ["kubernetes", "eioku"],
+                       "no_speech_threshold": 2.0},
+            model_cache_dir=str(tmp_path))
+        tk = WhisperTokens(cfg.vocab_size)
+        init = captured["init"]
+        assert init[0] == tk.sot_prev
+        assert 101 in init and 102 in init
+        assert captured["sot_index"] == init.index(tk.sot)
+        assert captured["sot_index"] >= 3  # sot_prev + 2+ prompt tokens
+
+    def test_no_vocab_disables_prompt(self, tmp_path, monkeypatch):
+        """Without vocab.json the prompt silently disables (placeholder
+        decoding environments) instead of emitting junk ids."""
+        import wave
+
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+
+        sr = 16000
+        x = (np.sin(2 * np.pi * 250 * np.arange(sr) / sr) * 0.4
+             * 32767).astype(np.int16)
+        wav = tmp_path / "c.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        monkeypatch.setattr(transcribe, "_load_model",
+                            lambda *a, **kw: (params, cfg, True))
+        out = transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "max_tokens": 8,
+                       "batch_size": 1, "beam_size": 1, "language": "en",
+                       "initial_prompt": "eioku",
+                       "no_speech_threshold": 2.0},
+            model_cache_dir=str(tmp_path))
+        assert isinstance(out, list)  # ran the plain-prompt path
