@@ -226,8 +226,15 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             status_filter = VideoStatus(status) if status else None
         except ValueError:
             raise HTTPException(422, f"unknown status: {status}")
+        sort_by = request.query_params.get("sort_by", "created_at")
+        if sort_by not in ("created_at", "path", "duration_ms",
+                           "file_created_at", "size_bytes"):
+            raise HTTPException(422, f"unknown sort_by: {sort_by}")
         videos = ctx.videos.list(
             status=status_filter,
+            sort_by=sort_by,
+            descending=request.query_params.get("order", "desc") != "asc",
+            name_filter=request.query_params.get("q"),
             limit=request.query_int("limit", 1000),
             offset=request.query_int("offset", 0))
         return {"videos": [v.to_dict() for v in videos], "total": ctx.videos.count()}
@@ -349,7 +356,10 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         direction = request.query_params.get("direction", "next")
         matches = ctx.find.find(v.id, q, from_ms=request.query_int("from_ms", 0),
                                 direction=direction)
-        return {"query": q, "matches": matches, "total": len(matches)}
+        out = {"query": q, "matches": matches, "total": len(matches)}
+        if not matches:  # spec req 2.4: suggest alternative search terms
+            out["suggestions"] = ctx.find.suggest_alternatives(q)
+        return out
 
     @app.get(PREFIX + "/videos/{video_id}/artifacts")
     async def artifacts(request: Request):
@@ -565,5 +575,8 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             results = semantic
         else:
             results = _rrf_fuse(semantic, keyword, top_k)
-        return {"query": q, "mode": mode, "results": results,
-                "total": len(results)}
+        out = {"query": q, "mode": mode, "results": results,
+               "total": len(results)}
+        if not results:  # spec req 2.4: suggest alternative search terms
+            out["suggestions"] = ctx.find.suggest_alternatives(q)
+        return out

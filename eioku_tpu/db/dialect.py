@@ -106,6 +106,16 @@ class Dialect:
         """Case-insensitive LIKE operator (the reference's ILIKE fallback)."""
         raise NotImplementedError
 
+    def fts_vocab_setup(self, fts_table: str) -> list[str]:
+        """Idempotent DDL needed before fts_vocab_terms (may be empty)."""
+        raise NotImplementedError
+
+    def fts_vocab_terms(self, fts_table: str) -> str:
+        """SELECT (term, doc_count) over the index's vocabulary — the source
+        for did-you-mean suggestions when a search yields nothing (spec req
+        2.4, .kiro/specs/semantic-video-search/requirements.md)."""
+        raise NotImplementedError
+
     # -- misc divergent expressions ----------------------------------------------
 
     def latest_run_per_language_clause(self) -> str:
@@ -178,6 +188,13 @@ class SqliteDialect(Dialect):
 
     def ilike(self) -> str:
         return "LIKE"  # SQLite LIKE is case-insensitive for ASCII by default
+
+    def fts_vocab_setup(self, fts_table: str) -> list[str]:
+        return [f"CREATE VIRTUAL TABLE IF NOT EXISTS {fts_table}_vocab"
+                f" USING fts5vocab('{fts_table}', 'row')"]
+
+    def fts_vocab_terms(self, fts_table: str) -> str:
+        return f"SELECT term, doc FROM {fts_table}_vocab"
 
     def latest_run_per_language_clause(self) -> str:
         # SQLite guarantees bare columns come from the MAX row when a single
@@ -270,6 +287,13 @@ class PostgresDialect(Dialect):
 
     def ilike(self) -> str:
         return "ILIKE"
+
+    def fts_vocab_setup(self, fts_table: str) -> list[str]:
+        return []  # ts_stat needs no side table
+
+    def fts_vocab_terms(self, fts_table: str) -> str:
+        return (f"SELECT word, ndoc FROM"
+                f" ts_stat('SELECT ts FROM {fts_table}')")
 
     def latest_run_per_language_clause(self) -> str:
         # reference: DISTINCT ON (payload_json->>'language') raw SQL

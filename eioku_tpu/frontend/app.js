@@ -27,7 +27,13 @@ const esc = (t) => { const d = document.createElement("div"); d.textContent = t 
 
 /* ---------- gallery ---------- */
 async function loadGallery() {
-  const { videos } = await api("/videos");
+  // sort + filename filter are SERVER-side (spec req 8.4): the SQL sorts/
+  // filters so a 10k-video library doesn't ship to the browser to be sorted
+  const [sortBy, order] = ($("gallery-sort")?.value || "created_at:desc").split(":");
+  const q = $("gallery-filter")?.value.trim();
+  const params = new URLSearchParams({ sort_by: sortBy, order });
+  if (q) params.set("q", q);
+  const { videos } = await api(`/videos?${params}`);
   $("gallery").innerHTML = videos.map(v => `
     <div class="card" data-id="${v.id}">
       <img class="thumb" loading="lazy" alt=""
@@ -48,15 +54,23 @@ async function doSearch() {
   box.classList.remove("hidden");
   box.innerHTML = "<em>Searching…</em>";
   try {
-    const { results } = await api(`/search?q=${encodeURIComponent(q)}&top_k=10`);
+    const { results, suggestions } = await api(
+      `/search?q=${encodeURIComponent(q)}&top_k=10`);
+    let empty = "<p>No matches.</p>";
+    if (suggestions?.length)  // spec req 2.4: offer alternative terms
+      empty += `<p class="suggest">Try: ${suggestions.map(s =>
+        `<a href="#" class="suggest-term">${esc(s)}</a>`).join(" · ")}</p>`;
     box.innerHTML = `<h3>Results for “${esc(q)}”</h3>` + (results.map(r => `
       <div class="seg" data-vid="${r.video_id}" data-ms="${r.jump_to.start_ms}">
         <span class="t">${fmtMs(r.jump_to.start_ms)}</span>
         ${esc(r.text.slice(0, 140))}
         <span class="chip">${r.score.toFixed(3)}</span>
-      </div>`).join("") || "<p>No matches.</p>");
+      </div>`).join("") || empty);
     for (const el of box.querySelectorAll(".seg"))
       el.onclick = () => openVideo(el.dataset.vid, +el.dataset.ms);
+    for (const a of box.querySelectorAll(".suggest-term"))
+      a.onclick = (e) => { e.preventDefault();
+        $("search-input").value = a.textContent; doSearch(); };
   } catch (e) { box.innerHTML = `<p>Search unavailable: ${esc(e.message)}</p>`; }
 }
 
@@ -382,6 +396,11 @@ window.addEventListener("DOMContentLoaded", () => {
   loadGallery();
   $("search-btn").onclick = doSearch;
   $("search-input").onkeydown = (e) => { if (e.key === "Enter") doSearch(); };
+  $("gallery-sort").onchange = loadGallery;
+  let filterTimer = null;
+  $("gallery-filter").oninput = () => {  // debounce server-side filtering
+    clearTimeout(filterTimer); filterTimer = setTimeout(loadGallery, 250);
+  };
   $("back-btn").onclick = () => closeVideo();
   window.onpopstate = () => {
     const m = location.hash.match(/#v=(.+)/);

@@ -51,15 +51,27 @@ class VideoRepository:
         return _row_to_video(r) if r else None
 
     def list(self, status: VideoStatus | None = None,
+             sort_by: str = "created_at", descending: bool = True,
+             name_filter: str | None = None,
              limit: int = 1000, offset: int = 0) -> list[Video]:
+        """Library listing with sort + name filter (spec req 8.4: sorting and
+        filtering by date, filename, or duration)."""
+        order_col = {"created_at": "created_at", "path": "path",
+                     "duration_ms": "duration_ms", "size_bytes": "size_bytes",
+                     "file_created_at": "file_created_at"}.get(
+                         sort_by, "created_at")
+        clauses, params = [], []
         if status is not None:
-            rows = self.db.query(
-                "SELECT * FROM videos WHERE status=? ORDER BY created_at DESC LIMIT ? OFFSET ?",
-                (status.value, limit, offset))
-        else:
-            rows = self.db.query(
-                "SELECT * FROM videos ORDER BY created_at DESC LIMIT ? OFFSET ?",
-                (limit, offset))
+            clauses.append("status=?"); params.append(status.value)
+        if name_filter:
+            clauses.append(f"path {self.db.dialect.ilike()} ?")
+            params.append(f"%{name_filter}%")
+        where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        direction = "DESC" if descending else "ASC"
+        rows = self.db.query(
+            f"SELECT * FROM videos {where}"
+            f" ORDER BY {order_col} {direction} LIMIT ? OFFSET ?",
+            (*params, limit, offset))
         return [_row_to_video(r) for r in rows]
 
     def delete(self, video_id: str) -> bool:

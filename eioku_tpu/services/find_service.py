@@ -84,6 +84,54 @@ class FindWithinVideoService:
         out.sort(key=lambda m: m["score"], reverse=True)
         return out[:limit]
 
+    def suggest_alternatives(self, query: str, limit: int = 5) -> list[str]:
+        """Did-you-mean terms for a query that returned nothing (spec req 2.4,
+        .kiro/specs/semantic-video-search/requirements.md: 'provide feedback
+        suggesting alternative search terms').
+
+        Candidates come from what the library actually contains — the FTS
+        vocabulary (fts5vocab / ts_stat via the dialect), object labels, and
+        topics — ranked by string similarity to the query terms; when nothing
+        is close, the most frequent terms are offered as discovery hints."""
+        import difflib
+
+        q_terms = [t.lower() for t in re.findall(r"\w+", query)]
+        cands: dict[str, int] = {}
+        for fts in ("transcript_fts", "ocr_fts"):
+            try:
+                for ddl in self.db.dialect.fts_vocab_setup(fts):
+                    self.db.execute(ddl)
+                for r in self.db.query(self.db.dialect.fts_vocab_terms(fts)):
+                    term = str(r[0]).lower()
+                    if len(term) >= 3:
+                        cands[term] = cands.get(term, 0) + int(r[1])
+            except Exception:
+                continue
+        for sql in ("SELECT label, COUNT(*) FROM object_labels GROUP BY label",
+                    "SELECT label, COUNT(*) FROM topics GROUP BY label"):
+            try:
+                for r in self.db.query(sql):
+                    term = str(r[0]).lower()
+                    cands[term] = cands.get(term, 0) + int(r[1])
+            except Exception:
+                continue
+        for t in q_terms:  # these already matched nothing
+            cands.pop(t, None)
+        if not cands:
+            return []
+
+        def closeness(term: str) -> float:
+            return max((difflib.SequenceMatcher(None, t, term).ratio()
+                        for t in q_terms), default=0.0)
+
+        scored = [(closeness(t), n, t) for t, n in cands.items()]
+        close = sorted((s for s in scored if s[0] >= 0.6), reverse=True)
+        if close:
+            return [t for _, _, t in close[:limit]]
+        # nothing similar: most frequent library terms as discovery hints
+        return [t for _, _, t in
+                sorted(scored, key=lambda s: (-s[1], s[2]))[:limit]]
+
     def _search(self, source: str, fts_table: str, meta_table: str, asset_id: str,
                 query: str, from_ms: int, direction: str, limit: int) -> list[dict]:
         d = self.db.dialect

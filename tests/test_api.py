@@ -420,3 +420,64 @@ class TestVideoDeletionCleanup:
         assert ctx.db.scalar(
             "SELECT COUNT(*) FROM transcript_fts_meta WHERE asset_id=?",
             (v.id,)) == 0
+
+
+class TestSearchSuggestions:
+    """Spec req 2.4: a query with no results must offer alternative terms."""
+
+    def test_find_no_results_suggests_near_terms(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        r = client.get(f"/api/v1/videos/{v.id}/find?q=foxx")
+        assert r.status_code == 200
+        body = r.json()
+        assert body["total"] == 0
+        assert "fox" in body["suggestions"]
+
+    def test_search_no_results_suggests(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        r = client.get("/api/v1/search?q=zzzqqq&mode=keyword")
+        body = r.json()
+        assert body["total"] == 0
+        # nothing similar -> most frequent library terms as discovery hints
+        assert body["suggestions"]
+
+    def test_results_have_no_suggestions_key(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        body = client.get(f"/api/v1/videos/{v.id}/find?q=fox").json()
+        assert body["total"] > 0 and "suggestions" not in body
+
+
+class TestGallerySortFilter:
+    """Spec req 8.4: sorting and filtering by date, filename, or duration."""
+
+    def _seed(self, ctx):
+        from eioku_tpu.domain.models import Video
+        for p, d in (("/lib/beta.mp4", 5000), ("/lib/alpha.mp4", 9000),
+                     ("/lib/gamma.mov", 1000)):
+            v = Video(path=p, file_hash="h", size_bytes=1)
+            v.duration_ms = d
+            ctx.videos.save(v)
+
+    def test_sort_by_path(self, client, ctx):
+        self._seed(ctx)
+        r = client.get("/api/v1/videos?sort_by=path&order=asc")
+        names = [v["path"] for v in r.json()["videos"]]
+        assert names == sorted(names)
+
+    def test_sort_by_duration_desc(self, client, ctx):
+        self._seed(ctx)
+        r = client.get("/api/v1/videos?sort_by=duration_ms&order=desc")
+        durs = [v["duration_ms"] for v in r.json()["videos"]]
+        assert durs == sorted(durs, reverse=True)
+
+    def test_name_filter(self, client, ctx):
+        self._seed(ctx)
+        r = client.get("/api/v1/videos?q=alpha")
+        vids = r.json()["videos"]
+        assert len(vids) == 1 and "alpha" in vids[0]["path"]
+
+    def test_unknown_sort_rejected(self, client, ctx):
+        assert client.get("/api/v1/videos?sort_by=evil").status_code == 422

@@ -52,6 +52,15 @@ class TestDomContract:
             assert f'id="{el}"' in html, el
 
 
+
+    def test_library_controls_present(self):
+        """Spec req 8.4: gallery sort + filename filter controls."""
+        html, js = read("index.html"), read("app.js")
+        assert 'id="gallery-sort"' in html and 'id="gallery-filter"' in html
+        for opt in ("created_at:desc", "path:asc", "duration_ms:desc"):
+            assert opt in html, opt
+        assert "sort_by" in js and "suggest-term" in js  # spec reqs 8.4 + 2.4
+
 class TestApiContract:
     def _routes(self):
         from eioku_tpu.api.app import create_app

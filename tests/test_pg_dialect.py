@@ -365,3 +365,25 @@ class TestSqliteBranchStillLive:
         out = FindWithinVideoService(db).find("v1", "hello")
         assert out and out[0]["jump_to"]["start_ms"] == 0
         assert "<b>" in out[0]["snippet"]
+
+
+class TestVocabBuilders:
+    def test_sqlite_fts5vocab(self):
+        assert SQLITE.fts_vocab_setup("transcript_fts") == [
+            "CREATE VIRTUAL TABLE IF NOT EXISTS transcript_fts_vocab"
+            " USING fts5vocab('transcript_fts', 'row')"]
+        assert SQLITE.fts_vocab_terms("transcript_fts") == \
+            "SELECT term, doc FROM transcript_fts_vocab"
+
+    def test_pg_ts_stat(self):
+        assert POSTGRES.fts_vocab_setup("ocr_fts") == []
+        assert POSTGRES.fts_vocab_terms("ocr_fts") == \
+            "SELECT word, ndoc FROM ts_stat('SELECT ts FROM ocr_fts')"
+
+    def test_suggestions_emit_ts_stat_on_pg(self, pg_db):
+        db, conn = pg_db
+        from eioku_tpu.services.find_service import FindWithinVideoService
+
+        FindWithinVideoService(db).suggest_alternatives("foxx")
+        sql = "\n".join(s for s, _ in conn.statements)
+        assert "ts_stat('SELECT ts FROM transcript_fts')" in sql
