@@ -105,8 +105,12 @@ def _attribute_speakers(ctx, asset_id: str, segments: list[dict]) -> None:
         seg["payload_json"]["speaker"] = best
 
 
-def _thumbnail_path(ctx, v) -> str | None:
-    """Generate (once) and return the poster-frame JPEG for a video."""
+def _thumbnail_path(ctx, v, at_ms: int | None = None) -> str | None:
+    """Generate (once) and return the poster-frame JPEG for a video.
+
+    at_ms requests the frame at a specific moment (search results show the
+    matched scene, spec req 3.2); cached per whole second to bound the
+    on-disk cache."""
     import tempfile
 
     import cv2
@@ -117,22 +121,28 @@ def _thumbnail_path(ctx, v) -> str | None:
     else:
         base = os.path.join(tempfile.gettempdir(), "eioku_thumbnails")
     os.makedirs(base, exist_ok=True)
-    out = os.path.join(base, f"{v.id}.jpg")
+    name = f"{v.id}.jpg" if at_ms is None else f"{v.id}_{int(at_ms // 1000)}.jpg"
+    out = os.path.join(base, name)
     if os.path.isfile(out):
         return out
     if not os.path.isfile(v.path):
         return None
     cap = cv2.VideoCapture(v.path)
     try:
-        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
-        if n > 10:
-            cap.set(cv2.CAP_PROP_POS_FRAMES, n // 10)
-        ok, frame = cap.read()
-        if not ok and n > 10:
-            # CAP_PROP_FRAME_COUNT lies for some streams and the seek lands
-            # past the end: fall back to the first decodable frame
-            cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+        ok, frame = False, None
+        if at_ms is not None:
+            cap.set(cv2.CAP_PROP_POS_MSEC, float(at_ms))
             ok, frame = cap.read()
+        if not ok:
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+            if n > 10:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, n // 10)
+            ok, frame = cap.read()
+            if not ok and n > 10:
+                # CAP_PROP_FRAME_COUNT lies for some streams and the seek
+                # lands past the end: fall back to the first decodable frame
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                ok, frame = cap.read()
         if not ok:
             return None
         h, w = frame.shape[:2]
@@ -294,12 +304,14 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         placeholder: frontend/src/components/VideoGallery.tsx:91). Grabbed at
         ~10% of the duration, cached on disk next to the database."""
         v = _get_video(request.path_params["video_id"])
+        at_ms = request.query_int("at_ms", -1)
         # cold thumbnails seek+decode+encode for seconds on large files; the
         # server is a single-threaded event loop, so run it in a worker thread
         # (disk writes are atomic, so concurrent requests are safe)
         import asyncio
 
-        path = await asyncio.to_thread(_thumbnail_path, ctx, v)
+        path = await asyncio.to_thread(_thumbnail_path, ctx, v,
+                                       at_ms if at_ms >= 0 else None)
         if path is None:
             raise HTTPException(404, "thumbnail unavailable")
         return FileResponse(path, media_type="image/jpeg")

@@ -11,7 +11,7 @@ const $ = (id) => document.getElementById(id);
 const state = {
   video: null, tab: "transcript", artifacts: {}, runs: [], run: null,
   overlays: { objects: false, faces: false, ocr: false }, tasksTimer: null,
-  overlayRaf: null,
+  overlayRaf: null, videoPaths: {},
 };
 
 async function api(path, opts) {
@@ -34,6 +34,8 @@ async function loadGallery() {
   const params = new URLSearchParams({ sort_by: sortBy, order });
   if (q) params.set("q", q);
   const { videos } = await api(`/videos?${params}`);
+  for (const v of videos)  // filename map for search-result cards
+    state.videoPaths[v.id] = v.path.split("/").pop();
   $("gallery").innerHTML = videos.map(v => `
     <div class="card" data-id="${v.id}">
       <img class="thumb" loading="lazy" alt=""
@@ -62,7 +64,11 @@ async function doSearch() {
         `<a href="#" class="suggest-term">${esc(s)}</a>`).join(" · ")}</p>`;
     box.innerHTML = `<h3>Results for “${esc(q)}”</h3>` + (results.map(r => `
       <div class="seg" data-vid="${r.video_id}" data-ms="${r.jump_to.start_ms}">
+        <img class="mini-thumb" loading="lazy" alt="" src="${API}/videos/${
+          r.video_id}/thumbnail?at_ms=${r.jump_to.start_ms}"
+          onerror="this.style.display='none'">
         <span class="t">${fmtMs(r.jump_to.start_ms)}</span>
+        <span class="fname">${esc(state.videoPaths[r.video_id] || "")}</span>
         ${esc(r.text.slice(0, 140))}
         <span class="chip">${r.score.toFixed(3)}</span>
       </div>`).join("") || empty);
@@ -152,7 +158,10 @@ async function renderTab() {
     const p = a.payload_json;
     let body;
     if (tab === "transcript") body = (p.speaker
-      ? `<span class="chip">${esc(p.speaker)}</span> ` : "") + esc(p.text);
+      ? `<span class="chip">${esc(p.speaker)}</span> ` : "") + esc(p.text)
+      // spec req 5.5: flag uncertain transcriptions
+      + ((p.confidence ?? 1) < 0.5
+        ? ` <span class="chip uncertain" title="low transcription confidence">low conf.</span>` : "");
     else if (tab === "scenes") body = `Scene ${p.scene_index} · ${fmtMs(p.duration_ms)}`
       + (p.score ? ` · score ${p.score}` : "");
     else if (tab === "ocr") body = `${esc(p.text)} <span class="chip">${((p.confidence || 0) * 100).toFixed(0)}%</span>`;

@@ -481,3 +481,35 @@ class TestGallerySortFilter:
 
     def test_unknown_sort_rejected(self, client, ctx):
         assert client.get("/api/v1/videos?sort_by=evil").status_code == 422
+
+
+class TestTimestampedThumbnail:
+    """Spec req 3.2: search results show a preview of the matched scene —
+    thumbnails can be requested at a specific timestamp."""
+
+    def _clip(self, tmp_path):
+        import cv2
+        f = tmp_path / "tclip.mp4"
+        w = cv2.VideoWriter(str(f), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (96, 64))
+        for _ in range(10):  # 0..1 s: dark
+            w.write(np.full((64, 96, 3), 10, np.uint8))
+        for _ in range(10):  # 1..2 s: bright
+            w.write(np.full((64, 96, 3), 230, np.uint8))
+        w.release()
+        return f
+
+    def test_at_ms_picks_the_right_frame(self, client, ctx, tmp_path):
+        v = seed_video(ctx, str(self._clip(tmp_path)))
+        early = client.get(f"/api/v1/videos/{v.id}/thumbnail?at_ms=100")
+        late = client.get(f"/api/v1/videos/{v.id}/thumbnail?at_ms=1500")
+        assert early.status_code == late.status_code == 200
+        assert early.content != late.content  # dark vs bright frame
+        # per-second cache: same bucket serves identical bytes
+        again = client.get(f"/api/v1/videos/{v.id}/thumbnail?at_ms=1900")
+        assert again.content == late.content
+
+    def test_past_end_falls_back(self, client, ctx, tmp_path):
+        v = seed_video(ctx, str(self._clip(tmp_path)))
+        r = client.get(f"/api/v1/videos/{v.id}/thumbnail?at_ms=99000")
+        assert r.status_code == 200 and r.content[:2] == b"\xff\xd8"
