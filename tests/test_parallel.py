@@ -456,3 +456,77 @@ class TestPipelineParallelWhisper:
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestFsdp:
+    def test_spec_picks_largest_divisible_dim(self):
+        from jax.sharding import PartitionSpec as P
+
+        from eioku_tpu.parallel.fsdp import fsdp_spec
+
+        assert fsdp_spec((128, 64), 8) == P("data", None)
+        assert fsdp_spec((32, 256), 8) == P(None, "data")
+        assert fsdp_spec((7,), 8) == P()       # indivisible -> replicated
+        assert fsdp_spec((), 8) == P()         # scalar
+
+    def test_fsdp_train_matches_unsharded(self, mesh8):
+        """Two FSDP steps over an all-data 8-way mesh must match the plain
+        single-sharding train step numerically, while parameters and Adam
+        moments actually live sharded (1/8 per chip for the big leaves)."""
+        import optax
+
+        from eioku_tpu.models.embed.minilm import (
+            MiniLMConfig,
+            init_minilm_params,
+        )
+        from eioku_tpu.parallel.fsdp import (
+            make_fsdp_train_step,
+            max_leaf_shard_fraction,
+            shard_tree_fsdp,
+        )
+        from eioku_tpu.parallel.mesh import make_mesh
+        from eioku_tpu.parallel.train import make_train_step
+
+        mesh = make_mesh(8, model_parallel=1)  # all chips on the data axis
+        cfg = MiniLMConfig(vocab_size=512, dim=64, n_layers=2, n_heads=4,
+                           ffn_dim=128, max_position=64)
+        params = init_minilm_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 512, (16, 32)).astype(np.int32)
+        mask = np.ones((16, 32), np.int32)
+        pos = rng.integers(0, 512, (16, 32)).astype(np.int32)
+
+        opt = optax.adamw(1e-3)
+        ref_step, _ = make_train_step(cfg, opt)
+        ref_params = jax.tree.map(jnp.copy, params)
+        ref_opt = opt.init(ref_params)
+
+        fsdp_step, _, prepare = make_fsdp_train_step(cfg, mesh, optax.adamw(1e-3))
+        sh_params, sh_opt = prepare(jax.tree.map(jnp.copy, params))
+        assert max_leaf_shard_fraction(sh_params) <= 1 / 8 + 1e-6
+        assert max_leaf_shard_fraction(sh_opt) <= 1 / 8 + 1e-6
+
+        for step in range(2):
+            ref_params, ref_opt, ref_loss = ref_step(
+                ref_params, ref_opt, ids, mask, pos, mask)
+            sh_params, sh_opt, loss = fsdp_step(
+                sh_params, sh_opt, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(pos), jnp.asarray(mask))
+            np.testing.assert_allclose(float(loss), float(ref_loss),
+                                       rtol=2e-4, atol=2e-5)
+        # params stay sharded across steps (out_shardings pin the layout)
+        assert max_leaf_shard_fraction(sh_params) <= 1 / 8 + 1e-6
+        for a, b in zip(jax.tree.leaves(sh_params), jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=2e-3, atol=2e-4)
+
+    def test_shard_tree_fsdp_layout(self, mesh8):
+        from eioku_tpu.parallel.fsdp import shard_tree_fsdp
+        from eioku_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, model_parallel=1)
+        tree = {"w": jnp.ones((64, 16)), "b": jnp.ones((7,))}
+        out = shard_tree_fsdp(tree, mesh)
+        assert out["w"].addressable_shards[0].data.shape == (8, 16)
+        assert out["b"].addressable_shards[0].data.shape == (7,)  # replicated
