@@ -48,3 +48,38 @@ def load_params(template, path: str):
         return jnp.asarray(arr, dtype=leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(fill, template)
+
+
+# -- sharded (multi-chip) checkpointing ---------------------------------------
+# The npz path above gathers to host — fine for single-chip fine-tunes, but an
+# FSDP/TP-sharded train state (parallel/fsdp.py, parallel/mesh.py) would force
+# a full gather through one host and lose the layout. Orbax writes each chip's
+# shards in parallel (OCDBT) and restores into ANY target sharding, so a run
+# checkpointed on one mesh resumes on another (SURVEY §5 checkpoint/resume).
+
+
+def save_sharded(tree, path: str) -> None:
+    """Save a (possibly sharded) pytree of jax.Arrays; per-shard parallel
+    writes, atomic publish (orbax finalize). Blocks until durable."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_sharded(template, path: str):
+    """Restore into `template`'s structure, shapes, dtypes AND shardings —
+    the saved layout need not match (cross-mesh resume reshards on load)."""
+    import orbax.checkpoint as ocp
+
+    def abstract(leaf):
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "sharding"):
+            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                        sharding=leaf.sharding)
+        leaf = jnp.asarray(leaf)
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype)
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path),
+                         jax.tree.map(abstract, template))

@@ -530,3 +530,79 @@ class TestFsdp:
         out = shard_tree_fsdp(tree, mesh)
         assert out["w"].addressable_shards[0].data.shape == (8, 16)
         assert out["b"].addressable_shards[0].data.shape == (7,)  # replicated
+
+
+class TestShardedCheckpoint:
+    def test_fsdp_state_roundtrip_and_reshard(self, mesh8, tmp_path):
+        """An FSDP-sharded train state saved with orbax must restore (a) into
+        the same layout and (b) into a DIFFERENT sharding (replicated) with
+        identical values — cross-mesh resume."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from eioku_tpu.models.checkpoint import restore_sharded, save_sharded
+        from eioku_tpu.models.embed.minilm import (
+            MiniLMConfig,
+            init_minilm_params,
+        )
+        from eioku_tpu.parallel.fsdp import (
+            max_leaf_shard_fraction,
+            shard_tree_fsdp,
+        )
+        from eioku_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, model_parallel=1)
+        cfg = MiniLMConfig(vocab_size=256, dim=64, n_layers=1, n_heads=4,
+                           ffn_dim=128, max_position=32)
+        params = init_minilm_params(cfg, seed=3)
+        sharded = shard_tree_fsdp(params, mesh)
+        path = str(tmp_path / "ckpt")
+        save_sharded(sharded, path)
+
+        # (a) same-layout restore
+        back = restore_sharded(sharded, path)
+        assert max_leaf_shard_fraction(back) <= 1 / 8 + 1e-6
+        for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # (b) resharded restore: replicated target
+        repl = jax.tree.map(
+            lambda x: jax.device_put(jnp.zeros_like(x),
+                                     NamedSharding(mesh, P())), params)
+        back2 = restore_sharded(repl, path)
+        for a, b in zip(jax.tree.leaves(back2), jax.tree.leaves(params)):
+            assert len({s.data.shape for s in a.addressable_shards}) == 1
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_matches_continuous_run(self, mesh8, tmp_path):
+        """save -> restore -> one more step == two uninterrupted steps."""
+        import optax
+
+        from eioku_tpu.models.checkpoint import restore_sharded, save_sharded
+        from eioku_tpu.models.embed.minilm import (
+            MiniLMConfig,
+            init_minilm_params,
+        )
+        from eioku_tpu.parallel.fsdp import make_fsdp_train_step
+        from eioku_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, model_parallel=1)
+        cfg = MiniLMConfig(vocab_size=256, dim=64, n_layers=1, n_heads=4,
+                           ffn_dim=128, max_position=32)
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, 256, (16, 16)), jnp.int32)
+        pos = jnp.asarray(rng.integers(0, 256, (16, 16)), jnp.int32)
+        mask = jnp.ones((16, 16), jnp.int32)
+
+        step, _, prepare = make_fsdp_train_step(cfg, mesh, optax.adamw(1e-3))
+        p, o = prepare(init_minilm_params(cfg, seed=5))
+        p, o, _ = step(p, o, ids, mask, pos, mask)
+        save_sharded({"params": p, "opt": o}, str(tmp_path / "mid"))
+        p2, o2, loss_cont = step(p, o, ids, mask, pos, mask)
+
+        # donated arrays still expose shape/dtype/sharding, which is all the
+        # restore template reads
+        state = restore_sharded({"params": p, "opt": o}, str(tmp_path / "mid"))
+        p3, o3, loss_res = step(state["params"], state["opt"],
+                                ids, mask, pos, mask)
+        np.testing.assert_allclose(float(loss_res), float(loss_cont),
+                                   rtol=1e-6, atol=1e-7)
