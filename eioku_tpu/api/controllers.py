@@ -240,14 +240,17 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         if sort_by not in ("created_at", "path", "duration_ms",
                            "file_created_at", "size_bytes"):
             raise HTTPException(422, f"unknown sort_by: {sort_by}")
+        name_filter = request.query_params.get("q")
         videos = ctx.videos.list(
             status=status_filter,
             sort_by=sort_by,
             descending=request.query_params.get("order", "desc") != "asc",
-            name_filter=request.query_params.get("q"),
+            name_filter=name_filter,
             limit=request.query_int("limit", 1000),
             offset=request.query_int("offset", 0))
-        return {"videos": [v.to_dict() for v in videos], "total": ctx.videos.count()}
+        # total matches the active filters (pagination math), not table size
+        return {"videos": [v.to_dict() for v in videos],
+                "total": ctx.videos.count(status_filter, name_filter)}
 
     @app.post(PREFIX + "/videos")
     async def create_video(request: Request):

@@ -242,6 +242,10 @@ class PostgresDatabase:
     def __init__(self, url: str):
         driver = _import_pg_driver()
         self.url = url
+        # interface parity with Database: consumers branch on path for
+        # file-adjacent storage (thumbnails, semantic index); PG has no file,
+        # so they take their tempdir/default branches
+        self.path = ""
         self._lock = threading.RLock()
         self._txn_depth = 0
         self._raw = driver.connect(url) if driver.__name__.startswith(
@@ -279,11 +283,19 @@ class PostgresDatabase:
 
     def query(self, sql: str, params: tuple | dict = ()) -> list[_PgRow]:
         with self._lock:
-            return _PgConn(self._raw).execute(sql, params).fetchall()
+            rows = _PgConn(self._raw).execute(sql, params).fetchall()
+            if self._txn_depth == 0:
+                # autocommit is off: without this, a read-mostly process sits
+                # "idle in transaction" forever (blocks VACUUM, holds locks)
+                self._raw.commit()
+            return rows
 
     def query_one(self, sql: str, params: tuple | dict = ()) -> _PgRow | None:
         with self._lock:
-            return _PgConn(self._raw).execute(sql, params).fetchone()
+            row = _PgConn(self._raw).execute(sql, params).fetchone()
+            if self._txn_depth == 0:
+                self._raw.commit()
+            return row
 
     def scalar(self, sql: str, params: tuple | dict = ()) -> Any:
         row = self.query_one(sql, params)

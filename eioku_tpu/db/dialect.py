@@ -268,8 +268,10 @@ class PostgresDialect(Dialect):
         return "f.ts @@ q"
 
     def fts_snippet(self, fts_table: str) -> str:
+        # MinWords must stay BELOW MaxWords or PG errors ("MinWords should be
+        # less than MaxWords"); the default MinWords is 15, above our 12
         return (f"ts_headline('english', f.text, q, 'StartSel={_SNIP_OPEN},"
-                f" StopSel={_SNIP_CLOSE}, MaxWords={_SNIP_WORDS}')")
+                f" StopSel={_SNIP_CLOSE}, MinWords=5, MaxWords={_SNIP_WORDS}')")
 
     def fts_rank(self, fts_table: str) -> str:
         return "ts_rank(f.ts, q)"

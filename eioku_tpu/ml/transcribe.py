@@ -419,7 +419,16 @@ def _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
     prev: list[int] = list(initial_prev or [])
     for w_idx, (start_ms, wav) in enumerate(windows):
         bucket = max((b for b in _PROMPT_BUCKETS if b <= len(prev)), default=0)
-        prompt = ([tokens.sot_prev] + prev[-bucket:] if bucket else []) + sot
+        if bucket:
+            ctx = prev[-bucket:]
+        elif w_idx == 0 and prev:
+            # an initial_prompt shorter than the smallest bucket must still
+            # bias window 0 (spec req 5.6) — one exact-length compile instead
+            # of silently dropping the custom vocabulary
+            ctx = prev
+        else:
+            ctx = []
+        prompt = ([tokens.sot_prev] + ctx if ctx else []) + sot
         mel = log_mel_spectrogram(jnp.asarray(wav[None]), n_mels=cfg.n_mels)
         enc = whisper_encode(params, mel, cfg)
         init = jnp.asarray([prompt], jnp.int32)

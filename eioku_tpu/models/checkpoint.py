@@ -70,10 +70,14 @@ def save_sharded(tree, path: str) -> None:
 
 def restore_sharded(template, path: str):
     """Restore into `template`'s structure, shapes, dtypes AND shardings —
-    the saved layout need not match (cross-mesh resume reshards on load)."""
+    the saved layout need not match (cross-mesh resume reshards on load).
+    Template leaves may be jax.Arrays (donated ones work: only metadata is
+    read) or jax.ShapeDtypeStruct."""
     import orbax.checkpoint as ocp
 
     def abstract(leaf):
+        if isinstance(leaf, jax.ShapeDtypeStruct):
+            return leaf
         if isinstance(leaf, jax.Array) and hasattr(leaf, "sharding"):
             return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
                                         sharding=leaf.sharding)

@@ -126,9 +126,13 @@ class WhisperTextEncoder:
                 path = os.path.join(cache_dir, cand)
                 if os.path.isfile(path):
                     with open(path, encoding="utf-8") as f:
-                        merges = [tuple(ln.split()) for ln in f
-                                  if ln.strip() and not ln.startswith("#")
-                                  and len(ln.split()) == 2]
+                        lines = f.read().splitlines()
+                    # only the header line is a comment; later lines starting
+                    # with '#' are real merges of '#' pieces (hashtag tokens)
+                    if lines and lines[0].startswith("#version"):
+                        lines = lines[1:]
+                    merges = [tuple(ln.split(" ")) for ln in lines
+                              if ln and len(ln.split(" ")) == 2]
                     break
         return cls(vocab, merges)
 

@@ -78,8 +78,17 @@ class VideoRepository:
         cur = self.db.execute("DELETE FROM videos WHERE id=?", (video_id,))
         return cur.rowcount > 0
 
-    def count(self) -> int:
-        return self.db.scalar("SELECT COUNT(*) FROM videos")
+    def count(self, status: VideoStatus | None = None,
+              name_filter: str | None = None) -> int:
+        clauses, params = [], []
+        if status is not None:
+            clauses.append("status=?"); params.append(status.value)
+        if name_filter:
+            clauses.append(f"path {self.db.dialect.ilike()} ?")
+            params.append(f"%{name_filter}%")
+        where = ("WHERE " + " AND ".join(clauses)) if clauses else ""
+        return self.db.scalar(f"SELECT COUNT(*) FROM videos {where}",
+                              tuple(params))
 
     def get_location(self, video_id: str) -> dict | None:
         """Read the video_locations projection (reference: video_repository.py:103-128)."""

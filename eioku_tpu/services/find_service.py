@@ -101,7 +101,13 @@ class FindWithinVideoService:
             try:
                 for ddl in self.db.dialect.fts_vocab_setup(fts):
                     self.db.execute(ddl)
-                for r in self.db.query(self.db.dialect.fts_vocab_terms(fts)):
+                # cap by document frequency: a large library's vocabulary is
+                # 100k+ terms, and this runs inside the API event loop — the
+                # top few thousand cover every plausible suggestion
+                rows = self.db.query(
+                    f"SELECT * FROM ({self.db.dialect.fts_vocab_terms(fts)})"
+                    " AS vocab ORDER BY 2 DESC LIMIT 4000")  # PG needs alias
+                for r in rows:
                     term = str(r[0]).lower()
                     if len(term) >= 3:
                         cands[term] = cands.get(term, 0) + int(r[1])

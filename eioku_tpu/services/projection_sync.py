@@ -143,20 +143,24 @@ class ProjectionSyncService:
 
     def _sync_embedding(self, env: ArtifactEnvelope) -> None:
         p = env.payload_json
-        # re-embedding can move an artifact to a new slot; clear the old row
-        # (artifact_id is UNIQUE, and the upsert only resolves slot conflicts)
-        self.db.execute(
-            "DELETE FROM embedding_chunks WHERE artifact_id=? AND slot<>?",
-            (env.artifact_id, p["index_slot"]))
-        self.db.execute(
-            self.db.dialect.upsert(
-                "embedding_chunks", ["slot", "artifact_id", "asset_id",
-                                     "start_ms", "end_ms", "text", "source",
-                                     "model", "run_id"],
-                ["slot"]),
-            (p["index_slot"], env.artifact_id, env.asset_id, env.span_start_ms,
-             env.span_end_ms, p["text"], p["source"], p["model"], env.run_id),
-        )
+        # one transaction: a crash between the stale-slot delete and the
+        # insert must not leave the artifact unindexed. The delete exists
+        # because re-embedding can move an artifact to a new slot
+        # (artifact_id is UNIQUE; the upsert only resolves slot conflicts)
+        with self.db.transaction() as conn:
+            conn.execute(
+                "DELETE FROM embedding_chunks WHERE artifact_id=? AND slot<>?",
+                (env.artifact_id, p["index_slot"]))
+            conn.execute(
+                self.db.dialect.upsert(
+                    "embedding_chunks", ["slot", "artifact_id", "asset_id",
+                                         "start_ms", "end_ms", "text",
+                                         "source", "model", "run_id"],
+                    ["slot"]),
+                (p["index_slot"], env.artifact_id, env.asset_id,
+                 env.span_start_ms, env.span_end_ms, p["text"], p["source"],
+                 p["model"], env.run_id),
+            )
 
     def delete_for_asset(self, asset_id: str) -> None:
         """Remove every projection row for an asset (video deletion cleanup);

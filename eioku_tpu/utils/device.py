@@ -124,7 +124,20 @@ def suppress_spurious_aot_feature_errors() -> None:
         if buf:
             os.write(real_fd, buf)
 
-    threading.Thread(target=_pump, daemon=True, name="xla-aot-log-filter").start()
+    pump = threading.Thread(target=_pump, daemon=True,
+                            name="xla-aot-log-filter")
+    pump.start()
+
+    def _drain_at_exit() -> None:
+        # a crash traceback written just before exit sits in the pipe; point
+        # fd 2 back at the real stderr (closing the pipe's only write end ->
+        # EOF) and give the pump a moment to forward the tail
+        os.dup2(real_fd, 2)
+        pump.join(timeout=2.0)
+
+    import atexit
+
+    atexit.register(_drain_at_exit)
 
 
 _AOT_FILTER_INSTALLED = False

@@ -475,9 +475,10 @@ class TestGallerySortFilter:
 
     def test_name_filter(self, client, ctx):
         self._seed(ctx)
-        r = client.get("/api/v1/videos?q=alpha")
-        vids = r.json()["videos"]
+        body = client.get("/api/v1/videos?q=alpha").json()
+        vids = body["videos"]
         assert len(vids) == 1 and "alpha" in vids[0]["path"]
+        assert body["total"] == 1  # total matches the filter, not table size
 
     def test_unknown_sort_rejected(self, client, ctx):
         assert client.get("/api/v1/videos?sort_by=evil").status_code == 422

@@ -597,11 +597,15 @@ class TestShardedCheckpoint:
         p, o = prepare(init_minilm_params(cfg, seed=5))
         p, o, _ = step(p, o, ids, mask, pos, mask)
         save_sharded({"params": p, "opt": o}, str(tmp_path / "mid"))
+        # take the abstract template BEFORE the donating step deletes p/o —
+        # on TPU, touching donated arrays afterwards raises
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding),
+            {"params": p, "opt": o})
         p2, o2, loss_cont = step(p, o, ids, mask, pos, mask)
 
-        # donated arrays still expose shape/dtype/sharding, which is all the
-        # restore template reads
-        state = restore_sharded({"params": p, "opt": o}, str(tmp_path / "mid"))
+        state = restore_sharded(template, str(tmp_path / "mid"))
         p3, o3, loss_res = step(state["params"], state["opt"],
                                 ids, mask, pos, mask)
         np.testing.assert_allclose(float(loss_res), float(loss_cont),

@@ -1041,3 +1041,76 @@ class TestCustomVocabularyPrompt:
                        "no_speech_threshold": 2.0},
             model_cache_dir=str(tmp_path))
         assert isinstance(out, list)  # ran the plain-prompt path
+
+
+class TestMergesAndConditionedPrompt:
+    def test_merges_with_hash_pieces(self, tmp_path):
+        """Only the #version header is a comment; '#'-piece merges are real
+        (hashtag tokens in the GPT2/Whisper vocab)."""
+        import json
+
+        from eioku_tpu.models.whisper.tokenizer import WhisperTextEncoder
+
+        pytest.importorskip("transformers")
+        from transformers import GPT2Tokenizer
+
+        vocab = {"#": 0, "k": 1, "##": 2, "###": 3}
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        (tmp_path / "merges.txt").write_text(
+            "#version: 0.2\n# #\n## #\n")
+        enc = WhisperTextEncoder.from_cache_dir(str(tmp_path))
+        assert enc.ranks is not None and len(enc.ranks) == 2  # '#' merges kept
+        assert enc.encode("###") == [3]
+        hf = GPT2Tokenizer(str(tmp_path / "vocab.json"),
+                           str(tmp_path / "merges.txt"))
+        for text in ("###", "##", "#k#"):
+            assert enc.encode(text) == hf.encode(text), text
+
+    @pytest.mark.slow
+    def test_conditioned_mode_keeps_short_initial_prompt(self, tmp_path,
+                                                         monkeypatch):
+        """A custom vocabulary shorter than the smallest context bucket must
+        still reach window 0's prompt in condition_on_previous_text mode."""
+        import json
+        import wave
+
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+        from eioku_tpu.models.whisper.tokenizer import WhisperTokens
+
+        sr = 16000
+        x = (np.sin(2 * np.pi * 250 * np.arange(sr * 2) / sr) * 0.4
+             * 32767).astype(np.int16)
+        wav = tmp_path / "c.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        (tmp_path / "vocab.json").write_text(json.dumps(
+            {"Ġkubernetes": 101, ",": 102}))
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        monkeypatch.setattr(transcribe, "_load_model",
+                            lambda *a, **kw: (params, cfg, True))
+        prompts = []
+        real = transcribe.whisper_decode_windows
+
+        def spy(params_, enc, init, *a, **kw):
+            prompts.append(np.asarray(init)[0].tolist())
+            return real(params_, enc, init, *a, **kw)
+
+        monkeypatch.setattr(transcribe, "whisper_decode_windows", spy)
+        transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "max_tokens": 8,
+                       "batch_size": 1, "beam_size": 1, "language": "en",
+                       "condition_on_previous_text": True,
+                       "custom_vocabulary": ["kubernetes"],
+                       "no_speech_threshold": 2.0},
+            model_cache_dir=str(tmp_path))
+        tk = WhisperTokens(cfg.vocab_size)
+        assert prompts and prompts[0][0] == tk.sot_prev
+        assert 101 in prompts[0]
