@@ -72,8 +72,26 @@ async function doSearch() {
         ${esc(r.text.slice(0, 140))}
         <span class="chip">${r.score.toFixed(3)}</span>
       </div>`).join("") || empty);
-    for (const el of box.querySelectorAll(".seg"))
+    for (const el of box.querySelectorAll(".seg")) {
       el.onclick = () => openVideo(el.dataset.vid, +el.dataset.ms);
+      // hover preview (spec req 3.3): animate the scene by cycling the
+      // thumbnail through the seconds after the match
+      const img = el.querySelector(".mini-thumb");
+      if (img) {
+        let timer = null, k = 0;
+        el.onmouseenter = () => {
+          timer = setInterval(() => {
+            k = (k + 1) % 4;
+            img.src = `${API}/videos/${el.dataset.vid}/thumbnail?at_ms=${
+              +el.dataset.ms + k * 1000}`;
+          }, 600);
+        };
+        el.onmouseleave = () => {
+          clearInterval(timer); k = 0;
+          img.src = `${API}/videos/${el.dataset.vid}/thumbnail?at_ms=${el.dataset.ms}`;
+        };
+      }
+    }
     for (const a of box.querySelectorAll(".suggest-term"))
       a.onclick = (e) => { e.preventDefault();
         $("search-input").value = a.textContent; doSearch(); };
