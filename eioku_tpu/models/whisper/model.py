@@ -237,6 +237,88 @@ def _enc_layer(layer: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     return x + linear(jax.nn.gelu(linear(h, layer["mlp1"])), layer["mlp2"])
 
 
+def shard_whisper_enc_specs(params: Params, axis: str = "model"):
+    """Megatron-TP PartitionSpecs for the encoder: q/k/v/mlp1 split the
+    output dim (column), o/mlp2 split the input dim (row), o/mlp2 biases and
+    everything else (stem convs, layernorms) replicate. Used both to place
+    params on a mesh and as whisper_encode_tp's shard_map in_specs."""
+    from jax.sharding import PartitionSpec as P
+
+    def spec(path, leaf) -> P:
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        joined = "/".join(str(k) for k in keys)
+        if joined.endswith(("q/w", "k/w", "v/w", "mlp1/w")):
+            return P(None, axis)
+        if joined.endswith(("q/b", "v/b", "mlp1/b")):
+            return P(axis)
+        if joined.endswith(("o/w", "mlp2/w")):
+            return P(axis, None)
+        return P()  # o/b, mlp2/b (added once, post-psum), ln, convs
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(spec, params)
+
+
+def whisper_encode_tp(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
+                      mesh, axis: str = "model") -> jnp.ndarray:
+    """Tensor-parallel whisper_encode: Megatron column/row splits with the
+    flash-attention kernel running on each device's LOCAL heads inside
+    shard_map (GSPMD can't partition the Pallas custom call itself, so the
+    head dimension is split explicitly — one psum per residual branch, riding
+    ICI). Latency lever for large checkpoints: weights AND attention FLOPs
+    divide by the model-axis size. cfg.n_heads must divide by it; the batch
+    shards over the mesh's other axes. Numerically identical to
+    whisper_encode (parity-tested)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from eioku_tpu.ops.flash_attention import flash_attention
+
+    tp = mesh.shape[axis]
+    if cfg.n_heads % tp:
+        raise ValueError(f"n_heads {cfg.n_heads} must divide tp size {tp}")
+    heads_local = cfg.n_heads // tp
+    data_axes = tuple(a for a in mesh.axis_names if a != axis)
+    batch_spec = P(data_axes if data_axes else None)
+
+    enc = params["enc"]
+    specs = shard_whisper_enc_specs({"enc": enc}, axis)["enc"]
+
+    def local(enc_p, mel_l):
+        x = mel_l.transpose(0, 2, 1).astype(jnp.dtype(cfg.compute_dtype))
+        x = jax.nn.gelu(_conv1d(x, enc_p["conv1"]["w"], enc_p["conv1"]["b"]))
+        x = jax.nn.gelu(_conv1d(x, enc_p["conv2"]["w"], enc_p["conv2"]["b"],
+                                stride=2))
+        x = x + jnp.asarray(sinusoids(x.shape[1], x.shape[2]))[None].astype(x.dtype)
+        b, s, d = x.shape
+        hd = d // cfg.n_heads
+        for layer in enc_p["layers"]:
+            h = layernorm(x, layer["ln1"], eps=1e-5)
+            a = layer["attn"]
+            # column-parallel q/k/v: local slices [d, d/tp] -> local heads
+            q, k, v = linear(h, a["q"]), linear(h, a["k"]), linear(h, a["v"])
+            to_heads = lambda t: t.reshape(b, s, heads_local, hd).transpose(
+                0, 2, 1, 3)
+            o = flash_attention(to_heads(q), to_heads(k), to_heads(v))
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, d // tp)
+            # row-parallel out-proj: partial sums -> one all-reduce; the
+            # replicated bias is added once, after the psum
+            part = jnp.dot(o, a["o"]["w"].astype(o.dtype),
+                           preferred_element_type=jnp.float32).astype(o.dtype)
+            x = x + jax.lax.psum(part, axis) + a["o"]["b"].astype(x.dtype)
+            h = layernorm(x, layer["ln2"], eps=1e-5)
+            g = jax.nn.gelu(linear(h, layer["mlp1"]))  # column: [.., 4d/tp]
+            part = jnp.dot(g, layer["mlp2"]["w"].astype(g.dtype),
+                           preferred_element_type=jnp.float32).astype(g.dtype)
+            x = x + jax.lax.psum(part, axis) + layer["mlp2"]["b"].astype(x.dtype)
+        return layernorm(x, enc_p["ln_post"], eps=1e-5)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(specs, batch_spec),
+                   out_specs=batch_spec, check_rep=False)
+    return fn(enc, mel)
+
+
 def whisper_encode_pp(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
                       mesh, n_micro: int | None = None,
                       axis: str = "model") -> jnp.ndarray:

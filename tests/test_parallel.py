@@ -610,3 +610,46 @@ class TestShardedCheckpoint:
                                 ids, mask, pos, mask)
         np.testing.assert_allclose(float(loss_res), float(loss_cont),
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestTensorParallelWhisper:
+    def test_whisper_encode_tp_matches_single_device(self, mesh8):
+        """TP encoder (Megatron column/row splits, flash attention on local
+        heads inside shard_map) must match the monolithic whisper_encode."""
+        from eioku_tpu.models.whisper.mel import log_mel_spectrogram
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+            whisper_encode,
+            whisper_encode_tp,
+        )
+        from eioku_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, model_parallel=2)  # tiny: 6 heads -> 3 per shard
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((4, 4 * 16000)) * 0.1,
+                          jnp.float32)
+        mel = log_mel_spectrogram(wav, n_mels=cfg.n_mels)[:, :, :200]
+
+        ref = whisper_encode(params, mel, cfg)
+        out = whisper_encode_tp(params, mel, cfg, mesh)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_head_divisibility_enforced(self, mesh8):
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+            whisper_encode_tp,
+        )
+        from eioku_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, model_parallel=4)  # tiny has 6 heads: 6 % 4 != 0
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        with pytest.raises(ValueError, match="divide"):
+            whisper_encode_tp(params, jnp.zeros((4, cfg.n_mels, 200)), cfg,
+                              mesh)
