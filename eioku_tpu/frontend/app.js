@@ -445,6 +445,30 @@ window.addEventListener("DOMContentLoaded", () => {
   $("toggle-objects").onchange = () => toggleOverlay("objects", "object.detection");
   $("toggle-faces").onchange = () => toggleOverlay("faces", "face.detection");
   $("toggle-ocr").onchange = () => toggleOverlay("ocr", "ocr.text");
+  // global keyboard shortcuts (spec req 8.5) — discoverable via "?"
+  window.addEventListener("keydown", (e) => {
+    const tag = document.activeElement?.tagName;
+    if (tag === "INPUT" || tag === "SELECT" || tag === "TEXTAREA") {
+      if (e.key === "Escape") document.activeElement.blur();
+      return;  // typing, not commanding
+    }
+    if (e.ctrlKey || e.metaKey || e.altKey) return;
+    const video = $("video"), inPlayer = !!state.video;
+    const acts = {
+      "/": () => { e.preventDefault(); $("search-input").focus(); },
+      "?": () => $("shortcut-help").classList.toggle("hidden"),
+      "Escape": () => { $("shortcut-help").classList.add("hidden");
+                        if (inPlayer) closeVideo(); },
+      " ": () => { if (inPlayer) { e.preventDefault();
+                    video.paused ? video.play() : video.pause(); } },
+      "ArrowLeft": () => { if (inPlayer) video.currentTime -= 5; },
+      "ArrowRight": () => { if (inPlayer) video.currentTime += 5; },
+      "j": () => { if (inPlayer) jump("prev"); },
+      "k": () => { if (inPlayer) jump("next"); },
+      "f": () => { if (inPlayer) { e.preventDefault(); $("find-input").focus(); } },
+    };
+    acts[e.key]?.();
+  });
   const m = location.hash.match(/#v=(.+)/);
   if (m) openVideo(m[1]);
 });

@@ -61,6 +61,15 @@ class TestDomContract:
             assert opt in html, opt
         assert "sort_by" in js and "suggest-term" in js  # spec reqs 8.4 + 2.4
 
+
+    def test_keyboard_shortcuts_discoverable(self):
+        """Spec req 8.5: shortcuts exist and a '?' overlay documents them."""
+        html, js = read("index.html"), read("app.js")
+        assert 'id="shortcut-help"' in html
+        for key in ("ArrowLeft", "ArrowRight", '"j"', '"k"', '"?"'):
+            assert key in js, key
+        assert "<kbd>" in html  # the discoverable help table
+
 class TestApiContract:
     def _routes(self):
         from eioku_tpu.api.app import create_app
