@@ -63,9 +63,25 @@ def build_context(config: AppConfig | None = None,
                   producer: JobProducer | None = None) -> AppContext:
     config = config or AppConfig()
     register_all_schemas()
+    recovered = False
+    if db is None and config.database_url.startswith("sqlite"):
+        # corruption check + salvage BEFORE opening (spec req 7.4); the
+        # report lands on /health and in the JSON log
+        from eioku_tpu.db.connection import _parse_sqlite_url
+        from eioku_tpu.db.recovery import check_and_recover
+
+        report = check_and_recover(_parse_sqlite_url(config.database_url))
+        recovered = bool(report.get("recovered"))
     db = db or connect(config.database_url)
     run_migrations(db)
     sync = ProjectionSyncService(db)
+    if recovered:
+        # FTS shadow tables are not salvaged — rebuild every projection from
+        # the recovered artifacts table
+        n = sync.resync_all()
+        logging.getLogger(__name__).warning(
+            "rebuilt projections after database recovery",
+            extra={"artifacts": n})
     artifacts = ArtifactRepository(db, projection_sync=sync.sync_artifact)
     videos = VideoRepository(db)
     tasks = TaskRepository(db)

@@ -213,7 +213,14 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
 
     @app.get("/health")
     async def health(request: Request):
-        return {"status": "ok", "database": ctx.db.url}
+        out = {"status": "ok", "database": ctx.db.url}
+        from eioku_tpu.db.recovery import LAST_REPORT
+        if LAST_REPORT.get("checked") and not LAST_REPORT.get("ok", True):
+            # notify operators of detected corruption + salvage outcome
+            # (spec req 7.4); status degrades but the service keeps serving
+            out["status"] = "degraded"
+            out["db_recovery"] = LAST_REPORT
+        return out
 
     @app.get(PREFIX + "/metrics")
     async def metrics(request: Request):

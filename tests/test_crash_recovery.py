@@ -100,3 +100,89 @@ def test_worker_sigkill_then_reconcile_completes(tmp_path):
     assert t.status is TaskStatus.COMPLETED
     arts = ctx.artifacts.get_by_asset(t.video_id, artifact_type="scene")
     assert arts, "recovered task produced no artifacts"
+
+
+class TestCorruptionRecovery:
+    """Spec req 7.4: detect corruption, attempt recovery, notify the user."""
+
+    def _make_corrupt_db(self, tmp_path):
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.db.migrations import run_migrations
+        from eioku_tpu.domain.artifacts import ArtifactEnvelope
+        from eioku_tpu.domain.schema_registry import register_all_schemas
+        from eioku_tpu.repositories.artifact_repository import (
+            ArtifactRepository,
+        )
+        from eioku_tpu.services.projection_sync import ProjectionSyncService
+
+        register_all_schemas()
+        p = str(tmp_path / "e.db")
+        db = Database(f"sqlite:///{p}")
+        run_migrations(db)
+        db.execute("INSERT INTO videos (id, path, created_at)"
+                   " VALUES ('v1','/a.mp4','2026-08-18T00:00:00Z')")
+        repo = ArtifactRepository(db, ProjectionSyncService(db).sync_artifact)
+        repo.create(ArtifactEnvelope(
+            artifact_id="a1", asset_id="v1",
+            artifact_type="transcript.segment", schema_version=1,
+            span_start_ms=0, span_end_ms=1000,
+            payload_json={"text": "salvage me", "language": "en",
+                          "start_ms": 0, "end_ms": 1000},
+            producer="t", producer_version="1", model_profile="balanced",
+            config_hash="c", input_hash="i", run_id="r1"))
+        db.close()
+        size = os.path.getsize(p)
+        with open(p, "r+b") as f:
+            f.seek(size // 2)
+            f.write(b"\xde\xad\xbe\xef" * 256)
+        return p
+
+    def test_salvage_preserves_rows_and_backup(self, tmp_path):
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.db.recovery import check_and_recover
+
+        p = self._make_corrupt_db(tmp_path)
+        rep = check_and_recover(p)
+        assert rep["ok"] is False and rep["recovered"] is True
+        assert rep["tables"]["videos"]["copied"] == 1
+        assert rep["tables"]["artifacts"]["copied"] == 1
+        assert os.path.isfile(rep["corrupt_backup"])
+        db = Database(f"sqlite:///{p}")
+        assert db.scalar("SELECT COUNT(*) FROM videos") == 1
+        # recovered file passes integrity
+        assert db.scalar("PRAGMA quick_check(1)") == "ok"
+        db.close()
+
+    def test_startup_recovers_rebuilds_fts_and_degrades_health(self, tmp_path):
+        """build_context over a corrupt db must come up serving, with FTS
+        rebuilt from salvaged artifacts and /health reporting the event."""
+        from eioku_tpu.api.app import build_context, create_app
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.web.testing import TestClient
+
+        p = self._make_corrupt_db(tmp_path)
+        ctx = build_context(AppConfig(scan_paths=[], auto_discover=False,
+                                      database_url=f"sqlite:///{p}"))
+        app = create_app(ctx=ctx, start_reconciler=False)
+        with TestClient(app) as c:
+            h = c.get("/health").json()
+            assert h["status"] == "degraded"
+            assert h["db_recovery"]["recovered"] is True
+            # FTS was rebuilt from the salvaged artifacts table
+            r = c.get("/api/v1/videos/v1/find?q=salvage").json()
+            assert r["total"] == 1
+        ctx.db.close()
+
+    def test_healthy_db_reports_ok(self, tmp_path):
+        from eioku_tpu.db.recovery import check_and_recover
+
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.db.migrations import run_migrations
+
+        p = str(tmp_path / "ok.db")
+        db = Database(f"sqlite:///{p}")
+        run_migrations(db)
+        db.close()
+        rep = check_and_recover(p)
+        assert rep == {"checked": True, "ok": True, "recovered": False,
+                       "detail": "ok"}
