@@ -220,6 +220,14 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             # (spec req 7.4); status degrades but the service keeps serving
             out["status"] = "degraded"
             out["db_recovery"] = LAST_REPORT
+        from eioku_tpu.services.reconciler import disk_space_status
+        disk = disk_space_status(
+            os.path.dirname(os.path.abspath(ctx.db.path))
+            if ctx.db.path not in (":memory:", "") else ".")
+        out["disk"] = disk
+        if disk.get("low"):  # spec req 7.5: warn before running out of space
+            out["status"] = "degraded" if out["status"] == "ok" else out["status"]
+            out["warnings"] = ["storage volume low on space"]
         return out
 
     @app.get(PREFIX + "/metrics")

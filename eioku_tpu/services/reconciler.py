@@ -44,9 +44,31 @@ class ReconcileReport:
     statuses_synced: int = 0
     leases_requeued: int = 0
     long_running_alerts: int = 0
+    low_disk_alerts: int = 0
 
     def to_dict(self) -> dict:
         return self.__dict__.copy()
+
+
+def disk_space_status(path: str = ".", min_free_bytes: int = 2 << 30,
+                      min_free_pct: float = 5.0) -> dict:
+    """Free-space check for the database/artifact volume (spec req 7.5:
+    'provide warnings before running out of disk space'). Low when free
+    drops under 2 GB OR 5% of the volume."""
+    import shutil
+
+    try:
+        usage = shutil.disk_usage(path or ".")
+    except OSError:
+        return {"checked": False}
+    free_pct = 100.0 * usage.free / max(usage.total, 1)
+    return {
+        "checked": True,
+        "free_bytes": usage.free,
+        "free_gb": round(usage.free / (1 << 30), 2),
+        "free_pct": round(free_pct, 1),
+        "low": usage.free < min_free_bytes or free_pct < min_free_pct,
+    }
 
 
 class Reconciler:
@@ -63,6 +85,10 @@ class Reconciler:
         self._sync_pending(report)
         self._sync_running(report)
         self._alert_long_running(report)
+        disk = disk_space_status(getattr(self.tasks.db, "path", ".") or ".")
+        if disk.get("low"):
+            report.low_disk_alerts += 1
+            log.warning("storage volume low on space", extra=disk)
         if any(vars(report).values()):
             log.info("reconciliation actions", extra=report.to_dict())
         return report

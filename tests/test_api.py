@@ -514,3 +514,33 @@ class TestTimestampedThumbnail:
         v = seed_video(ctx, str(self._clip(tmp_path)))
         r = client.get(f"/api/v1/videos/{v.id}/thumbnail?at_ms=99000")
         assert r.status_code == 200 and r.content[:2] == b"\xff\xd8"
+
+
+class TestDiskSpaceWarning:
+    """Spec req 7.5: warn before running out of disk space."""
+
+    def test_health_reports_disk(self, client):
+        h = client.get("/health").json()
+        assert h["disk"]["checked"] is True
+        assert h["disk"]["free_gb"] >= 0
+
+    def test_low_disk_degrades_health(self, client, monkeypatch):
+        import eioku_tpu.services.reconciler as rec
+
+        monkeypatch.setattr(rec, "disk_space_status",
+                            lambda *a, **kw: {"checked": True,
+                                              "free_bytes": 1 << 20,
+                                              "free_gb": 0.0, "free_pct": 0.1,
+                                              "low": True})
+        h = client.get("/health").json()
+        assert h["status"] == "degraded"
+        assert "storage volume low on space" in h["warnings"]
+
+    def test_reconciler_counts_low_disk(self, ctx, monkeypatch):
+        import eioku_tpu.services.reconciler as rec
+
+        monkeypatch.setattr(rec, "disk_space_status",
+                            lambda *a, **kw: {"checked": True, "low": True,
+                                              "free_gb": 0.1})
+        r = rec.Reconciler(ctx.tasks, ctx.videos, ctx.producer).run()
+        assert r.low_disk_alerts == 1
