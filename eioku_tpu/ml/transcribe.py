@@ -230,6 +230,28 @@ def run_transcription(video_path: str, config: dict,
     init_seq = ([tokens.sot_prev] + prompt_ids if prompt_ids else []) + sot
     sot_index = len(init_seq) - len(sot)
 
+    # speculative decoding (opt-in): a draft checkpoint proposes, this model
+    # verifies — output is EXACTLY the greedy decode (models/whisper/
+    # speculative.py). Eligible only for the plain-greedy configuration; the
+    # beam/timestamp paths keep the KV-cached loop.
+    spec_draft = None
+    draft_model = config.get("draft_model")
+    if draft_model and pretrained:
+        d_params, d_cfg, d_pre = _load_model(
+            _normalize_variant(str(draft_model)), model_cache_dir,
+            str(config.get("compute_dtype", "bfloat16")))
+        eligible = (d_pre and d_cfg.vocab_size == cfg.vocab_size
+                    and int(config.get("beam_size", 5)) == 1
+                    and not use_timestamps
+                    and not prompt_ids)
+        if eligible:
+            spec_draft = (d_params, d_cfg)
+        else:
+            log.warning("draft_model set but speculative decoding needs a "
+                        "pretrained same-vocab draft, beam_size=1, "
+                        "timestamps off, and no initial prompt; using the "
+                        "standard decode")
+
     batch_size = int(config.get("batch_size", 8))
     max_tokens = int(config.get("max_tokens", 128))
     # faster-whisper decode defaults (the reference's engine): beam_size 5,
@@ -340,10 +362,28 @@ def run_transcription(video_path: str, config: dict,
         mel = log_mel_spectrogram(jnp.asarray(wav), n_mels=cfg.n_mels)
         enc = whisper_encode(params, mel, cfg)
         init = jnp.asarray([init_seq] * batch_size, jnp.int32)
-        out, avg_lp, no_speech = whisper_decode_windows(
-            params, enc, init, suppress_always, suppress_begin, cfg,
-            max_len=max_tokens + sot_index, beam_size=beam_size,
-            timestamps=use_timestamps, sot_index=sot_index)
+        if spec_draft is not None:
+            from eioku_tpu.models.whisper.speculative import (
+                score_sequences,
+                speculative_greedy_decode,
+            )
+
+            d_params, d_cfg = spec_draft
+            d_enc = whisper_encode(d_params, mel, d_cfg)
+            out, accept_rate = speculative_greedy_decode(
+                params, cfg, d_params, d_cfg, enc, d_enc, init,
+                suppress_always, suppress_begin,
+                max_len=max_tokens + sot_index,
+                gamma=int(config.get("speculative_gamma", 4)))
+            avg_lp, no_speech = score_sequences(
+                params, cfg, enc, out, len(init_seq), suppress_always)
+            log.info("speculative decode", extra={
+                "accept_rate": round(float(accept_rate), 3)})
+        else:
+            out, avg_lp, no_speech = whisper_decode_windows(
+                params, enc, init, suppress_always, suppress_begin, cfg,
+                max_len=max_tokens + sot_index, beam_size=beam_size,
+                timestamps=use_timestamps, sot_index=sot_index)
         out_j = out
         out = np.array(out)  # writable: the fallback ladder adopts rows
         avg_lp = np.array(avg_lp)

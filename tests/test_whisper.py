@@ -1114,3 +1114,162 @@ class TestMergesAndConditionedPrompt:
         tk = WhisperTokens(cfg.vocab_size)
         assert prompts and prompts[0][0] == tk.sot_prev
         assert 101 in prompts[0]
+
+
+class TestSpeculativeDecoding:
+    """speculative_greedy_decode must produce EXACTLY the target model's own
+    greedy decode — the draft only changes how fast we get there."""
+
+    def _setup(self, t_seed, d_seed, batch=3, ctx=100):
+        from eioku_tpu.models.whisper.mel import log_mel_spectrogram
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+            whisper_encode,
+        )
+        from eioku_tpu.models.whisper.tokenizer import WhisperTokens
+
+        cfg = WhisperConfig("tiny")
+        tp = init_whisper_params(cfg, seed=t_seed)
+        dp = init_whisper_params(cfg, seed=d_seed)
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((batch, 2 * 16000)) * 0.1,
+                          jnp.float32)
+        mel = log_mel_spectrogram(wav, n_mels=cfg.n_mels)[:, :, :2 * ctx]
+        t_enc = whisper_encode(tp, mel, cfg)
+        d_enc = whisper_encode(dp, mel, cfg)
+        tokens = WhisperTokens(cfg.vocab_size)
+        sot = jnp.asarray([tokens.sot_sequence("en", timestamps=False)] * batch,
+                          jnp.int32)
+        return cfg, tp, dp, t_enc, d_enc, sot, tokens
+
+    def _reference_greedy(self, cfg, tp, t_enc, sot, sup_a, sup_b, max_len):
+        from eioku_tpu.models.whisper.decoding import whisper_decode_windows
+
+        out, _, _ = whisper_decode_windows(
+            tp, t_enc, sot, sup_a, sup_b, cfg, max_len=max_len, beam_size=1,
+            timestamps=False)
+        return np.asarray(out)
+
+    @pytest.mark.parametrize("d_seed", [0, 7])  # perfect + adversarial draft
+    def test_exact_greedy_equivalence(self, d_seed):
+        from eioku_tpu.models.whisper.decoding import build_suppress_masks
+        from eioku_tpu.models.whisper.speculative import (
+            speculative_greedy_decode,
+        )
+
+        cfg, tp, dp, t_enc, d_enc, sot, tokens = self._setup(0, d_seed)
+        sup_a, sup_b = build_suppress_masks(tokens, timestamps=False)
+        max_len = 24
+        ref = self._reference_greedy(cfg, tp, t_enc, sot, sup_a, sup_b,
+                                     max_len)
+        out, rate = speculative_greedy_decode(
+            tp, cfg, dp, cfg, t_enc, d_enc, sot, sup_a, sup_b,
+            max_len=max_len, gamma=3)
+        np.testing.assert_array_equal(np.asarray(out), ref)
+        if d_seed == 0:  # draft == target: (almost) everything accepted
+            assert float(rate) > 0.9
+
+    def test_accept_rate_bounded(self):
+        from eioku_tpu.models.whisper.decoding import build_suppress_masks
+        from eioku_tpu.models.whisper.speculative import (
+            speculative_greedy_decode,
+        )
+
+        cfg, tp, dp, t_enc, d_enc, sot, tokens = self._setup(0, 99)
+        sup_a, sup_b = build_suppress_masks(tokens, timestamps=False)
+        _, rate = speculative_greedy_decode(
+            tp, cfg, dp, cfg, t_enc, d_enc, sot, sup_a, sup_b,
+            max_len=16, gamma=4)
+        assert 0.0 <= float(rate) <= 1.0
+
+
+class TestSpeculativeInPipeline:
+    def test_run_transcription_with_draft_model(self, tmp_path, monkeypatch):
+        """draft_model config routes the batched path through speculative
+        decoding (greedy, no timestamps) and still emits valid segments."""
+        import json
+        import wave
+
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+
+        sr = 16000
+        x = (np.sin(2 * np.pi * 250 * np.arange(sr * 2) / sr) * 0.4
+             * 32767).astype(np.int16)
+        wav = tmp_path / "c.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        vocab = {f"Ġw{i}": i for i in range(50257)}
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        cfg = WhisperConfig("tiny")
+        target = init_whisper_params(cfg, seed=0)
+        draft = init_whisper_params(cfg, seed=1)
+
+        def fake_load(variant, *a, **kw):
+            return (draft if variant == "base" else target), cfg, True
+
+        monkeypatch.setattr(transcribe, "_load_model", fake_load)
+        called = {}
+        import eioku_tpu.models.whisper.speculative as spec
+        real = spec.speculative_greedy_decode
+
+        def spy(*a, **kw):
+            called["yes"] = True
+            return real(*a, **kw)
+
+        monkeypatch.setattr(spec, "speculative_greedy_decode", spy)
+        results = transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "draft_model": "base",
+                       "max_tokens": 12, "batch_size": 1, "beam_size": 1,
+                       "timestamps": False, "language": "en",
+                       "no_speech_threshold": 2.0,
+                       "logprob_threshold": -1e9, "temperatures": []},
+            model_cache_dir=str(tmp_path))
+        assert called.get("yes")
+        for r in results:
+            p = r["payload"]
+            assert p["text"] and p["end_ms"] >= p["start_ms"]
+
+    def test_beam_config_falls_back_to_standard(self, tmp_path, monkeypatch):
+        """draft_model with beam_size>1 must warn and use the beam path."""
+        import wave
+
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+
+        sr = 16000
+        x = (np.sin(2 * np.pi * 250 * np.arange(sr) / sr) * 0.4
+             * 32767).astype(np.int16)
+        wav = tmp_path / "c.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        monkeypatch.setattr(transcribe, "_load_model",
+                            lambda *a, **kw: (params, cfg, True))
+        import eioku_tpu.models.whisper.speculative as spec
+
+        def boom(*a, **kw):
+            raise AssertionError("speculative path must not run")
+
+        monkeypatch.setattr(spec, "speculative_greedy_decode", boom)
+        out = transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "draft_model": "base",
+                       "max_tokens": 8, "batch_size": 1, "beam_size": 2,
+                       "timestamps": False, "language": "en",
+                       "no_speech_threshold": 2.0, "temperatures": []},
+            model_cache_dir=str(tmp_path))
+        assert isinstance(out, list)
