@@ -226,7 +226,7 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             if ctx.db.path not in (":memory:", "") else ".")
         out["disk"] = disk
         if disk.get("low"):  # spec req 7.5: warn before running out of space
-            out["status"] = "degraded" if out["status"] == "ok" else out["status"]
+            out["status"] = "degraded"
             out["warnings"] = ["storage volume low on space"]
         return out
 

@@ -25,13 +25,15 @@ log = logging.getLogger(__name__)
 # report of the most recent check/recovery in this process, shown by /health
 LAST_REPORT: dict[str, Any] = {"checked": False}
 
-# ordinary tables worth salvaging, in FK-friendly order; FTS virtual tables
-# and their meta are deliberately rebuilt from artifacts instead
+# source-of-truth tables worth salvaging, in FK-friendly order. Projections
+# (FTS pairs, scene_ranges, object_labels, face_clusters, video_locations,
+# embedding_chunks) are deliberately NOT copied: the startup path rebuilds
+# them all from the salvaged artifacts table (resync_all), so copying them
+# here would be double work thrown away. topics has no artifact source, so
+# it IS salvaged.
 _SALVAGE_TABLES = (
     "schema_migrations", "videos", "path_configs", "tasks", "runs",
-    "artifacts", "artifact_selections", "jobs", "scene_ranges",
-    "object_labels", "face_clusters", "video_locations", "topics",
-    "embedding_chunks",
+    "artifacts", "artifact_selections", "jobs", "topics",
 )
 
 
@@ -108,8 +110,10 @@ def check_and_recover(path: str) -> dict[str, Any]:
 
         new_db = Database(f"sqlite:///{new_path}")
         run_migrations(new_db)
-        # the salvage replays schema_migrations rows; clear the fresh ones
-        new_db.execute("DELETE FROM schema_migrations")
+        # the fresh schema_migrations rows STAY: the salvage INSERT OR
+        # IGNOREs on version, and if the corrupt file's own migration table
+        # is unreadable the fresh rows are what stops run_migrations from
+        # re-CREATE-ing every table on the recovered db at next startup
         src = sqlite3.connect(path, timeout=10.0)
         tables: dict[str, dict[str, int]] = {}
         with new_db.transaction() as dst:

@@ -49,10 +49,17 @@ async function loadGallery() {
 }
 
 /* ---------- semantic search ---------- */
+const previewTimers = new Set();  // cleared on re-render: removed nodes
+                                  // never fire mouseleave
+function clearPreviewTimers() {
+  for (const t of previewTimers) clearInterval(t);
+  previewTimers.clear();
+}
 async function doSearch() {
   const q = $("search-input").value.trim();
   if (!q) return;
   const box = $("search-results");
+  clearPreviewTimers();
   box.classList.remove("hidden");
   box.innerHTML = "<em>Searching…</em>";
   try {
@@ -73,23 +80,26 @@ async function doSearch() {
         <span class="chip">${r.score.toFixed(3)}</span>
       </div>`).join("") || empty);
     for (const el of box.querySelectorAll(".seg")) {
-      el.onclick = () => openVideo(el.dataset.vid, +el.dataset.ms);
+      el.onclick = () => { clearPreviewTimers();
+                           openVideo(el.dataset.vid, +el.dataset.ms); };
       // hover preview (spec req 3.3): animate the scene by cycling the
       // thumbnail through the seconds after the match
       const img = el.querySelector(".mini-thumb");
       if (img) {
         let timer = null, k = 0;
+        const stop = () => {
+          clearInterval(timer); previewTimers.delete(timer); k = 0;
+          img.src = `${API}/videos/${el.dataset.vid}/thumbnail?at_ms=${el.dataset.ms}`;
+        };
         el.onmouseenter = () => {
           timer = setInterval(() => {
             k = (k + 1) % 4;
             img.src = `${API}/videos/${el.dataset.vid}/thumbnail?at_ms=${
               +el.dataset.ms + k * 1000}`;
           }, 600);
+          previewTimers.add(timer);
         };
-        el.onmouseleave = () => {
-          clearInterval(timer); k = 0;
-          img.src = `${API}/videos/${el.dataset.vid}/thumbnail?at_ms=${el.dataset.ms}`;
-        };
+        el.onmouseleave = stop;
       }
     }
     for (const a of box.querySelectorAll(".suggest-term"))
@@ -457,12 +467,17 @@ window.addEventListener("DOMContentLoaded", () => {
     const acts = {
       "/": () => { e.preventDefault(); $("search-input").focus(); },
       "?": () => $("shortcut-help").classList.toggle("hidden"),
-      "Escape": () => { $("shortcut-help").classList.add("hidden");
-                        if (inPlayer) closeVideo(); },
+      "Escape": () => {  // layered: first Esc dismisses the overlay only
+        if (!$("shortcut-help").classList.contains("hidden"))
+          return $("shortcut-help").classList.add("hidden");
+        if (inPlayer) closeVideo();
+      },
       " ": () => { if (inPlayer) { e.preventDefault();
                     video.paused ? video.play() : video.pause(); } },
-      "ArrowLeft": () => { if (inPlayer) video.currentTime -= 5; },
-      "ArrowRight": () => { if (inPlayer) video.currentTime += 5; },
+      "ArrowLeft": () => { if (inPlayer) { e.preventDefault();
+                             video.currentTime -= 5; } },
+      "ArrowRight": () => { if (inPlayer) { e.preventDefault();
+                             video.currentTime += 5; } },
       "j": () => { if (inPlayer) jump("prev"); },
       "k": () => { if (inPlayer) jump("next"); },
       "f": () => { if (inPlayer) { e.preventDefault(); $("find-input").focus(); } },

@@ -237,13 +237,17 @@ def run_transcription(video_path: str, config: dict,
     spec_draft = None
     draft_model = config.get("draft_model")
     if draft_model and pretrained:
-        d_params, d_cfg, d_pre = _load_model(
-            _normalize_variant(str(draft_model)), model_cache_dir,
-            str(config.get("compute_dtype", "bfloat16")))
-        eligible = (d_pre and d_cfg.vocab_size == cfg.vocab_size
-                    and int(config.get("beam_size", 5)) == 1
-                    and not use_timestamps
-                    and not prompt_ids)
+        # cheap config checks FIRST: loading a large draft checkpoint only
+        # to discover the beam/timestamp config disqualifies it would pin
+        # gigabytes of unused weights for the whole job
+        cfg_ok = (int(config.get("beam_size", 5)) == 1
+                  and not use_timestamps and not prompt_ids)
+        eligible = False
+        if cfg_ok:
+            d_params, d_cfg, d_pre = _load_model(
+                _normalize_variant(str(draft_model)), model_cache_dir,
+                str(config.get("compute_dtype", "bfloat16")))
+            eligible = d_pre and d_cfg.vocab_size == cfg.vocab_size
         if eligible:
             spec_draft = (d_params, d_cfg)
         else:
@@ -376,7 +380,8 @@ def run_transcription(video_path: str, config: dict,
                 max_len=max_tokens + sot_index,
                 gamma=int(config.get("speculative_gamma", 4)))
             avg_lp, no_speech = score_sequences(
-                params, cfg, enc, out, len(init_seq), suppress_always)
+                params, cfg, enc, out, len(init_seq), suppress_always,
+                suppress_begin)
             log.info("speculative decode", extra={
                 "accept_rate": round(float(accept_rate), 3)})
         else:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -270,20 +270,30 @@ def whisper_encode_tp(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
     divide by the model-axis size. cfg.n_heads must divide by it; the batch
     shards over the mesh's other axes. Numerically identical to
     whisper_encode (parity-tested)."""
+    tp = mesh.shape[axis]
+    if cfg.n_heads % tp:
+        raise ValueError(f"n_heads {cfg.n_heads} must divide tp size {tp}")
+    return _encode_tp_fn(cfg, mesh, axis)(params["enc"], mel)
+
+
+@lru_cache(maxsize=8)
+def _encode_tp_fn(cfg: WhisperConfig, mesh, axis: str):
+    """Build the jitted shard-mapped TP encoder ONCE per (cfg, mesh, axis):
+    a fresh closure per call would never hit jit's trace cache, paying a full
+    retrace/compile of the whole encoder on every batch."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from eioku_tpu.ops.flash_attention import flash_attention
 
     tp = mesh.shape[axis]
-    if cfg.n_heads % tp:
-        raise ValueError(f"n_heads {cfg.n_heads} must divide tp size {tp}")
     heads_local = cfg.n_heads // tp
     data_axes = tuple(a for a in mesh.axis_names if a != axis)
     batch_spec = P(data_axes if data_axes else None)
-
-    enc = params["enc"]
-    specs = shard_whisper_enc_specs({"enc": enc}, axis)["enc"]
+    # spec tree needs only the param STRUCTURE; eval_shape avoids
+    # materializing a throwaway full-size random init
+    abstract = jax.eval_shape(lambda: init_whisper_params(cfg, seed=0))
+    specs = shard_whisper_enc_specs({"enc": abstract["enc"]}, axis)["enc"]
 
     def local(enc_p, mel_l):
         x = mel_l.transpose(0, 2, 1).astype(jnp.dtype(cfg.compute_dtype))
@@ -314,9 +324,9 @@ def whisper_encode_tp(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,
             x = x + jax.lax.psum(part, axis) + layer["mlp2"]["b"].astype(x.dtype)
         return layernorm(x, enc_p["ln_post"], eps=1e-5)
 
-    fn = shard_map(local, mesh=mesh, in_specs=(specs, batch_spec),
-                   out_specs=batch_spec, check_rep=False)
-    return fn(enc, mel)
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(specs, batch_spec),
+                             out_specs=batch_spec, check_rep=False))
 
 
 def whisper_encode_pp(params: Params, mel: jnp.ndarray, cfg: WhisperConfig,

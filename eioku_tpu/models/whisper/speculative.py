@@ -153,18 +153,30 @@ def speculative_greedy_decode(t_params, t_cfg: WhisperConfig,
 @partial(jax.jit, static_argnames=("cfg", "n_init"))
 def score_sequences(t_params, cfg: WhisperConfig, t_enc: jnp.ndarray,
                     tokens: jnp.ndarray, n_init: int,
-                    suppress_always: jnp.ndarray):
+                    suppress_always: jnp.ndarray,
+                    suppress_begin: jnp.ndarray | None = None):
     """Teacher-forced scores for decoded rows: (avg_logprob [B],
     no_speech_prob [B]) — the two silence-gate signals whisper_decode_windows
     accumulates incrementally, recovered here with one block forward so the
     speculative path feeds the same temperature-fallback/no-speech machinery
-    (ml/transcribe.py)."""
+    (ml/transcribe.py). suppress_begin applies only at the first generated
+    position, exactly as the incremental decoder masks it — without it the
+    first token's logprob (and so avg_lp/confidence) would read lower here
+    than the same decode scored incrementally."""
     tk = WhisperTokens(cfg.vocab_size)
     b, max_len = tokens.shape
-    logits = whisper_decode_full(t_params, tokens, t_enc, cfg).astype(
+    raw = whisper_decode_full(t_params, tokens, t_enc, cfg).astype(
         jnp.float32)
-    lp = jax.nn.log_softmax(
-        jnp.where(suppress_always[None, None], _NEG, logits), axis=-1)
+    # no-speech prob reads the RAW logits at the SOT position, exactly like
+    # whisper_decode_windows' prompt_step — no_speech is itself in the
+    # suppress_always set, so masking first would zero the signal
+    probs_sot = jax.nn.softmax(raw[:, 0], axis=-1)
+    logits = jnp.where(suppress_always[None, None], _NEG, raw)
+    if suppress_begin is not None:
+        at_begin = (jnp.arange(max_len) == n_init - 1)[None, :, None]
+        logits = jnp.where(at_begin & suppress_begin[None, None], _NEG,
+                           logits)
+    lp = jax.nn.log_softmax(logits, axis=-1)
     # logits at col i predict token i+1: generated region starts at n_init
     tok_lp = jnp.take_along_axis(lp[:, :-1], tokens[:, 1:, None],
                                  axis=-1)[..., 0]  # [B, max_len-1]
@@ -176,8 +188,4 @@ def score_sequences(t_params, cfg: WhisperConfig, t_enc: jnp.ndarray,
     counted = gen & (cols[None] <= first_eot[:, None])  # incl. the EOT
     avg_lp = jnp.sum(jnp.where(counted, tok_lp, 0.0), axis=1) / \
         jnp.maximum(jnp.sum(counted, axis=1), 1)
-    # probs after consuming SOT (prompt position n_init-2 predicts the last
-    # prompt slot... SOT sits at index 0 for plain prompts; mirror
-    # whisper_decode_windows' probs-at-SOT read)
-    probs_sot = jax.nn.softmax(logits[:, 0], axis=-1)
     return avg_lp, probs_sot[:, tk.no_speech]

@@ -186,3 +186,27 @@ class TestCorruptionRecovery:
         rep = check_and_recover(p)
         assert rep == {"checked": True, "ok": True, "recovered": False,
                        "detail": "ok"}
+
+    def test_salvage_survives_unreadable_schema_migrations(self, tmp_path):
+        """Corruption on the early pages (schema_migrations unreadable) must
+        still produce a bootable recovered db: the fresh migration rows stay,
+        so the next run_migrations is a no-op instead of re-CREATE-ing
+        tables (review-found startup brick)."""
+        from eioku_tpu.api.app import build_context
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.db.recovery import check_and_recover
+
+        p = self._make_corrupt_db(tmp_path)
+        # additionally clobber the first pages after the sqlite header
+        with open(p, "r+b") as f:
+            f.seek(120)
+            f.write(b"\xde\xad\xbe\xef" * 512)
+        rep = check_and_recover(p)
+        assert rep["ok"] is False
+        if not rep["recovered"]:
+            pytest.skip("file too damaged for salvage on this layout")
+        # startup over the recovered file must not crash on re-migration
+        ctx = build_context(AppConfig(scan_paths=[], auto_discover=False,
+                                      database_url=f"sqlite:///{p}"))
+        assert ctx.db.scalar("SELECT COUNT(*) FROM schema_migrations") >= 6
+        ctx.db.close()
