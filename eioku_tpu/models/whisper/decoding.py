@@ -29,7 +29,7 @@ Timestamp rules implemented (mirroring the public Whisper reference decoder):
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -88,7 +88,8 @@ def build_suppress_masks(tokens: WhisperTokens, timestamps: bool,
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "beam_size",
                                    "timestamps", "max_initial_ts_index",
-                                   "sample"))
+                                   "sample", "step_fn", "cross_kv_fn",
+                                   "kv_dim"))
 def whisper_decode_windows(params, enc_out: jnp.ndarray,
                            initial_tokens: jnp.ndarray,
                            suppress_always: jnp.ndarray,
@@ -99,7 +100,9 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
                            sot_index: int = 0,
                            sample: bool = False,
                            temperature: float = 1.0,
-                           key: jnp.ndarray | None = None):
+                           key: jnp.ndarray | None = None,
+                           step_fn=None, cross_kv_fn=None,
+                           kv_dim: int | None = None):
     """Decode a batch of encoded 30 s windows with beam search + logit rules.
 
     enc_out [B, 1500, d]; initial_tokens [B, n_init] SOT sequences.
@@ -125,14 +128,19 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
     b = enc_out.shape[0]
     k = beam_size
     bk = b * k
-    d = cfg.dim
+    # step_fn/cross_kv_fn/kv_dim: the tensor-parallel decode swaps in
+    # decoder_step_tp with per-device d/tp KV caches (decode_windows_tp);
+    # default = the single-device incremental step
+    step_fn = step_fn or decoder_step
+    cross_kv_fn = cross_kv_fn or precompute_cross_kv
+    d = kv_dim or cfg.dim
     n_layers = cfg.n_dec_layers
     n_init = initial_tokens.shape[1]
     vocab_ids = jnp.arange(vocab)
 
     # [L, B, S, d] — beams fold into the token batch below, but cross-KV stays
     # un-repeated: decoder_step groups each window's k beams onto one row
-    cross_k, cross_v = precompute_cross_kv(params, enc_out)
+    cross_k, cross_v = cross_kv_fn(params, enc_out)
 
     tokens0 = jnp.full((bk, max_len), eot, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(
@@ -143,8 +151,8 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
 
     def prompt_step(pos, carry):
         tokens, sk, sv, nsp = carry
-        logits, sk, sv = decoder_step(params, cross_k, cross_v, tokens,
-                                      sk, sv, pos, cfg)
+        logits, sk, sv = step_fn(params, cross_k, cross_v, tokens,
+                                 sk, sv, pos, cfg)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         nsp = jnp.where(pos == sot_index, probs[:, no_speech_id], nsp)
         return tokens, sk, sv, nsp
@@ -210,8 +218,8 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
 
     def body(state):
         pos, tokens, sk, sv, sum_lp, n_gen, finished, nsp = state
-        logits, sk, sv = decoder_step(params, cross_k, cross_v, tokens,
-                                      sk, sv, pos, cfg)
+        logits, sk, sv = step_fn(params, cross_k, cross_v, tokens,
+                                 sk, sv, pos, cfg)
         logits = logits.astype(jnp.float32)
         logits = jnp.where(suppress_always[None], _NEG, logits)
         logits = jnp.where((pos == n_init - 1) & suppress_begin[None],
@@ -270,3 +278,72 @@ def whisper_decode_windows(params, enc_out: jnp.ndarray,
     best_tokens = tokens.reshape(b, k, max_len)[rows, best]
     return (best_tokens, avg_lp[rows, best],
             no_speech.reshape(b, k)[:, 0])
+
+
+def whisper_decode_windows_tp(params, enc_out: jnp.ndarray,
+                              initial_tokens: jnp.ndarray,
+                              suppress_always: jnp.ndarray,
+                              suppress_begin: jnp.ndarray,
+                              cfg: WhisperConfig, mesh, axis: str = "model",
+                              key: jnp.ndarray | None = None, **kwargs):
+    """Tensor-parallel whisper_decode_windows: the whole KV-cached beam loop
+    runs inside shard_map with Megatron-sharded decoder weights
+    (model.decoder_step_tp — per-device KV caches carry d/tp features, one
+    psum per residual branch plus the tied-embedding logit reduction). The
+    decode-latency lever for large checkpoints: per-step weight reads AND
+    attention FLOPs divide by the model-axis size, while all beam/top-k
+    logic operates on replicated post-psum logits so every device agrees.
+    Accepts whisper_decode_windows' kwargs (beam_size, timestamps, ...);
+    numerically identical to it (parity-tested)."""
+    tp = mesh.shape[axis]
+    if cfg.n_heads % tp:
+        raise ValueError(f"n_heads {cfg.n_heads} must divide tp size {tp}")
+    if key is None:
+        key = jax.random.PRNGKey(0)  # unused unless sample=True
+    fn = _decode_tp_fn(cfg, mesh, axis, tuple(sorted(kwargs.items())))
+    return fn(params, enc_out, initial_tokens, suppress_always,
+              suppress_begin, key)
+
+
+@lru_cache(maxsize=8)
+def _decode_tp_fn(cfg: WhisperConfig, mesh, axis: str,
+                  frozen_kwargs: tuple):
+    """Build the shard-mapped TP decode ONCE per (cfg, mesh, axis, options):
+    fresh closures/partials per call would never hit jit's trace cache."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from eioku_tpu.models.layers import linear
+    from eioku_tpu.models.whisper.model import (
+        decoder_step_tp,
+        init_whisper_params,
+        shard_whisper_specs,
+    )
+
+    kwargs = dict(frozen_kwargs)
+    tp = mesh.shape[axis]
+    # spec tree from the abstract param structure (no materialization)
+    specs = shard_whisper_specs(
+        jax.eval_shape(lambda: init_whisper_params(cfg, seed=0)), axis)
+
+    def step_tp(params_l, ck, cv, tokens, sk, sv, pos, cfg_):
+        return decoder_step_tp(params_l, ck, cv, tokens, sk, sv, pos, cfg_,
+                               axis=axis)
+
+    def cross_kv_local(params_l, enc_l):
+        dec = params_l["dec"]
+        ck = jnp.stack([linear(enc_l, layer["cross"]["k"])
+                        for layer in dec["layers"]])
+        cv = jnp.stack([linear(enc_l, layer["cross"]["v"])
+                        for layer in dec["layers"]])
+        return ck, cv
+
+    def local(params_l, enc_l, init_l, sup_a, sup_b, key_l):
+        return whisper_decode_windows(
+            params_l, enc_l, init_l, sup_a, sup_b, cfg,
+            step_fn=step_tp, cross_kv_fn=cross_kv_local,
+            kv_dim=cfg.dim // tp, key=key_l, **kwargs)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(specs, P(), P(), P(), P(), P()),
+                     out_specs=(P(), P(), P()), check_rep=False)

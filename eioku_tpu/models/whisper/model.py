@@ -526,6 +526,92 @@ def decoder_step(params: Params, cross_k, cross_v, tokens, self_k, self_v,
     return logits, self_k, self_v
 
 
+def shard_whisper_specs(params: Params, axis: str = "model"):
+    """Megatron-TP PartitionSpecs for the FULL model (encoder specs from
+    shard_whisper_enc_specs; decoder: attn+cross q/k/v column, o row,
+    mlp1 column, mlp2 row, tok_emb split on the embedding dim — it is both
+    the input table and the tied output projection — pos_emb and layernorms
+    replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    import jax.tree_util as jtu
+
+    def spec(path, leaf) -> P:
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        joined = "/".join(str(k) for k in keys)
+        if joined == "dec/tok_emb":
+            return P(None, axis)
+        if joined == "dec/pos_emb":
+            return P()
+        if joined.endswith(("q/w", "k/w", "v/w", "mlp1/w")):
+            return P(None, axis)
+        if joined.endswith(("q/b", "v/b", "k/b", "mlp1/b")):
+            return P(axis)
+        if joined.endswith(("o/w", "mlp2/w")):
+            return P(axis, None)
+        return P()
+
+    return jtu.tree_map_with_path(spec, params)
+
+
+def decoder_step_tp(params: Params, cross_k, cross_v, tokens, self_k, self_v,
+                    pos, cfg: WhisperConfig, axis: str = "model"):
+    """decoder_step with Megatron-sharded weights, for use INSIDE shard_map:
+    q/k/v/mlp1 are local column slices (KV caches carry d/tp features),
+    o/mlp2 row-parallel with one psum per residual branch, and the tied
+    tok_emb is split on the feature dim — the input lookup all-gathers its
+    d/tp slice, the output projection psums partial vocab logits. Activations
+    stay full-d replicated, so all beam/top-k logic downstream is identical
+    on every device. Numerically equal to decoder_step (parity-tested)."""
+    dec = params["dec"]
+    b, max_len = tokens.shape
+    d = cfg.dim
+    heads_local = dec["layers"][0]["attn"]["q"]["w"].shape[1] \
+        * cfg.n_heads // d  # = n_heads / tp, from the local column width
+    tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
+    emb_local = dec["tok_emb"][tok[:, 0]][:, None, :]  # [B, 1, d/tp]
+    emb = jax.lax.all_gather(emb_local, axis, axis=-1, tiled=True)  # [B,1,d]
+    x = (emb + jax.lax.dynamic_slice(dec["pos_emb"], (pos, 0), (1, d))[None]
+         ).astype(jnp.dtype(cfg.compute_dtype))
+    valid = (jnp.arange(max_len) <= pos)[None, None, None, :]
+
+    def row_parallel(h_local, p):  # partial matmul -> all-reduce -> + bias
+        part = jnp.dot(h_local, p["w"].astype(h_local.dtype),
+                       preferred_element_type=jnp.float32).astype(h_local.dtype)
+        return jax.lax.psum(part, axis) + p["b"].astype(h_local.dtype)
+
+    for li, layer in enumerate(dec["layers"]):
+        h = layernorm(x, layer["ln1"], eps=1e-5)
+        q = linear(h, layer["attn"]["q"])
+        k_new = linear(h, layer["attn"]["k"])
+        v_new = linear(h, layer["attn"]["v"])
+        self_k = jax.lax.dynamic_update_slice(self_k, k_new[None],
+                                              (li, 0, pos, 0))
+        self_v = jax.lax.dynamic_update_slice(self_v, v_new[None],
+                                              (li, 0, pos, 0))
+        attn = _attend(q, self_k[li], self_v[li], heads_local, mask=valid)
+        x = x + row_parallel(attn, layer["attn"]["o"])
+        h = layernorm(x, layer["ln_cross"], eps=1e-5)
+        q = linear(h, layer["cross"]["q"])
+        if cross_k.shape[1] == b:
+            cross = _attend(q, cross_k[li], cross_v[li], heads_local)
+        else:  # beams share encoder rows
+            cross = _attend_grouped(q, cross_k[li], cross_v[li], heads_local)
+        x = x + row_parallel(cross, layer["cross"]["o"])
+        h = layernorm(x, layer["ln2"], eps=1e-5)
+        x = x + row_parallel(jax.nn.gelu(linear(h, layer["mlp1"])),
+                             layer["mlp2"])
+    x = layernorm(x, dec["ln"], eps=1e-5)
+    # tied output projection: contract over this device's d/tp slice of x
+    d_local = dec["tok_emb"].shape[1]
+    idx = jax.lax.axis_index(axis)
+    x_slice = jax.lax.dynamic_slice(x[:, 0], (0, idx * d_local), (b, d_local))
+    logits = jax.lax.psum(
+        jnp.einsum("bd,vd->bv", x_slice, dec["tok_emb"].astype(x.dtype),
+                   preferred_element_type=jnp.float32), axis)
+    return logits, self_k, self_v
+
+
 # -- greedy decode with KV cache --------------------------------------------------------
 
 

@@ -653,3 +653,47 @@ class TestTensorParallelWhisper:
         with pytest.raises(ValueError, match="divide"):
             whisper_encode_tp(params, jnp.zeros((4, cfg.n_mels, 200)), cfg,
                               mesh)
+
+
+class TestTensorParallelWhisperDecode:
+    @pytest.mark.parametrize("beam", [1, 2])
+    def test_tp_decode_matches_single_device(self, mesh8, beam):
+        """The full KV-cached decode loop under TP (decoder_step_tp inside
+        shard_map) must reproduce the single-device decode exactly: same
+        tokens, same avg_logprob, same no-speech probs."""
+        from eioku_tpu.models.whisper.decoding import (
+            build_suppress_masks,
+            whisper_decode_windows,
+            whisper_decode_windows_tp,
+        )
+        from eioku_tpu.models.whisper.mel import log_mel_spectrogram
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+            whisper_encode,
+        )
+        from eioku_tpu.models.whisper.tokenizer import WhisperTokens
+        from eioku_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, model_parallel=2)
+        cfg = WhisperConfig("tiny")  # 6 heads -> 3 per device
+        params = init_whisper_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((2, 2 * 16000)) * 0.1,
+                          jnp.float32)
+        mel = log_mel_spectrogram(wav, n_mels=cfg.n_mels)[:, :, :200]
+        enc = whisper_encode(params, mel, cfg)
+        tokens = WhisperTokens(cfg.vocab_size)
+        sot = jnp.asarray([tokens.sot_sequence("en")] * 2, jnp.int32)
+        sup_a, sup_b = build_suppress_masks(tokens, timestamps=True)
+
+        ref_out, ref_lp, ref_nsp = whisper_decode_windows(
+            params, enc, sot, sup_a, sup_b, cfg, max_len=16, beam_size=beam)
+        tp_out, tp_lp, tp_nsp = whisper_decode_windows_tp(
+            params, enc, sot, sup_a, sup_b, cfg, mesh,
+            max_len=16, beam_size=beam)
+        np.testing.assert_array_equal(np.asarray(tp_out), np.asarray(ref_out))
+        np.testing.assert_allclose(np.asarray(tp_lp), np.asarray(ref_lp),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tp_nsp), np.asarray(ref_nsp),
+                                   rtol=1e-4, atol=1e-5)
