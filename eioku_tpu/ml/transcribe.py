@@ -256,6 +256,45 @@ def run_transcription(video_path: str, config: dict,
                         "timestamps off, and no initial prompt; using the "
                         "standard decode")
 
+    # tensor-parallel serving (opt-in, config {"tensor_parallel": N}): shard
+    # the encoder/decoder weights Megatron-style over an N-device model axis —
+    # per-window latency divides by N for large checkpoints (weights AND
+    # attention FLOPs split; one psum per residual branch rides ICI). Output
+    # is token-for-token identical to the single-device decode (parity-tested,
+    # tests/test_parallel.py::TestTensorParallelWhisperDecode).
+    tp_mesh = None
+    tp = int(config.get("tensor_parallel", 1))
+    if tp > 1:
+        if (len(jax.devices()) >= tp and cfg.n_heads % tp == 0
+                and spec_draft is None):
+            from eioku_tpu.parallel.mesh import make_mesh
+
+            tp_mesh = make_mesh(tp, model_parallel=tp)
+            log.info("tensor-parallel transcription", extra={"tp": tp})
+        else:
+            log.warning("tensor_parallel=%d needs >=%d devices, "
+                        "n_heads %% tp == 0, and no draft_model; "
+                        "falling back to single-device decode", tp, tp)
+
+    def _encode(mel_b: jnp.ndarray) -> jnp.ndarray:
+        if tp_mesh is not None:
+            from eioku_tpu.models.whisper.model import whisper_encode_tp
+
+            return whisper_encode_tp(params, mel_b, cfg, tp_mesh)
+        return whisper_encode(params, mel_b, cfg)
+
+    def _decode(enc_b: jnp.ndarray, init_b: jnp.ndarray, **kw):
+        if tp_mesh is not None:
+            from eioku_tpu.models.whisper.decoding import (
+                whisper_decode_windows_tp,
+            )
+
+            return whisper_decode_windows_tp(
+                params, enc_b, init_b, suppress_always, suppress_begin, cfg,
+                tp_mesh, **kw)
+        return whisper_decode_windows(
+            params, enc_b, init_b, suppress_always, suppress_begin, cfg, **kw)
+
     batch_size = int(config.get("batch_size", 8))
     max_tokens = int(config.get("max_tokens", 128))
     # faster-whisper decode defaults (the reference's engine): beam_size 5,
@@ -364,7 +403,7 @@ def run_transcription(video_path: str, config: dict,
         wav = np.stack([c[1] for c in chunk] +
                        [np.zeros(SAMPLES_PER_WINDOW, np.float32)] * pad)
         mel = log_mel_spectrogram(jnp.asarray(wav), n_mels=cfg.n_mels)
-        enc = whisper_encode(params, mel, cfg)
+        enc = _encode(mel)
         init = jnp.asarray([init_seq] * batch_size, jnp.int32)
         if spec_draft is not None:
             from eioku_tpu.models.whisper.speculative import (
@@ -385,10 +424,10 @@ def run_transcription(video_path: str, config: dict,
             log.info("speculative decode", extra={
                 "accept_rate": round(float(accept_rate), 3)})
         else:
-            out, avg_lp, no_speech = whisper_decode_windows(
-                params, enc, init, suppress_always, suppress_begin, cfg,
-                max_len=max_tokens + sot_index, beam_size=beam_size,
-                timestamps=use_timestamps, sot_index=sot_index)
+            out, avg_lp, no_speech = _decode(
+                enc, init, max_len=max_tokens + sot_index,
+                beam_size=beam_size, timestamps=use_timestamps,
+                sot_index=sot_index)
         out_j = out
         out = np.array(out)  # writable: the fallback ladder adopts rows
         avg_lp = np.array(avg_lp)
@@ -412,11 +451,10 @@ def run_transcription(video_path: str, config: dict,
             # and adopt the new rows for the failed windows only. The final
             # rung is adopted unconditionally (the silence gate still applies).
             key = jax.random.PRNGKey((i << 8) | ti)
-            out_t, lp_t, _ = whisper_decode_windows(
-                params, enc, init, suppress_always, suppress_begin, cfg,
-                max_len=max_tokens + sot_index, beam_size=beam_size,
-                timestamps=use_timestamps, sot_index=sot_index,
-                sample=True, temperature=temp, key=key)
+            out_t, lp_t, _ = _decode(
+                enc, init, max_len=max_tokens + sot_index,
+                beam_size=beam_size, timestamps=use_timestamps,
+                sot_index=sot_index, sample=True, temperature=temp, key=key)
             out_t, lp_t = np.asarray(out_t), np.asarray(lp_t)
             out[failed] = out_t[failed]
             avg_lp[failed] = lp_t[failed]

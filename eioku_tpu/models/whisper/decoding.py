@@ -285,7 +285,8 @@ def whisper_decode_windows_tp(params, enc_out: jnp.ndarray,
                               suppress_always: jnp.ndarray,
                               suppress_begin: jnp.ndarray,
                               cfg: WhisperConfig, mesh, axis: str = "model",
-                              key: jnp.ndarray | None = None, **kwargs):
+                              key: jnp.ndarray | None = None,
+                              temperature: float = 1.0, **kwargs):
     """Tensor-parallel whisper_decode_windows: the whole KV-cached beam loop
     runs inside shard_map with Megatron-sharded decoder weights
     (model.decoder_step_tp — per-device KV caches carry d/tp features, one
@@ -301,8 +302,11 @@ def whisper_decode_windows_tp(params, enc_out: jnp.ndarray,
     if key is None:
         key = jax.random.PRNGKey(0)  # unused unless sample=True
     fn = _decode_tp_fn(cfg, mesh, axis, tuple(sorted(kwargs.items())))
+    # temperature rides as a TRACED scalar (not in the cache key): the
+    # temperature-fallback ladder re-decodes at 5 temperatures and must hit
+    # one compiled program, not five
     return fn(params, enc_out, initial_tokens, suppress_always,
-              suppress_begin, key)
+              suppress_begin, key, jnp.float32(temperature))
 
 
 @lru_cache(maxsize=8)
@@ -338,12 +342,12 @@ def _decode_tp_fn(cfg: WhisperConfig, mesh, axis: str,
                         for layer in dec["layers"]])
         return ck, cv
 
-    def local(params_l, enc_l, init_l, sup_a, sup_b, key_l):
+    def local(params_l, enc_l, init_l, sup_a, sup_b, key_l, temp_l):
         return whisper_decode_windows(
             params_l, enc_l, init_l, sup_a, sup_b, cfg,
             step_fn=step_tp, cross_kv_fn=cross_kv_local,
-            kv_dim=cfg.dim // tp, key=key_l, **kwargs)
+            kv_dim=cfg.dim // tp, key=key_l, temperature=temp_l, **kwargs)
 
     return shard_map(local, mesh=mesh,
-                     in_specs=(specs, P(), P(), P(), P(), P()),
+                     in_specs=(specs, P(), P(), P(), P(), P(), P()),
                      out_specs=(P(), P(), P()), check_rep=False)

@@ -697,3 +697,30 @@ class TestTensorParallelWhisperDecode:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(tp_nsp), np.asarray(ref_nsp),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_run_transcription_tensor_parallel(self, tmp_path, caplog):
+        """The serving path: config {"tensor_parallel": 2} routes
+        run_transcription through the sharded encode + decode and produces
+        the same transcript results as the single-device path."""
+        import logging
+        import wave
+
+        from eioku_tpu.ml.transcribe import run_transcription
+
+        sr = 16000
+        t = np.arange(sr * 3) / sr
+        x = (np.sin(2 * np.pi * 300 * t) * 0.4 * 32767).astype(np.int16)
+        wav = tmp_path / "clip.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        base = {"model": "whisper-tiny", "max_tokens": 8, "batch_size": 1,
+                "vad_filter": False}
+        ref = run_transcription(str(wav), base)
+        with caplog.at_level(logging.INFO, logger="eioku_tpu.ml.transcribe"):
+            tp = run_transcription(str(wav), {**base, "tensor_parallel": 2})
+        assert any("tensor-parallel" in r.message for r in caplog.records), \
+            "TP path was not taken"
+        assert tp == ref
