@@ -171,7 +171,22 @@ def bench_embed(n_batches: int = 10, batch: int = 256, seq: int = 256) -> float:
     dt = time.time() - t0
     cps = n_batches * batch / dt
     _log(f"embed: {cps:.1f} chunks/s")
-    return cps
+
+    # int8 serving variant (ops/quant.py, opt-in config embed_int8): same
+    # harness on the quantized encoder — the MXU int8 path's real gain
+    from eioku_tpu.ops.quant import quantize_linears
+
+    qparams = {k: quantize_linears(v) if k == "layers" else v
+               for k, v in params.items()}
+    out = minilm_embed(qparams, ids, mask, cfg)
+    float(out.sum())  # compile
+    t0 = time.time()
+    outs = [minilm_embed(qparams, x, mask, cfg) for x in inputs]
+    jax.block_until_ready(outs)
+    float(outs[-1].sum())
+    cps_q = n_batches * batch / (time.time() - t0)
+    _log(f"embed int8: {cps_q:.1f} chunks/s")
+    return cps, {"embed_int8_chunks_per_s": round(cps_q)}
 
 
 def _ensure_clip(clip_s: int = 60) -> str:

@@ -77,6 +77,10 @@ class AppConfig:
     auto_discover: bool = True
     semantic_search: bool = True
 
+    # int8-quantized MiniLM serving for the semantic index (ops/quant.py):
+    # the MXU's double-rate int8 path, ~1e-3 cosine deviation
+    embed_int8: bool = False
+
     workload_profile: str = "balanced"
     # one visual_analysis task (single decode pass) instead of the four
     # frame-based visual tasks
@@ -145,6 +149,7 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
         cfg.index_dir = data.get("index_dir")
         cfg.auto_discover = data.get("auto_discover", cfg.auto_discover)
         cfg.semantic_search = data.get("semantic_search", cfg.semantic_search)
+        cfg.embed_int8 = data.get("embed_int8", cfg.embed_int8)
         cfg.workload_profile = data.get("workload_profile", cfg.workload_profile)
         cfg.combined_visual = data.get("combined_visual", cfg.combined_visual)
         log.info("loaded config", extra={"config_path": path})

@@ -127,6 +127,17 @@ class SemanticIndex:
             self._params, self._cfg, self.pretrained = load_minilm(cache)
             # indexing throughput path: bf16 encoder activations
             self._cfg = replace(self._cfg, compute_dtype="bfloat16")
+            # opt-in int8 serving (config {"embed_int8": true} or env): the
+            # MXU's double-rate int8 path, ~1e-3 cosine deviation on the
+            # normalized embeddings (ops/quant.py; parity-tested)
+            if (getattr(self.ctx.config, "embed_int8", False)
+                    or os.environ.get("EIOKU_EMBED_INT8") == "1"):
+                from eioku_tpu.ops.quant import quantize_linears
+
+                self._params = {
+                    k: quantize_linears(v) if k == "layers" else v
+                    for k, v in self._params.items()}
+                log.info("int8-quantized embedder enabled")
             self._tokenizer = WordPieceTokenizer.from_cache_dir(cache, max_len=256)
             if not self.pretrained:
                 log.warning("minilm checkpoint not found; using random weights")

@@ -105,6 +105,10 @@ def init_batchnorm(ch: int) -> Params:
 
 
 def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    if "w_q" in p:  # int8-quantized params (ops/quant.py) — trace-time branch
+        from eioku_tpu.ops.quant import linear_q
+
+        return linear_q(x, p)
     out = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     out = out.astype(x.dtype)
     if "b" in p:

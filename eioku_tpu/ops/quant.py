@@ -1,0 +1,69 @@
+"""Post-training int8 quantization for linear layers (weight-only storage,
+dynamic activation quantization at compute time).
+
+TPU-native rationale: the MXU multiplies int8 operands at twice the bf16
+rate (e.g. v5e: 394 int8 TOPS vs 197 bf16 TFLOPs) and int8 weights halve
+HBM traffic again over bf16 — for matmul-bound serving (the MiniLM embed
+stage) this is a near-2x lever with ~1e-3 cosine deviation on normalized
+embeddings. The reference has no quantized path (its torch models run fp16);
+this is a beyond-parity serving feature, opt-in per task config.
+
+Scheme: symmetric per-output-channel int8 weights (scale = max|w|/127 per
+column), symmetric per-row dynamic activation quantization (scale recomputed
+from each row's max at trace time — no calibration set needed), int8 x int8
+-> int32 accumulation via `preferred_element_type`, dequantized by the outer
+product of the two scales. models/layers.py:linear dispatches on the "w_q"
+key, so a quantized param tree drops into ANY model built from `linear`
+(MiniLM, Whisper, CRNN, ...) without touching the model code.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from eioku_tpu.models.layers import Params
+
+
+def quantize_linear(p: Params) -> Params:
+    """{"w": [in,out] float, "b"?} -> {"w_q": int8, "w_s": [out] f32, "b"?}."""
+    w = np.asarray(p["w"], np.float32)
+    s = np.max(np.abs(w), axis=0) / 127.0
+    s = np.maximum(s, 1e-12)  # all-zero columns: keep the scale finite
+    wq = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+    out: Params = {"w_q": jnp.asarray(wq), "w_s": jnp.asarray(s, jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_linears(tree):
+    """Recursively replace every linear-param dict ({"w": 2-D array, ...})
+    in a param tree with its int8-quantized form. Embedding tables (bare
+    arrays), layernorms ({"gamma","beta"}), and conv params (w.ndim != 2)
+    pass through untouched."""
+    if isinstance(tree, dict):
+        w = tree.get("w")
+        if w is not None and getattr(w, "ndim", 0) == 2:
+            return quantize_linear(tree)
+        return {k: quantize_linears(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(quantize_linears(v) for v in tree)
+    return tree
+
+
+def linear_q(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """int8 matmul for a quantized linear dict (called from layers.linear).
+
+    Activations quantize per row in f32 (bf16 rounding would dominate the
+    quantization error), the dot accumulates in int32 on the MXU's
+    double-rate int8 path, and the result dequantizes by sx (per row) and
+    w_s (per output channel)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.rint(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jnp.dot(xq, p["w_q"], preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * sx * p["w_s"]).astype(x.dtype)
+    if "b" in p:
+        out = out + p["b"].astype(x.dtype)
+    return out
