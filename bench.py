@@ -398,7 +398,8 @@ def bench_pipeline() -> float:
 
 
 def _bench_whisper_common(beam_size: int, batch: int = 4,
-                          decode_tokens: int = 64) -> float:
+                          decode_tokens: int = 64,
+                          int8: bool = False) -> float:
     """Audio-seconds transcribed per wall second: batched 30 s windows through
     encoder + KV-cached decode (fixed token budget; random weights — measures
     architecture cost, not content-dependent decode length)."""
@@ -417,6 +418,10 @@ def _bench_whisper_common(beam_size: int, batch: int = 4,
     variant = "large-v3-turbo"
     cfg = WhisperConfig(variant, compute_dtype="bfloat16")  # production setting
     params = init_whisper_params(cfg, seed=0)
+    if int8:  # the serving config {"compute_dtype": "int8"} (ml/transcribe)
+        from eioku_tpu.ops.quant import quantize_linears
+
+        params = quantize_linears(params)
     tokens = WhisperTokens(cfg.vocab_size)
     sot = jnp.asarray([tokens.sot_sequence("en")] * batch, jnp.int32)
     rng = np.random.default_rng(0)
@@ -459,10 +464,11 @@ def _bench_whisper_common(beam_size: int, batch: int = 4,
     dt = time.time() - t0
     audio_per_s = n * batch * 30.0 / dt
     tokens_per_s = n * batch * decode_tokens / dt
-    _log(f"whisper {variant} beam={beam_size}: {audio_per_s:.1f} "
-         f"audio-seconds/s, {tokens_per_s:.0f} decoded tokens/s "
-         f"({decode_tokens} tokens/window)")
-    return audio_per_s, {f"whisper_beam{beam_size}_"
+    tag = "int8_" if int8 else ""
+    _log(f"whisper {variant} beam={beam_size}{' int8' if int8 else ''}: "
+         f"{audio_per_s:.1f} audio-seconds/s, {tokens_per_s:.0f} decoded "
+         f"tokens/s ({decode_tokens} tokens/window)")
+    return audio_per_s, {f"whisper_beam{beam_size}_{tag}"
                          f"{decode_tokens}tok_decoded_tokens_per_s":
                          round(tokens_per_s)}
 
@@ -484,6 +490,14 @@ def bench_whisper_beam_full():
     number a production deployment pays (the 64-token stages measure
     architecture cost for cross-run comparability)."""
     return _bench_whisper_common(beam_size=5, decode_tokens=224)
+
+
+def bench_whisper_int8():
+    """The int8 serving config (compute_dtype "int8", faster-whisper
+    compute_type parity): beam 5 at the realistic 224-token budget with
+    every attention/MLP linear quantized — halved weight reads in the
+    bandwidth-bound decode loop plus the MXU's double-rate int8 path."""
+    return _bench_whisper_common(beam_size=5, decode_tokens=224, int8=True)
 
 
 def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
@@ -523,6 +537,7 @@ STAGES = {
     "whisper": bench_whisper,
     "whisper_beam": bench_whisper_beam,
     "whisper_beam_full": bench_whisper_beam_full,
+    "whisper_int8": bench_whisper_int8,
 }
 
 # per-stage wall-clock ceilings (remote compile can be slow: the same MiniLM
@@ -531,12 +546,13 @@ STAGES = {
 STAGE_TIMEOUT_S = {"detect": 600, "detect_m": 420, "embed": 420,
                    "pipeline": 900, "combined": 600, "scenes": 300,
                    "query": 240, "whisper": 600, "whisper_beam": 420,
-                   "whisper_beam_full": 420}
+                   "whisper_beam_full": 420, "whisper_int8": 420}
 # skip a stage outright when less than this remains: a run that can't finish
 # shouldn't burn the budget of later (cheaper) stages
 STAGE_MIN_S = {"detect": 90, "detect_m": 90, "embed": 60, "pipeline": 180,
                "combined": 120, "scenes": 60, "query": 45, "whisper": 120,
-               "whisper_beam": 120, "whisper_beam_full": 120}
+               "whisper_beam": 120, "whisper_beam_full": 120,
+               "whisper_int8": 120}
 
 
 def _setup_jax():
@@ -649,7 +665,8 @@ def _assemble(vals: dict[str, float | None], backend: str) -> dict:
              "query": ("query_p50_ms_10k", 2),
              "whisper": ("whisper_audio_seconds_per_s", 1),
              "whisper_beam": ("whisper_beam5_audio_seconds_per_s", 1),
-             "whisper_beam_full": ("whisper_beam5_224tok_audio_seconds_per_s", 1)}
+             "whisper_beam_full": ("whisper_beam5_224tok_audio_seconds_per_s", 1),
+             "whisper_int8": ("whisper_int8_224tok_audio_seconds_per_s", 1)}
     for stage, (key, nd) in names.items():
         if vals.get(stage) is not None:
             extra[key] = round(vals[stage], nd)
@@ -770,7 +787,8 @@ def main() -> None:
             # beam-5 first: it is the production default, and the k=1 variant
             # of the decode program has shown pathological compile times on
             # this backend — it must not burn the beam stage's budget
-            order += ["whisper_beam", "whisper_beam_full", "whisper"]
+            order += ["whisper_beam", "whisper_beam_full", "whisper_int8",
+                      "whisper"]
     misses = 0
     for stage in order:
         vals[stage] = _run_stage_subprocess(stage, force_cpu=force_cpu)

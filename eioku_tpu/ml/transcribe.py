@@ -183,10 +183,13 @@ def run_transcription(video_path: str, config: dict,
     variant = _normalize_variant(config.get("model", "large-v3"))
     # bf16 weights + activations: the production setting, mirroring
     # faster-whisper's fp16 default (config {"compute_dtype": "float32"}
-    # overrides)
+    # overrides). "int8" / "int8_bfloat16" (faster-whisper's compute_type
+    # names) loads bf16 and post-training-quantizes every linear below.
+    cd_raw = str(config.get("compute_dtype", "bfloat16"))
+    want_int8 = cd_raw.lower().startswith("int8")
     params, cfg, pretrained = _load_model(
         variant, model_cache_dir,
-        str(config.get("compute_dtype", "bfloat16")),
+        "bfloat16" if want_int8 else cd_raw,
         bool(config.get("random_full_size", False)))
     tokens = WhisperTokens(cfg.vocab_size)
     text_decoder = WhisperTextDecoder.from_cache_dir(model_cache_dir,
@@ -275,6 +278,22 @@ def run_transcription(video_path: str, config: dict,
             log.warning("tensor_parallel=%d needs >=%d devices, "
                         "n_heads %% tp == 0, and no draft_model; "
                         "falling back to single-device decode", tp, tp)
+
+    if want_int8:
+        if tp_mesh is None:
+            # quantize every attention/MLP linear (enc + dec) to int8 —
+            # the MXU double-rate path + halved weight reads in the
+            # bandwidth-bound decode loop; convs, embeddings, and layernorms
+            # stay bf16 (ops/quant.py walks the tree by shape). Parity with
+            # the reference engine's compute_type="int8" (faster-whisper).
+            from eioku_tpu.ops.quant import quantize_linears
+
+            params = quantize_linears(params)
+            log.info("int8-quantized whisper serving",
+                     extra={"compute_type": cd_raw})
+        else:
+            log.warning("compute_dtype int8 is single-device; the "
+                        "tensor_parallel path keeps bf16 weights")
 
     def _encode(mel_b: jnp.ndarray) -> jnp.ndarray:
         if tp_mesh is not None:

@@ -110,3 +110,67 @@ class TestQuantizedMiniLM:
                                    atol=1e-3)
         # the quantized tree actually took effect
         assert "w_q" in idx._params["layers"][0]["q"]
+
+
+class TestQuantizedWhisper:
+    def test_decoder_step_parity(self):
+        """int8-quantized whisper params flow through the KV-cached decoder
+        step with near-identical next-token distributions."""
+        import jax
+
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            decoder_step,
+            init_whisper_params,
+            precompute_cross_kv,
+            whisper_encode,
+        )
+        from eioku_tpu.models.whisper.mel import log_mel_spectrogram
+
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        qparams = quantize_linears(params)
+        assert "w_q" in qparams["dec"]["layers"][0]["attn"]["q"]
+        assert qparams["enc"]["conv1"]["w"].ndim == 3  # convs untouched
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((1, 16000)) * 0.1, jnp.float32)
+        mel = log_mel_spectrogram(wav, n_mels=cfg.n_mels)[:, :, :100]
+        max_len, pos = 8, 0
+        tokens = jnp.full((1, max_len), 50258, jnp.int32)
+
+        def probs(p):
+            enc = whisper_encode(p, mel, cfg)
+            ck, cv = precompute_cross_kv(p, enc)
+            sk = jnp.zeros((cfg.n_dec_layers, 1, max_len, cfg.dim),
+                           enc.dtype)
+            logits, _, _ = decoder_step(p, ck, cv, tokens, sk, sk, pos, cfg)
+            return np.asarray(jax.nn.softmax(logits.astype(jnp.float32)))
+
+        ref, out = probs(params), probs(qparams)
+        assert np.abs(ref - out).max() < 0.05
+        assert ref.argmax() == out.argmax()
+
+    def test_run_transcription_int8(self, tmp_path, caplog):
+        """config {"compute_dtype": "int8"} (faster-whisper's compute_type
+        name) quantizes the serving model and the pipeline still runs."""
+        import logging
+        import wave
+
+        from eioku_tpu.ml.transcribe import run_transcription
+
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        x = (np.sin(2 * np.pi * 300 * t) * 0.4 * 32767).astype(np.int16)
+        wav = tmp_path / "clip.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        with caplog.at_level(logging.INFO, logger="eioku_tpu.ml.transcribe"):
+            out = run_transcription(str(wav), {
+                "model": "whisper-tiny", "max_tokens": 8, "batch_size": 1,
+                "vad_filter": False, "compute_dtype": "int8"})
+        assert isinstance(out, list)
+        assert any("int8-quantized whisper" in r.message
+                   for r in caplog.records)
