@@ -43,7 +43,8 @@ def _remaining() -> float:
 # ---------------------------------------------------------------- stages
 
 
-def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640) -> float:
+def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640,
+                 int8: bool = False) -> float:
     # batch 384 measured ~32% faster per frame than 128 on v5e (batch sweep:
     # 128 -> 3485, 256 -> 3756, 384 -> 4617, 512 -> 4435 frames/s).
     # ONE staged uint8 batch (471 MB); each scan step rolls it along the batch
@@ -61,6 +62,10 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640) -> float
 
     cfg = YoloConfig("yolov8n", num_classes=80)
     params = fold_batchnorm(init_yolo_params(cfg, seed=0))
+    if int8:  # the serving config {"int8": true} (ml/detection.py)
+        from eioku_tpu.ops.quant import quantize_convs
+
+        params = quantize_convs(params)
     rng = np.random.default_rng(0)
     t0 = time.time()
     frames = jnp.asarray(rng.integers(0, 255, (batch, size, size, 3),
@@ -85,8 +90,16 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640) -> float
     float(run(params, frames, jnp.int32(7)))
     dt = time.time() - t0
     fps = n_batches * batch / dt
-    _log(f"detect: {fps:.1f} frames/s ({dt:.3f}s for {n_batches}x{batch})")
+    _log(f"detect{'_int8' if int8 else ''}: {fps:.1f} frames/s "
+         f"({dt:.3f}s for {n_batches}x{batch})")
     return fps
+
+
+def bench_detect_int8():
+    """int8 PTQ serving config ({"int8": true}): YOLOv8n through the same
+    scan harness as bench_detect — per-output-channel conv weights +
+    per-image activation scales on the MXU's double-rate int8 path."""
+    return bench_detect(int8=True)
 
 
 def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
@@ -528,6 +541,7 @@ def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
 
 STAGES = {
     "detect": bench_detect,
+    "detect_int8": bench_detect_int8,
     "detect_m": bench_detect_m,
     "embed": bench_embed,
     "pipeline": bench_pipeline,
@@ -543,13 +557,15 @@ STAGES = {
 # per-stage wall-clock ceilings (remote compile can be slow: the same MiniLM
 # compile has measured 60s and 415s on different days); the effective budget
 # is min(ceiling, remaining global deadline)
-STAGE_TIMEOUT_S = {"detect": 600, "detect_m": 420, "embed": 420,
+STAGE_TIMEOUT_S = {"detect": 600, "detect_int8": 420, "detect_m": 420,
+                   "embed": 420,
                    "pipeline": 900, "combined": 600, "scenes": 300,
                    "query": 240, "whisper": 600, "whisper_beam": 420,
                    "whisper_beam_full": 420, "whisper_int8": 420}
 # skip a stage outright when less than this remains: a run that can't finish
 # shouldn't burn the budget of later (cheaper) stages
-STAGE_MIN_S = {"detect": 90, "detect_m": 90, "embed": 60, "pipeline": 180,
+STAGE_MIN_S = {"detect": 90, "detect_int8": 90, "detect_m": 90, "embed": 60,
+               "pipeline": 180,
                "combined": 120, "scenes": 60, "query": 45, "whisper": 120,
                "whisper_beam": 120, "whisper_beam_full": 120,
                "whisper_int8": 120}
@@ -657,6 +673,7 @@ def _assemble(vals: dict[str, float | None], backend: str) -> dict:
     extra = {"backend": backend}
     extra.update(_STAGE_EXTRA)
     names = {"detect": ("detect_fps_640", 1),
+             "detect_int8": ("detect_int8_fps_640", 1),
              "detect_m": ("detect_m_fps_640", 1),
              "embed": ("embed_chunks_per_s", 1),
              "pipeline": ("pipeline_video_hours_per_hour", 1),
@@ -782,7 +799,7 @@ def main() -> None:
         # cheapest-first on warm cache: ANY alive window records a number
         # before the expensive stages get a chance to eat the deadline
         order = ["query", "scenes", "embed", "detect", "detect_m", "combined",
-                 "pipeline"]
+                 "pipeline", "detect_int8"]
         if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
             # beam-5 first: it is the production default, and the k=1 variant
             # of the decode program has shown pathological compile times on

@@ -116,8 +116,10 @@ class _DetectionConsumer:
     def __init__(self, model_name: str, num_classes: int, class_names,
                  conf: float, step: int, batch_size: int, cache_dir,
                  payload_builder, frame_ms: int, src_wh: tuple[int, int],
-                 coord_scale: float = 1.0, places: tuple | None = None):
-        self.params, self.cfg = _load_model(model_name, num_classes, cache_dir)
+                 coord_scale: float = 1.0, places: tuple | None = None,
+                 int8: bool = False):
+        self.params, self.cfg = _load_model(model_name, num_classes,
+                                            cache_dir, int8)
         self.class_names = class_names
         self.conf = conf
         self.step = max(step, 1)
@@ -427,7 +429,7 @@ def run_visual_analysis(video_path: str, config: dict,
                                       "bounding_box": box, "frame_number": fi},
         frame_ms, (info.width, info.height), coord_scale,
         places=(place_params, place_labels, place_topk) if fuse_places
-        else None) \
+        else None, int8=bool(ocfg.get("int8", False))) \
         if ocfg is not None else None
     if fuse_places:
         place_step = 0  # the standalone places path below stays idle
@@ -438,7 +440,8 @@ def run_visual_analysis(video_path: str, config: dict,
         int(fcfg.get("batch_size", 64)), model_cache_dir,
         lambda label, conf, box, fi: {"cluster_id": None, "confidence": conf,
                                       "bounding_box": box, "frame_number": fi},
-        frame_ms, (info.width, info.height), coord_scale) \
+        frame_ms, (info.width, info.height), coord_scale,
+        int8=bool(fcfg.get("int8", False))) \
         if fcfg is not None else None
 
     ocr = _OcrConsumer(

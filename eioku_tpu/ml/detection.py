@@ -48,7 +48,8 @@ def letterbox_batch(frames: np.ndarray, valid: int, size: int = INPUT_SIZE
 
 
 @lru_cache(maxsize=4)
-def _load_model(model_name: str, num_classes: int, cache_dir: str | None):
+def _load_model(model_name: str, num_classes: int, cache_dir: str | None,
+                int8: bool = False):
     cfg = YoloConfig(variant=model_name.replace("-face", ""),
                      num_classes=num_classes)
     ckpt = None
@@ -64,11 +65,21 @@ def _load_model(model_name: str, num_classes: int, cache_dir: str | None):
         params = init_yolo_params(cfg, seed=0)
         log.warning("no checkpoint found; using random-init weights",
                     extra={"model": model_name, "cache_dir": cache_dir})
-    return fold_batchnorm(params), cfg
+    params = fold_batchnorm(params)
+    if int8:
+        # opt-in int8 PTQ (config {"int8": true}): per-output-channel conv
+        # weights + dynamic per-image activation scales on the MXU's
+        # double-rate int8 path (ops/quant.py; TensorRT-granularity PTQ)
+        from eioku_tpu.ops.quant import quantize_convs
+
+        params = quantize_convs(params)
+        log.info("int8-quantized detector", extra={"model": model_name})
+    return params, cfg
 
 
 @lru_cache(maxsize=4)
-def _dp_detector(model_name: str, num_classes: int, cache_dir: str | None):
+def _dp_detector(model_name: str, num_classes: int, cache_dir: str | None,
+                 int8: bool = False):
     """DataParallelDetector over all devices (frame batch sharded on the mesh
     data axis; SURVEY.md P6's multi-chip answer)."""
     import jax
@@ -76,7 +87,7 @@ def _dp_detector(model_name: str, num_classes: int, cache_dir: str | None):
     from eioku_tpu.parallel.inference import DataParallelDetector
     from eioku_tpu.parallel.mesh import make_mesh
 
-    params, cfg = _load_model(model_name, num_classes, cache_dir)
+    params, cfg = _load_model(model_name, num_classes, cache_dir, int8)
     mesh = make_mesh(len(jax.devices()), model_parallel=1)
     return DataParallelDetector(params, cfg, mesh)
 
@@ -93,14 +104,15 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
     # "host" uses cv2 in the decode thread. Host wins when the PCIe/host link is
     # the bottleneck for full-resolution frames, device when host CPU is.
     preprocess = config.get("preprocess", "host")
-    params, cfg = _load_model(model_name, num_classes, model_cache_dir)
+    int8 = bool(config.get("int8", False))
+    params, cfg = _load_model(model_name, num_classes, model_cache_dir, int8)
     # multi-device: shard the frame batch over the mesh ("auto" = when >1
     # device is visible); single device uses the plain jitted path
     import jax as _jax
     dp_mode = config.get("data_parallel", "auto")
     use_dp = (len(_jax.devices()) > 1) if dp_mode == "auto" else bool(dp_mode)
-    dp = _dp_detector(model_name, num_classes, model_cache_dir) if use_dp \
-        else None
+    dp = _dp_detector(model_name, num_classes, model_cache_dir, int8) \
+        if use_dp else None
     info = video_io.probe(video_path)
     frame_duration_ms = int(round(1000.0 / info.fps)) if info.fps else 33
 

@@ -140,6 +140,10 @@ def init_yolo_params(cfg: YoloConfig, seed: int = 0) -> Params:
 
 
 def _convbn(x, p: Params, stride: int = 1) -> jnp.ndarray:
+    if "w_q" in p:  # int8-quantized folded conv (ops/quant.py)
+        from eioku_tpu.ops.quant import conv2d_q
+
+        return silu(conv2d_q(x, p, stride=stride))
     if "bn" in p:
         return silu(batchnorm(conv2d(x, p["w"], stride=stride), p["bn"]))
     return silu(conv2d(x, p["w"], p["b"], stride=stride))  # folded (see fold_batchnorm)
@@ -168,12 +172,19 @@ def _c2f_concat_in(parts, p: Params, shortcut: bool) -> jnp.ndarray:
     2x upsampling). Saves the neck's biggest activation writes/reads —
     measured ~3% end-to-end on v5e at 640, bit-identical outputs.
     parts: list of (tensor, "up" | None)."""
-    w = p["cv1"]["w"]
+    quant = "w_q" in p["cv1"]
+    if quant:
+        from eioku_tpu.ops.quant import conv2d_q_sliced
+    w = p["cv1"]["w_q" if quant else "w"]
     off = 0
     acc = None
     for t, mode in parts:
         c = t.shape[-1]
-        part = conv2d(t, w[:, :, off:off + c, :])
+        if quant:  # per-output scales survive input-channel slicing, so
+            # the dequantized partials sum exactly like the fp partials
+            part = conv2d_q_sliced(t, p["cv1"], off, off + c)
+        else:
+            part = conv2d(t, w[:, :, off:off + c, :])
         if mode == "up":
             part = upsample2x(part)
         acc = part if acc is None else acc + part
@@ -200,6 +211,10 @@ def _sppf(x, p: Params) -> jnp.ndarray:
 def _detect_branch(x, p: Params) -> jnp.ndarray:
     x = _convbn(x, p["0"])
     x = _convbn(x, p["1"])
+    if "w_q" in p["2"]:
+        from eioku_tpu.ops.quant import conv2d_q
+
+        return conv2d_q(x, p["2"])
     return conv2d(x, p["2"]["w"], p["2"]["b"])
 
 

@@ -51,6 +51,84 @@ def quantize_linears(tree):
     return tree
 
 
+def quantize_conv(p: Params) -> Params:
+    """Folded conv dict {"w": HWIO 4-D, "b"?} -> int8 with per-output-channel
+    scales (reduced over kh, kw, c_in — TensorRT's PTQ granularity)."""
+    w = np.asarray(p["w"], np.float32)
+    s = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+    s = np.maximum(s, 1e-12)
+    wq = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+    out: Params = {"w_q": jnp.asarray(wq), "w_s": jnp.asarray(s, jnp.float32)}
+    for k, v in p.items():
+        if k != "w":
+            out[k] = v
+    return out
+
+
+def quantize_convs(tree):
+    """Recursively quantize every FOLDED conv dict (4-D "w" + no "bn" —
+    fold_batchnorm first). Linears, unfolded convs, embeddings, and
+    layernorms pass through."""
+    if isinstance(tree, dict):
+        w = tree.get("w")
+        if w is not None and getattr(w, "ndim", 0) == 4 and "bn" not in tree:
+            return quantize_conv(tree)
+        return {k: quantize_convs(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(quantize_convs(v) for v in tree)
+    return tree
+
+
+def _quant_act(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric dynamic int8 activation quantization over `axes` (f32
+    rounding; zero-point 0, so int8 zero padding in convs stays exact)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=axes, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.rint(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def conv2d_q(x: jnp.ndarray, p: Params, stride: int = 1,
+             dilation: int = 1) -> jnp.ndarray:
+    """int8 NHWC conv for a quantized conv dict: per-image dynamic activation
+    scale, int32 MXU accumulation, TORCH-symmetric padding (layers.conv2d's
+    convention — int8 zero padding is exact under symmetric quantization)."""
+    import jax
+
+    xq, sx = _quant_act(x, axes=(1, 2, 3))
+    wq = p["w_q"]
+    ph = dilation * (wq.shape[0] - 1) // 2
+    pw = dilation * (wq.shape[1] - 1) // 2
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(stride, stride),
+        padding=[(ph, ph), (pw, pw)], rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * sx * p["w_s"]).astype(x.dtype)
+    if "b" in p:
+        out = out + p["b"].astype(x.dtype)
+    return out
+
+
+def conv2d_q_sliced(x: jnp.ndarray, p: Params, c_lo: int,
+                    c_hi: int) -> jnp.ndarray:
+    """1x1 int8 conv over an input-channel slice of the kernel, NO bias —
+    the quantized counterpart of the concat-free c2f cv1 partial conv
+    (models/yolo/model.py:_c2f_concat_in). Per-output scales are unchanged
+    by input-channel slicing, so the dequantized partials sum exactly like
+    the fp partials."""
+    import jax
+
+    xq, sx = _quant_act(x, axes=(1, 2, 3))
+    acc = jax.lax.conv_general_dilated(
+        xq, p["w_q"][:, :, c_lo:c_hi, :], window_strides=(1, 1),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * sx * p["w_s"]).astype(x.dtype)
+
+
 def linear_q(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     """int8 matmul for a quantized linear dict (called from layers.linear).
 

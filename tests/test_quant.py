@@ -11,7 +11,12 @@ import numpy as np
 import pytest
 
 from eioku_tpu.models.layers import init_linear, KeyGen, linear
-from eioku_tpu.ops.quant import linear_q, quantize_linear, quantize_linears
+from eioku_tpu.ops.quant import (
+    linear_q,
+    quantize_convs,
+    quantize_linear,
+    quantize_linears,
+)
 
 
 class TestQuantizeLinear:
@@ -110,6 +115,53 @@ class TestQuantizedMiniLM:
                                    atol=1e-3)
         # the quantized tree actually took effect
         assert "w_q" in idx._params["layers"][0]["q"]
+
+
+class TestQuantizedYolo:
+    def _models(self):
+        from eioku_tpu.models.yolo.model import (
+            YoloConfig,
+            fold_batchnorm,
+            init_yolo_params,
+        )
+
+        cfg = YoloConfig("yolov8n", num_classes=80)
+        params = fold_batchnorm(init_yolo_params(cfg, seed=0))
+        return cfg, params, quantize_convs(params)
+
+    def test_forward_parity(self):
+        """int8 convs (per-output-channel weights, per-image activation
+        scales) track the fp forward closely enough that detection survives:
+        >0.995 correlation on both heads, bounded max error."""
+        from eioku_tpu.models.yolo.model import yolo_forward
+
+        cfg, params, qparams = self._models()
+        # every conv quantized, incl. the concat-free neck cv1s and heads
+        assert "w_q" in qparams["stem"]
+        assert "w_q" in qparams["neck_c2f_td1"]["cv1"]
+        assert "w_q" in qparams["head_box_0"]["2"]
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+        bf, cf = yolo_forward(params, x, cfg)
+        bq, cq = yolo_forward(qparams, x, cfg)
+        for a, b in ((bf, bq), (cf, cq)):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+            assert corr > 0.995, f"int8 forward diverged: corr={corr}"
+            assert np.abs(a - b).max() < 0.1 * np.abs(a).max()
+
+    def test_detect_end_to_end(self):
+        """The full serving program (forward + DFL decode + NMS) runs on the
+        quantized tree and returns finite, validly-shaped detections."""
+        from eioku_tpu.models.yolo.postprocess import detect
+
+        cfg, _, qparams = self._models()
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)), jnp.uint8)
+        out = detect(qparams, imgs, cfg)
+        boxes = np.asarray(out["boxes"], np.float32)
+        assert np.all(np.isfinite(boxes))
+        assert boxes.shape[-1] == 4
 
 
 class TestQuantizedWhisper:
