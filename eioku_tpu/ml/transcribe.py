@@ -249,7 +249,7 @@ def run_transcription(video_path: str, config: dict,
         if cfg_ok:
             d_params, d_cfg, d_pre = _load_model(
                 _normalize_variant(str(draft_model)), model_cache_dir,
-                str(config.get("compute_dtype", "bfloat16")))
+                "bfloat16" if want_int8 else cd_raw)
             eligible = d_pre and d_cfg.vocab_size == cfg.vocab_size
         if eligible:
             spec_draft = (d_params, d_cfg)

@@ -226,3 +226,43 @@ class TestQuantizedWhisper:
         assert isinstance(out, list)
         assert any("int8-quantized whisper" in r.message
                    for r in caplog.records)
+
+    def test_int8_draft_model_loads_bf16(self, tmp_path, monkeypatch):
+        """compute_dtype "int8" must NOT leak into the draft checkpoint load
+        (WhisperConfig would reject/no-op an int8 activation dtype): both
+        loads see a real float dtype."""
+        import wave
+
+        from eioku_tpu.ml import transcribe
+        from eioku_tpu.models.whisper.model import (
+            WhisperConfig,
+            init_whisper_params,
+        )
+
+        sr = 16000
+        x = (np.sin(2 * np.pi * 250 * np.arange(sr) / sr) * 0.4
+             * 32767).astype(np.int16)
+        wav = tmp_path / "c.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        cfg = WhisperConfig("tiny")
+        params = init_whisper_params(cfg, seed=0)
+        seen = []
+
+        def fake_load(variant, cache_dir, compute_dtype="float32",
+                      random_full_size=False):
+            seen.append(compute_dtype)
+            return params, cfg, True
+
+        monkeypatch.setattr(transcribe, "_load_model", fake_load)
+        transcribe.run_transcription(
+            str(wav), {"model": "whisper-tiny", "max_tokens": 8,
+                       "batch_size": 1, "beam_size": 1, "language": "en",
+                       "timestamps": False, "compute_dtype": "int8",
+                       "draft_model": "tiny", "no_speech_threshold": 2.0,
+                       "vad_filter": False})
+        assert len(seen) >= 2  # target + draft
+        assert all(d == "bfloat16" for d in seen), seen
