@@ -88,12 +88,58 @@ class AppConfig:
 
     def settings_for(self, task_type: str) -> dict[str, Any]:
         merged = dict(DEFAULT_TASK_SETTINGS.get(task_type, {}))
-        merged.update(self.task_settings.get(task_type, {}))
+        merged.update(normalize_task_settings(
+            self.task_settings.get(task_type, {})))
         return merged
 
     def priority_for(self, task_type: str, default: int) -> int:
         return WORKLOAD_PROFILES.get(self.workload_profile, {}).get(
             task_type, default)
+
+
+# Reference-config compatibility: the reference's profile JSONs
+# (/root/reference/config/content_creator.json, video_discovery_service.py:371-443)
+# spell several task_settings keys differently. Accept both spellings so a
+# reference user's config file works unmodified (docs/MIGRATION.md).
+_TASK_TYPE_ALIASES = {"place_detection": "place_classification"}
+_TASK_KEY_ALIASES = {
+    "model_name": "model",                       # "yolov8s.pt" / "large-v3-turbo"
+    "sampling_interval_seconds": "frame_interval_s",
+    "min_scene_length": "min_scene_len_s",
+}
+
+
+def normalize_task_settings(raw: dict[str, Any]) -> dict[str, Any]:
+    """Rewrite one task's settings dict from reference spellings to ours.
+
+    Ours-spelled keys pass through untouched and win over an alias if both are
+    present. Model names drop the ultralytics ``.pt`` suffix ("yolov8s.pt" ->
+    "yolov8s"); whisper variants like "large-v3-turbo" are already accepted by
+    ml/transcribe._normalize_variant.
+    """
+    out: dict[str, Any] = {}
+    for key, val in raw.items():
+        nk = _TASK_KEY_ALIASES.get(key, key)
+        if nk != key and nk in raw:
+            continue  # natively-spelled key also present — it wins
+        if nk == "model" and isinstance(val, str) and val.endswith(".pt"):
+            val = val[:-3]
+        out[nk] = val
+    return out
+
+
+def normalize_task_settings_map(raw: dict[str, Any]) -> dict[str, dict[str, Any]]:
+    """Normalize a whole ``task_settings`` mapping: task-type aliases
+    (place_detection -> place_classification) and non-dict scalar entries the
+    reference nests there (e.g. ``max_concurrent_videos``) are handled; scalars
+    are dropped from the per-task map (worker concurrency is WORKER_MAX_JOBS
+    here, docs/DEPLOY.md)."""
+    out: dict[str, dict[str, Any]] = {}
+    for ttype, settings in raw.items():
+        if not isinstance(settings, dict):
+            continue
+        out[_TASK_TYPE_ALIASES.get(ttype, ttype)] = dict(settings)
+    return out
 
 
 def _search_config_path(explicit: str | None) -> str | None:
@@ -143,7 +189,8 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
         cfg.database_url = data.get("database_url", cfg.database_url)
         cfg.model_profile = data.get("model_profile", cfg.model_profile)
         cfg.profile_name = data.get("profile", cfg.profile_name)
-        cfg.task_settings = data.get("task_settings", {})
+        cfg.task_settings = normalize_task_settings_map(
+            data.get("task_settings", {}))
         cfg.active_task_types = data.get("active_task_types")
         cfg.model_cache_dir = data.get("model_cache_dir")
         cfg.index_dir = data.get("index_dir")

@@ -110,6 +110,62 @@ class TestConfigLoader:
                                       cfg.recursive) is False
 
 
+class TestReferenceConfigCompat:
+    """A reference user's profile JSON must work unmodified: the reference
+    spells several task_settings keys differently
+    (/root/reference/config/content_creator.json,
+    video_discovery_service.py:371-443). docs/MIGRATION.md documents the map."""
+
+    def _load(self, tmp_path, task_settings):
+        import json
+        from eioku_tpu.config.settings import load_config
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({"paths": [], "task_settings": task_settings}))
+        return load_config(str(p))
+
+    def test_reference_profile_spellings(self, tmp_path):
+        # re-typed shape of the reference's content_creator.json
+        cfg = self._load(tmp_path, {
+            "max_concurrent_videos": 8,  # scalar entry: ignored, not a crash
+            "object_detection": {"model_name": "yolov8s.pt",
+                                 "sampling_interval_seconds": 3.0,
+                                 "confidence_threshold": 0.5},
+            "face_detection": {"model_name": "yolov8n-face.pt",
+                               "sampling_interval_seconds": 3.0},
+            "place_detection": {"sampling_interval_seconds": 3.0, "top_k": 3},
+            "transcription": {"model_name": "large-v3-turbo",
+                              "languages": ["en", "ja"], "vad_filter": True},
+            "scene_detection": {"min_scene_length": 0.6},
+        })
+        od = cfg.settings_for("object_detection")
+        assert od["model"] == "yolov8s"
+        assert od["frame_interval_s"] == 3.0
+        assert od["confidence_threshold"] == 0.5
+        assert cfg.settings_for("face_detection")["model"] == "yolov8n-face"
+        # task-type alias: place_detection -> place_classification
+        pc = cfg.settings_for("place_classification")
+        assert pc["frame_interval_s"] == 3.0 and pc["top_k"] == 3
+        tr = cfg.settings_for("transcription")
+        assert tr["model"] == "large-v3-turbo"  # accepted by _normalize_variant
+        assert tr["languages"] == ["en", "ja"]
+        assert cfg.settings_for("scene_detection")["min_scene_len_s"] == 0.6
+
+    def test_native_spelling_wins_on_collision(self, tmp_path):
+        cfg = self._load(tmp_path, {
+            "object_detection": {"model_name": "yolov8s.pt",
+                                 "model": "yolov8m",
+                                 "sampling_interval_seconds": 9.0,
+                                 "frame_interval_s": 2.0}})
+        od = cfg.settings_for("object_detection")
+        assert od["model"] == "yolov8m"
+        assert od["frame_interval_s"] == 2.0
+
+    def test_whisper_variant_accepts_reference_name(self):
+        from eioku_tpu.ml.transcribe import _normalize_variant
+        assert _normalize_variant("large-v3-turbo") == "large-v3-turbo"
+        assert _normalize_variant("whisper-large-v3") == "large-v3"
+
+
 class TestWorkloadProfiles:
     def test_priorities(self):
         from eioku_tpu.config.settings import AppConfig
