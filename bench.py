@@ -184,22 +184,44 @@ def bench_embed(n_batches: int = 10, batch: int = 256, seq: int = 256) -> float:
     dt = time.time() - t0
     cps = n_batches * batch / dt
     _log(f"embed: {cps:.1f} chunks/s")
+    return cps
 
-    # int8 serving variant (ops/quant.py, opt-in config embed_int8): same
-    # harness on the quantized encoder — the MXU int8 path's real gain
+
+def bench_embed_int8(n_batches: int = 10, batch: int = 256,
+                     seq: int = 256) -> float:
+    """int8 MiniLM serving variant (ops/quant.py, opt-in config embed_int8):
+    bench_embed's harness on the quantized encoder — the MXU int8 path's real
+    gain. Its OWN stage (not a tail on the fp stage): a slow int8 compile must
+    not time out the already-measured fp number with it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eioku_tpu.models.embed.minilm import MiniLMConfig, init_minilm_params, minilm_embed
     from eioku_tpu.ops.quant import quantize_linears
 
+    cfg = MiniLMConfig(compute_dtype="bfloat16")
+    params = init_minilm_params(cfg, seed=0)
     qparams = {k: quantize_linears(v) if k == "layers" else v
                for k, v in params.items()}
+    rng = np.random.default_rng(0)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq),
+                                   dtype=np.int32))
+    t0 = time.time()
     out = minilm_embed(qparams, ids, mask, cfg)
-    float(out.sum())  # compile
+    float(out.sum())
+    _log(f"embed int8 compile: {time.time() - t0:.1f}s")
+    inputs = [jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq),
+                                       dtype=np.int32)) for _ in range(n_batches)]
+    jax.block_until_ready(inputs)
     t0 = time.time()
     outs = [minilm_embed(qparams, x, mask, cfg) for x in inputs]
     jax.block_until_ready(outs)
     float(outs[-1].sum())
     cps_q = n_batches * batch / (time.time() - t0)
     _log(f"embed int8: {cps_q:.1f} chunks/s")
-    return cps, {"embed_int8_chunks_per_s": round(cps_q)}
+    return cps_q
 
 
 def _ensure_clip(clip_s: int = 60) -> str:
@@ -544,6 +566,7 @@ STAGES = {
     "detect_int8": bench_detect_int8,
     "detect_m": bench_detect_m,
     "embed": bench_embed,
+    "embed_int8": bench_embed_int8,
     "pipeline": bench_pipeline,
     "combined": bench_combined_visual,
     "scenes": bench_scene_pipeline,
@@ -558,13 +581,14 @@ STAGES = {
 # compile has measured 60s and 415s on different days); the effective budget
 # is min(ceiling, remaining global deadline)
 STAGE_TIMEOUT_S = {"detect": 600, "detect_int8": 420, "detect_m": 420,
-                   "embed": 420,
+                   "embed": 420, "embed_int8": 420,
                    "pipeline": 900, "combined": 600, "scenes": 300,
                    "query": 240, "whisper": 600, "whisper_beam": 420,
                    "whisper_beam_full": 420, "whisper_int8": 420}
 # skip a stage outright when less than this remains: a run that can't finish
 # shouldn't burn the budget of later (cheaper) stages
 STAGE_MIN_S = {"detect": 90, "detect_int8": 90, "detect_m": 90, "embed": 60,
+               "embed_int8": 60,
                "pipeline": 180,
                "combined": 120, "scenes": 60, "query": 45, "whisper": 120,
                "whisper_beam": 120, "whisper_beam_full": 120,
@@ -676,6 +700,7 @@ def _assemble(vals: dict[str, float | None], backend: str) -> dict:
              "detect_int8": ("detect_int8_fps_640", 1),
              "detect_m": ("detect_m_fps_640", 1),
              "embed": ("embed_chunks_per_s", 1),
+             "embed_int8": ("embed_int8_chunks_per_s", 1),
              "pipeline": ("pipeline_video_hours_per_hour", 1),
              "combined": ("combined_visual_video_hours_per_hour", 1),
              "scenes": ("scene_video_hours_per_hour", 1),
@@ -799,7 +824,7 @@ def main() -> None:
         # cheapest-first on warm cache: ANY alive window records a number
         # before the expensive stages get a chance to eat the deadline
         order = ["query", "scenes", "embed", "detect", "detect_m", "combined",
-                 "pipeline", "detect_int8"]
+                 "pipeline", "detect_int8", "embed_int8"]
         if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
             # beam-5 first: it is the production default, and the k=1 variant
             # of the decode program has shown pathological compile times on

@@ -128,6 +128,17 @@ def normalize_task_settings(raw: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+# Scene-threshold scale divide: the reference passes `threshold` to ffmpeg
+# scene-cut (default 0.7 on ffmpeg's SAD scale, model_manager.py:715-835); our
+# HSV mean-abs-diff metric's equivalent default is 0.1 (ops/scene_diff.py,
+# scores in [0,1] where real cuts land ~0.1-0.3). Any threshold above this
+# bound would detect almost nothing here, so it can only be a carried-over
+# ffmpeg-scale value — rescale it proportionally to preserve the user's
+# stricter/looser-than-default intent instead of silently breaking detection.
+_SCENE_FFMPEG_SCALE_MIN = 0.3
+_SCENE_RESCALE = 0.1 / 0.7  # ours-default / reference-default
+
+
 def normalize_task_settings_map(raw: dict[str, Any]) -> dict[str, dict[str, Any]]:
     """Normalize a whole ``task_settings`` mapping: task-type aliases
     (place_detection -> place_classification) and non-dict scalar entries the
@@ -138,7 +149,18 @@ def normalize_task_settings_map(raw: dict[str, Any]) -> dict[str, dict[str, Any]
     for ttype, settings in raw.items():
         if not isinstance(settings, dict):
             continue
-        out[_TASK_TYPE_ALIASES.get(ttype, ttype)] = dict(settings)
+        settings = dict(settings)
+        ttype = _TASK_TYPE_ALIASES.get(ttype, ttype)
+        thr = settings.get("threshold")
+        if (ttype == "scene_detection" and isinstance(thr, (int, float))
+                and thr >= _SCENE_FFMPEG_SCALE_MIN):
+            settings["threshold"] = round(thr * _SCENE_RESCALE, 4)
+            log.warning(
+                "scene_detection threshold %.2f looks like the reference's "
+                "ffmpeg scene-cut scale (our HSV frame-diff default is 0.1); "
+                "rescaled to %.4f — set a value below %.1f to silence this",
+                thr, settings["threshold"], _SCENE_FFMPEG_SCALE_MIN)
+        out[ttype] = settings
     return out
 
 

@@ -80,6 +80,19 @@ def _load_model(variant: str, cache_dir: str | None,
     return params, cfg, pretrained
 
 
+@lru_cache(maxsize=2)
+def _load_model_int8(variant: str, cache_dir: str | None,
+                     random_full_size: bool = False):
+    """int8-quantized serving tree, cached like _load_model — PTQ walks the
+    whole tree through numpy (seconds of host CPU + a fresh H2D upload for
+    the large variants), so it must run once per process, not per task."""
+    from eioku_tpu.ops.quant import quantize_linears
+
+    params, cfg, pretrained = _load_model(variant, cache_dir, "bfloat16",
+                                          random_full_size)
+    return quantize_linears(params), cfg, pretrained
+
+
 def _normalize_variant(model: str) -> str:
     name = model.removeprefix("whisper-")
     return name if name in ("tiny", "base", "small", "medium", "large-v3",
@@ -267,28 +280,47 @@ def run_transcription(video_path: str, config: dict,
     # tests/test_parallel.py::TestTensorParallelWhisperDecode).
     tp_mesh = None
     tp = int(config.get("tensor_parallel", 1))
+    # previous-text conditioning runs the serial single-device decode
+    # (_run_conditioned) — building a TP context for it would claim the mesh
+    # in the logs while every window actually decodes on one device
+    conditioned = (bool(config.get("condition_on_previous_text", False))
+                   and pretrained)
     if tp > 1:
         if (len(jax.devices()) >= tp and cfg.n_heads % tp == 0
-                and spec_draft is None):
+                and spec_draft is None and not conditioned):
             from eioku_tpu.parallel.mesh import make_mesh
 
             tp_mesh = make_mesh(tp, model_parallel=tp)
+            # place the weights with their Megatron shardings ONCE: the
+            # shard-mapped encode/decode in_specs would otherwise re-scatter
+            # the full replicated tree (~3 GB bf16 for large-v3) across the
+            # mesh on EVERY batched call — the redistribution would dominate
+            # the per-window latency the N-way split exists to divide
+            from jax.sharding import NamedSharding
+
+            from eioku_tpu.models.whisper.model import shard_whisper_specs
+
+            specs = shard_whisper_specs(params)
+            params = jax.device_put(params, jax.tree.map(
+                lambda s: NamedSharding(tp_mesh, s), specs))
             log.info("tensor-parallel transcription", extra={"tp": tp})
         else:
             log.warning("tensor_parallel=%d needs >=%d devices, "
-                        "n_heads %% tp == 0, and no draft_model; "
+                        "n_heads %% tp == 0, no draft_model, and "
+                        "condition_on_previous_text off (serial decode); "
                         "falling back to single-device decode", tp, tp)
 
     if want_int8:
         if tp_mesh is None:
-            # quantize every attention/MLP linear (enc + dec) to int8 —
-            # the MXU double-rate path + halved weight reads in the
-            # bandwidth-bound decode loop; convs, embeddings, and layernorms
-            # stay bf16 (ops/quant.py walks the tree by shape). Parity with
-            # the reference engine's compute_type="int8" (faster-whisper).
-            from eioku_tpu.ops.quant import quantize_linears
-
-            params = quantize_linears(params)
+            # every attention/MLP linear (enc + dec) int8 — the MXU
+            # double-rate path + halved weight reads in the bandwidth-bound
+            # decode loop; convs, embeddings, and layernorms stay bf16
+            # (ops/quant.py walks the tree by shape). Parity with the
+            # reference engine's compute_type="int8" (faster-whisper). The
+            # quantized tree is process-cached: PTQ must not re-run per task.
+            params, _, _ = _load_model_int8(
+                variant, model_cache_dir,
+                bool(config.get("random_full_size", False)))
             log.info("int8-quantized whisper serving",
                      extra={"compute_type": cd_raw})
         else:
@@ -407,7 +439,7 @@ def run_transcription(video_path: str, config: dict,
     # previous-text conditioning (faster-whisper's default) serializes
     # windows, so it is opt-in here: the batched path below keeps the MXU full
     # and is the TPU-native default
-    if bool(config.get("condition_on_previous_text", False)) and pretrained:
+    if conditioned:
         _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
                          suppress_begin, max_tokens, beam_size, use_timestamps,
                          want_words, emit_window, frame_count, alignment,

@@ -136,10 +136,7 @@ def linear_q(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     quantization error), the dot accumulates in int32 on the MXU's
     double-rate int8 path, and the result dequantizes by sx (per row) and
     w_s (per output channel)."""
-    xf = x.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    sx = jnp.maximum(sx, 1e-12)
-    xq = jnp.clip(jnp.rint(xf / sx), -127, 127).astype(jnp.int8)
+    xq, sx = _quant_act(x, axes=-1)
     acc = jnp.dot(xq, p["w_q"], preferred_element_type=jnp.int32)
     out = (acc.astype(jnp.float32) * sx * p["w_s"]).astype(x.dtype)
     if "b" in p:

@@ -160,6 +160,16 @@ class TestReferenceConfigCompat:
         assert od["model"] == "yolov8m"
         assert od["frame_interval_s"] == 2.0
 
+    def test_scene_threshold_ffmpeg_scale_rescaled(self, tmp_path):
+        # reference default 0.7 is ffmpeg scene-cut scale; ours is an HSV
+        # mean-abs-diff where the equivalent default is 0.1 — a literal 0.7
+        # would detect nothing, so the loader rescales proportionally
+        cfg = self._load(tmp_path, {"scene_detection": {"threshold": 0.7}})
+        assert abs(cfg.settings_for("scene_detection")["threshold"] - 0.1) < 1e-6
+        # values already on our scale pass through untouched
+        cfg = self._load(tmp_path, {"scene_detection": {"threshold": 0.15}})
+        assert cfg.settings_for("scene_detection")["threshold"] == 0.15
+
     def test_whisper_variant_accepts_reference_name(self):
         from eioku_tpu.ml.transcribe import _normalize_variant
         assert _normalize_variant("large-v3-turbo") == "large-v3-turbo"
