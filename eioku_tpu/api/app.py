@@ -100,8 +100,10 @@ def build_context(config: AppConfig | None = None,
         reconciler=Reconciler(tasks, videos, producer),
     )
     if config.semantic_search:
+        from eioku_tpu.index.rerank import Reranker
         from eioku_tpu.index.semantic import SemanticIndex
         ctx.extra["semantic_index"] = SemanticIndex(ctx)
+        ctx.extra["reranker"] = Reranker(config.model_cache_dir)
     return ctx
 
 

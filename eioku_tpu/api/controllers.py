@@ -587,9 +587,17 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             raise HTTPException(422, f"unknown search mode: {mode}")
         top_k = min(request.query_int("top_k", 10), 100)
         asset_id = request.query_params.get("video_id")
+        # ?rerank=1: cross-encoder second stage (index/rerank.py) — over-fetch
+        # candidates so the reranker has headroom beyond the retrieval order;
+        # gated on a real ms-marco checkpoint (degrades to retrieval order)
+        reranker = (ctx.extra.get("reranker")
+                    if request.query_params.get("rerank") in ("1", "true")
+                    else None)
+        reranking = bool(reranker is not None and reranker.available)
+        fetch_k = min(max(top_k * 3, top_k), 64) if reranking else top_k
         keyword = []
         if mode in ("keyword", "hybrid"):
-            keyword = ctx.find.search_library(q, limit=top_k, asset_id=asset_id)
+            keyword = ctx.find.search_library(q, limit=fetch_k, asset_id=asset_id)
         semantic = []
         if mode in ("semantic", "hybrid"):
             index = ctx.extra.get("semantic_index")
@@ -598,15 +606,20 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
                     raise HTTPException(
                         503, "semantic index not available on this deployment")
             else:
-                semantic = index.search(q, top_k=top_k, asset_id=asset_id)
+                semantic = index.search(q, top_k=fetch_k, asset_id=asset_id)
         if mode == "keyword":
             results = keyword
         elif mode == "semantic":
             results = semantic
         else:
-            results = _rrf_fuse(semantic, keyword, top_k)
+            results = _rrf_fuse(semantic, keyword, fetch_k)
+        if reranking:
+            results = reranker.rerank(q, results, top_k)
+        results = results[:top_k]
         out = {"query": q, "mode": mode, "results": results,
                "total": len(results)}
+        if request.query_params.get("rerank") in ("1", "true"):
+            out["reranked"] = reranking
         if not results:  # spec req 2.4: suggest alternative search terms
             out["suggestions"] = ctx.find.suggest_alternatives(q)
         return out

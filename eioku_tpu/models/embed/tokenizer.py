@@ -139,6 +139,46 @@ class WordPieceTokenizer:
             mask.append(0)
         return ids, mask
 
+    def _body_ids(self, text: str, cap: int) -> list[int]:
+        """WordPiece ids of `text` (no specials), truncated to `cap`."""
+        words = basic_tokenize(text)
+        if self._native is not None:
+            return self._native.encode_words(words, max_out=cap)[:cap]
+        ids: list[int] = []
+        for word in words:
+            ids.extend(self._wordpiece(word))
+            if len(ids) >= cap:
+                return ids[:cap]
+        return ids
+
+    def encode_pair(self, query: str, passage: str, max_query: int = 64
+                    ) -> tuple[list[int], list[int], list[int]]:
+        """BERT pair encoding for the cross-encoder: `[CLS] query [SEP]
+        passage [SEP]` -> (token_ids, type_ids, attention_mask), fixed
+        max_len. The query is capped at max_query subwords so the passage
+        keeps most of the window (rerank candidates are ~400-char chunks)."""
+        q_ids = self._body_ids(query, min(max_query, self.max_len - 3))
+        p_cap = self.max_len - 3 - len(q_ids)
+        p_ids = self._body_ids(passage, max(p_cap, 0))
+        ids = [self.cls_id] + q_ids + [self.sep_id] + p_ids + [self.sep_id]
+        types = [0] * (len(q_ids) + 2) + [1] * (len(p_ids) + 1)
+        mask = [1] * len(ids)
+        while len(ids) < self.max_len:
+            ids.append(self.pad_id)
+            types.append(0)
+            mask.append(0)
+        return ids, types, mask
+
+    def encode_pairs(self, query: str, passages: list[str]):
+        import numpy as np
+        n = len(passages)
+        ids = np.zeros((n, self.max_len), np.int32)
+        types = np.zeros((n, self.max_len), np.int32)
+        mask = np.zeros((n, self.max_len), np.int32)
+        for i, p in enumerate(passages):
+            ids[i], types[i], mask[i] = self.encode_pair(query, p)
+        return ids, types, mask
+
     def encode_batch(self, texts: list[str]):
         import numpy as np
         ids = np.zeros((len(texts), self.max_len), np.int32)
