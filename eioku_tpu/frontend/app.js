@@ -63,8 +63,9 @@ async function doSearch() {
   box.classList.remove("hidden");
   box.innerHTML = "<em>Searching…</em>";
   try {
-    const { results, suggestions } = await api(
-      `/search?q=${encodeURIComponent(q)}&top_k=10`);
+    const rr = $("search-rerank")?.checked ? "&rerank=1" : "";
+    const { results, suggestions, reranked } = await api(
+      `/search?q=${encodeURIComponent(q)}&top_k=10${rr}`);
     let empty = "<p>No matches.</p>";
     if (suggestions?.length)  // spec req 2.4: offer alternative terms
       empty += `<p class="suggest">Try: ${suggestions.map(s =>
@@ -77,7 +78,8 @@ async function doSearch() {
         <span class="t">${fmtMs(r.jump_to.start_ms)}</span>
         <span class="fname">${esc(state.videoPaths[r.video_id] || "")}</span>
         ${esc(r.text.slice(0, 140))}
-        <span class="chip">${r.score.toFixed(3)}</span>
+        <span class="chip">${(reranked && r.rerank_score !== undefined
+          ? r.rerank_score : r.score).toFixed(3)}</span>
       </div>`).join("") || empty);
     for (const el of box.querySelectorAll(".seg")) {
       el.onclick = () => { clearPreviewTimers();
