@@ -7,6 +7,7 @@ Capability parity:
   - `reconcile` — manual reconciliation pass
   - `videos`  — library listing
   - `search`  — semantic query from the shell
+  - `import-eioku` — migrate a reference eioku database (docs/MIGRATION.md)
   - `bench`   — alias for bench.py
 
 Usage: python -m eioku_tpu.cli <command> [--db URL]
@@ -67,6 +68,15 @@ def cmd_resync(args) -> int:
         index = ctx.extra.get("semantic_index")
         if index is not None:
             print(f"rebuilt semantic index: {index.rebuild()} chunks")
+    return 0
+
+
+def cmd_import_eioku(args) -> int:
+    from eioku_tpu.services.import_eioku import import_reference_db
+    ctx = _ctx(args)
+    counts = import_reference_db(ctx, args.source,
+                                 rehash=not args.no_rehash)
+    print(json.dumps(counts))
     return 0
 
 
@@ -165,6 +175,16 @@ def main() -> int:
 
     p = sub.add_parser("discover", help="scan configured paths now")
     p.set_defaults(fn=cmd_discover)
+
+    p = sub.add_parser("import-eioku",
+                       help="import a reference eioku SQLite database "
+                            "(videos/artifacts/runs/selections; projections "
+                            "are rebuilt, see docs/MIGRATION.md)")
+    p.add_argument("--source", required=True, help="path to the eioku .db file")
+    p.add_argument("--no-rehash", action="store_true",
+                   help="keep source SHA-256 file hashes instead of "
+                        "recomputing xxhash64 for files present on disk")
+    p.set_defaults(fn=cmd_import_eioku)
 
     p = sub.add_parser("extract-audio",
                        help="decode a video's audio track to wav/m4a")

@@ -88,6 +88,14 @@ class ArtifactRepository:
                     self.projection_sync(env)
         return envs
 
+    def insert_unchecked(self, env: ArtifactEnvelope) -> ArtifactEnvelope:
+        """Insert WITHOUT schema validation or projection sync — for importing
+        foreign envelopes whose payload schema we don't register (envelopes
+        are the source of truth either way; unknown types have no projection
+        handler). Normal writes go through create/batch_create."""
+        self.db.execute(_INSERT_SQL, _env_params(env))
+        return env
+
     def delete_for_asset(self, asset_id: str) -> int:
         cur = self.db.execute("DELETE FROM artifacts WHERE asset_id=?", (asset_id,))
         return cur.rowcount
