@@ -10,6 +10,7 @@ never shipped) and selection-policy management endpoints.
 """
 from __future__ import annotations
 
+import asyncio
 import os
 
 from pydantic import BaseModel, Field
@@ -589,12 +590,17 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         asset_id = request.query_params.get("video_id")
         # ?rerank=1: cross-encoder second stage (index/rerank.py) — over-fetch
         # candidates so the reranker has headroom beyond the retrieval order;
-        # gated on a real ms-marco checkpoint (degrades to retrieval order)
-        reranker = (ctx.extra.get("reranker")
-                    if request.query_params.get("rerank") in ("1", "true")
-                    else None)
-        reranking = bool(reranker is not None and reranker.available)
-        fetch_k = min(max(top_k * 3, top_k), 64) if reranking else top_k
+        # gated on a real ms-marco checkpoint (degrades to retrieval order).
+        # Checkpoint load + first compile run off-loop: the server is one
+        # asyncio loop and must keep answering while they warm up.
+        rerank_requested = request.query_params.get("rerank") in ("1", "true")
+        reranker = ctx.extra.get("reranker") if rerank_requested else None
+        reranking = bool(
+            reranker is not None
+            and await asyncio.to_thread(lambda: reranker.available))
+        # never fetch fewer than top_k: only the first MAX_CANDIDATES are
+        # rescored, the rest keep retrieval order behind them
+        fetch_k = max(top_k, min(top_k * 3, 64)) if reranking else top_k
         keyword = []
         if mode in ("keyword", "hybrid"):
             keyword = ctx.find.search_library(q, limit=fetch_k, asset_id=asset_id)
@@ -614,11 +620,12 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         else:
             results = _rrf_fuse(semantic, keyword, fetch_k)
         if reranking:
-            results = reranker.rerank(q, results, top_k)
+            results = await asyncio.to_thread(reranker.rerank, q, results,
+                                              top_k)
         results = results[:top_k]
         out = {"query": q, "mode": mode, "results": results,
                "total": len(results)}
-        if request.query_params.get("rerank") in ("1", "true"):
+        if rerank_requested:
             out["reranked"] = reranking
         if not results:  # spec req 2.4: suggest alternative search terms
             out["suggestions"] = ctx.find.suggest_alternatives(q)

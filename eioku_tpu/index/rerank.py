@@ -38,17 +38,27 @@ class Reranker:
             if self._loaded:
                 return self._model is not None
             self._loaded = True
-            from eioku_tpu.models.embed.cross_encoder import load_cross_encoder
-            from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
+            self._model = None
+            try:
+                from eioku_tpu.models.embed.cross_encoder import (
+                    load_cross_encoder,
+                )
+                from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
 
-            params, cfg, pretrained = load_cross_encoder(self.model_cache_dir)
-            tok = WordPieceTokenizer.from_cache_dir(self.model_cache_dir,
-                                                    max_len=self.max_len)
+                params, cfg, pretrained = load_cross_encoder(
+                    self.model_cache_dir)
+                tok = WordPieceTokenizer.from_cache_dir(self.model_cache_dir,
+                                                        max_len=self.max_len)
+            except Exception:
+                # a corrupt/truncated/wrong-shape checkpoint must degrade to
+                # retrieval order (the module contract), never 500 a search
+                log.exception("cross-encoder checkpoint failed to load; "
+                              "rerank disabled")
+                return False
             if not pretrained or tok.vocab is None:
                 log.info("cross-encoder rerank unavailable (checkpoint=%s "
                          "vocab=%s); retrieval order stands",
                          pretrained, tok.vocab is not None)
-                self._model = None
                 return False
             from dataclasses import replace
             self._model = (params, replace(cfg, compute_dtype="bfloat16"), tok)
@@ -62,7 +72,10 @@ class Reranker:
     def rerank(self, query: str, results: list[dict],
                top_k: int) -> list[dict]:
         """Reorder `results` (dicts with a "text" field) by joint
-        query-passage relevance; each kept result gains "rerank_score"."""
+        query-passage relevance; each rescored result gains "rerank_score".
+        Only the first MAX_CANDIDATES are rescored — anything beyond keeps
+        its retrieval position after them, so top_k > MAX_CANDIDATES never
+        loses results."""
         if not results or not self._ensure_model():
             return results[:top_k]
         import jax.numpy as jnp
@@ -70,7 +83,7 @@ class Reranker:
         from eioku_tpu.models.embed.cross_encoder import cross_encoder_score
 
         params, cfg, tok = self._model
-        cands = results[:MAX_CANDIDATES]
+        cands, tail = results[:MAX_CANDIDATES], results[MAX_CANDIDATES:]
         ids, types, mask = tok.encode_pairs(query,
                                             [r.get("text") or "" for r in cands])
         bucket = next(b for b in _BUCKETS if b >= len(cands))
@@ -81,5 +94,6 @@ class Reranker:
         scores = np.asarray(cross_encoder_score(
             params, jnp.asarray(ids), jnp.asarray(types), jnp.asarray(mask),
             cfg))[:len(cands)]
-        order = np.argsort(-scores)[:top_k]
-        return [{**cands[i], "rerank_score": float(scores[i])} for i in order]
+        order = np.argsort(-scores)
+        ranked = [{**cands[i], "rerank_score": float(scores[i])} for i in order]
+        return (ranked + tail)[:top_k]

@@ -96,6 +96,13 @@ class ArtifactRepository:
         self.db.execute(_INSERT_SQL, _env_params(env))
         return env
 
+    def insert_unchecked_batch(self, envs: list[ArtifactEnvelope]) -> int:
+        """Bulk insert_unchecked in one transaction (the importer's path: the
+        final resync_all builds projections once for everything)."""
+        with self.db.transaction() as conn:
+            conn.executemany(_INSERT_SQL, [_env_params(e) for e in envs])
+        return len(envs)
+
     def delete_for_asset(self, asset_id: str) -> int:
         cur = self.db.execute("DELETE FROM artifacts WHERE asset_id=?", (asset_id,))
         return cur.rowcount

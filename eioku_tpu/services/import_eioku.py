@@ -25,7 +25,12 @@ import os
 import sqlite3
 from datetime import datetime, timezone
 
-from eioku_tpu.domain.artifacts import ArtifactEnvelope, Run, SelectionPolicy
+from eioku_tpu.domain.artifacts import (
+    ArtifactEnvelope,
+    Run,
+    SelectionPolicy,
+    utcnow,
+)
 from eioku_tpu.domain.models import PathConfig, Video, VideoStatus
 from eioku_tpu.domain.schema_registry import SchemaRegistry
 from eioku_tpu.domain.task_registry import TASK_REGISTRY
@@ -101,9 +106,13 @@ def import_reference_db(ctx, source_path: str, rehash: bool = True) -> dict:
               "paths": 0, "skipped_existing": 0, "unvalidated": 0}
 
     # -- videos ---------------------------------------------------------------
-    existing_videos = {v.id for v in ctx.videos.list(limit=1_000_000)}
+    ours = ctx.videos.list(limit=1_000_000)
+    existing_videos = {v.id for v in ours}
+    # videos.path is UNIQUE here: a file this stack already discovered under
+    # its own id must not be re-inserted under the reference's id
+    existing_paths = {v.path for v in ours}
     for r in src.execute("SELECT * FROM videos"):
-        if r["video_id"] in existing_videos:
+        if r["video_id"] in existing_videos or r["file_path"] in existing_paths:
             counts["skipped_existing"] += 1
             continue
         file_hash = r["file_hash"] or ""
@@ -116,7 +125,7 @@ def import_reference_db(ctx, source_path: str, rehash: bool = True) -> dict:
             size_bytes=int(r["file_size"] or 0),
             duration_ms=int(dur * 1000) if dur is not None else None,
             status=_VIDEO_STATUS.get(r["status"], VideoStatus.DISCOVERED),
-            created_at=_parse_dt(r["created_at"]) or datetime.utcnow(),
+            created_at=_parse_dt(r["created_at"]) or utcnow(),
             file_created_at=_parse_dt(r["file_created_at"]),
             processed_at=_parse_dt(r["processed_at"])))
         counts["videos"] += 1
@@ -128,9 +137,6 @@ def import_reference_db(ctx, source_path: str, rehash: bool = True) -> dict:
     valid_batch: list[ArtifactEnvelope] = []
     run_meta: dict[str, dict] = {}  # run_id -> first artifact's provenance
     for r in src.execute("SELECT * FROM artifacts ORDER BY created_at"):
-        if r["artifact_id"] in have:
-            counts["skipped_existing"] += 1
-            continue
         env = ArtifactEnvelope(
             artifact_id=r["artifact_id"], asset_id=r["asset_id"],
             artifact_type=r["artifact_type"],
@@ -143,27 +149,35 @@ def import_reference_db(ctx, source_path: str, rehash: bool = True) -> dict:
             model_profile=r["model_profile"] or "balanced",
             config_hash=r["config_hash"] or "", input_hash=r["input_hash"] or "",
             run_id=r["run_id"],
-            created_at=_parse_dt(r["created_at"]) or datetime.utcnow())
+            created_at=_parse_dt(r["created_at"]) or utcnow())
+        # run provenance comes from EVERY source artifact (before the dedup
+        # skip): a crashed earlier import may have committed artifacts whose
+        # Run rows were never synthesized — re-running must repair them
         run_meta.setdefault(env.run_id, {
             "asset_id": env.asset_id, "artifact_type": env.artifact_type,
             "producer": env.producer, "producer_version": env.producer_version,
             "model_profile": env.model_profile, "config_hash": env.config_hash,
             "input_hash": env.input_hash, "created_at": env.created_at})
+        if env.artifact_id in have:
+            counts["skipped_existing"] += 1
+            continue
+        ok = False
         if SchemaRegistry.is_registered(env.artifact_type, env.schema_version):
             try:
                 SchemaRegistry.validate(env.artifact_type, env.schema_version,
                                         env.payload_json)
-                valid_batch.append(env)
-                continue
+                ok = True
             except Exception:
                 pass  # schema drift: keep the envelope, skip projections
-        counts["unvalidated"] += 1
-        ctx.artifacts.insert_unchecked(env)
-        counts["artifacts"] += 1
+        if not ok:
+            counts["unvalidated"] += 1
+        valid_batch.append(env)
+    # all envelopes insert WITHOUT per-row projection sync: the import ends
+    # with a full resync_all, so syncing here would build every projection
+    # twice on exactly the libraries big enough to make import worthwhile
     for i in range(0, len(valid_batch), 500):
-        chunk = valid_batch[i:i + 500]
-        ctx.artifacts.batch_create(chunk)
-        counts["artifacts"] += len(chunk)
+        counts["artifacts"] += ctx.artifacts.insert_unchecked_batch(
+            valid_batch[i:i + 500])
 
     # -- runs (source rows where present; provenance from the artifacts,
     #    which is where the reference actually stores it) ---------------------
@@ -192,11 +206,21 @@ def import_reference_db(ctx, source_path: str, rehash: bool = True) -> dict:
     # -- selections ------------------------------------------------------------
     if "artifact_selections" in tables:
         for r in src.execute("SELECT * FROM artifact_selections"):
-            ctx.policies.set_policy(r["asset_id"], r["artifact_type"],
-                                    SelectionPolicy(
-                                        mode=r["selection_mode"] or "latest",
-                                        run_id=r["pinned_run_id"],
-                                        model_profile=r["preferred_profile"]))
+            # the reference persists mode "default" verbatim (its fallback
+            # policy = newest run), which our SelectionPolicy spells "latest"
+            mode = r["selection_mode"] or "latest"
+            if mode == "default":
+                mode = "latest"
+            try:
+                policy = SelectionPolicy(mode=mode,
+                                         run_id=r["pinned_run_id"],
+                                         model_profile=r["preferred_profile"])
+            except ValueError:
+                log.warning("skipping selection with unknown mode %r for "
+                            "(%s, %s)", mode, r["asset_id"],
+                            r["artifact_type"])
+                continue
+            ctx.policies.set_policy(r["asset_id"], r["artifact_type"], policy)
             counts["selections"] += 1
 
     # -- path configs ------------------------------------------------------------

@@ -90,6 +90,11 @@ def make_reference_db(path: str) -> None:
     conn.execute("INSERT INTO artifact_selections VALUES "
                  "('vid-1','transcript.segment','pinned',NULL,'run-1',NULL,"
                  "'2026-01-02 04:00:00')")
+    # the reference's fallback mode, persisted verbatim by its manager —
+    # spelled "latest" here
+    conn.execute("INSERT INTO artifact_selections VALUES "
+                 "('vid-1','scene','default',NULL,NULL,NULL,"
+                 "'2026-01-02 04:00:00')")
     conn.execute("INSERT INTO path_configs VALUES "
                  "('p-1','/media','true','2026-01-01 00:00:00')")
     conn.commit()
@@ -122,7 +127,7 @@ class TestImportEioku:
         assert counts["videos"] == 2
         assert counts["artifacts"] == 5
         assert counts["runs"] == 4
-        assert counts["selections"] == 1
+        assert counts["selections"] == 2
         assert counts["paths"] == 1
         assert counts["unvalidated"] == 2  # ocr.detection + drifted a-5
         assert counts["projected"] >= 3    # transcripts + scene resynced
@@ -156,6 +161,30 @@ class TestImportEioku:
         import_reference_db(ctx, source)
         pol = ctx.policies.get_policy("vid-1", "transcript.segment")
         assert pol.mode == "pinned" and pol.run_id == "run-1"
+        # reference mode "default" maps onto our "latest"
+        assert ctx.policies.get_policy("vid-1", "scene").mode == "latest"
+
+    def test_video_path_collision_skipped(self, ctx, source):
+        """A file this stack already discovered under its own id must not be
+        re-imported under the reference's id (videos.path is UNIQUE)."""
+        from eioku_tpu.domain.models import Video
+        from eioku_tpu.services.import_eioku import import_reference_db
+        ctx.videos.save(Video(path="/media/a.mp4", file_hash="ours"))
+        counts = import_reference_db(ctx, source)
+        assert counts["videos"] == 1  # only vid-2 imported
+        paths = [v.path for v in ctx.videos.list(limit=10)]
+        assert paths.count("/media/a.mp4") == 1
+
+    def test_rerun_repairs_missing_runs(self, ctx, source):
+        """Run rows are synthesized from every source artifact, so a re-run
+        after a partial import (artifacts committed, runs not) repairs them."""
+        from eioku_tpu.services.import_eioku import import_reference_db
+        import_reference_db(ctx, source)
+        ctx.db.execute("DELETE FROM runs")  # simulate the partial state
+        counts = import_reference_db(ctx, source)
+        assert counts["runs"] == 4
+        assert {r.run_id for r in ctx.runs.list_for_asset("vid-1")} == \
+            {"run-1", "run-2", "run-3"}
 
     def test_idempotent_reimport(self, ctx, source):
         from eioku_tpu.services.import_eioku import import_reference_db

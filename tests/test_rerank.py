@@ -153,6 +153,40 @@ class TestReranker:
         want_order = [texts[i] for i in np.argsort(-want)[:3]]
         assert [o["text"] for o in out] == want_order
 
+    def test_tail_beyond_max_candidates_survives(self, tmp_path, monkeypatch):
+        """top_k past MAX_CANDIDATES must not lose results: only the head is
+        rescored, the tail keeps retrieval order behind it."""
+        from eioku_tpu.index import rerank as rr
+        from eioku_tpu.models.embed import cross_encoder as ce
+
+        cfg = _tiny_cfg()
+        params = ce.init_cross_encoder_params(cfg, seed=3)
+        monkeypatch.setattr(
+            ce, "load_cross_encoder",
+            lambda cache_dir, cfg_=None, seed=0: (params, cfg, True))
+        (tmp_path / "vocab.txt").write_text("\n".join(
+            ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+            + [f"w{i}" for i in range(TINY["vocab_size"] - 4)]) + "\n")
+        r = rr.Reranker(model_cache_dir=str(tmp_path), max_len=32)
+        n = rr.MAX_CANDIDATES + 3
+        results = [{"text": f"w{i % 20}", "i": i} for i in range(n)]
+        out = r.rerank("w1", results, top_k=n)
+        assert len(out) == n
+        # tail entries kept verbatim, in order, after the rescored head
+        assert [o["i"] for o in out[-3:]] == [n - 3, n - 2, n - 1]
+        assert all("rerank_score" not in o for o in out[-3:])
+
+    def test_corrupt_checkpoint_degrades(self, tmp_path):
+        """A checkpoint that fails to load must disable rerank, not raise."""
+        from eioku_tpu.index.rerank import Reranker
+        d = tmp_path / "msmarco-minilm-l6"
+        d.mkdir()
+        (d / "pytorch_model.bin").write_bytes(b"not a torch file")
+        r = Reranker(model_cache_dir=str(tmp_path))
+        assert r.available is False
+        results = [{"text": "a"}, {"text": "b"}]
+        assert r.rerank("q", results, top_k=2) == results
+
     def test_search_endpoint_rerank_param(self, tmp_path):
         """?rerank=1 without a checkpoint: 200, retrieval order, reranked
         false — the opt-in degrades, never errors."""
