@@ -20,12 +20,66 @@ from eioku_tpu.domain.models import PathConfig, TaskStatus, Video, VideoStatus
 from eioku_tpu.web.framework import (
     App,
     FileResponse,
+    HTMLResponse,
     HTTPException,
     JSONResponse,
     Request,
 )
 
 PREFIX = "/api/v1"
+
+# /docs: self-contained interactive reference over /openapi.json. No CDN
+# assets (Swagger UI's bundles can't load in zero-egress deployments); a
+# ~60-line renderer covers the discovery use case the reference's /docs serves.
+_DOCS_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>eioku-tpu API</title><style>
+body{font:14px/1.5 system-ui,sans-serif;margin:0;background:#10141c;color:#dbe2ee}
+header{padding:18px 28px;border-bottom:1px solid #232b38}
+h1{font-size:18px;margin:0} h2{font-size:15px;color:#7fb3ff;margin:26px 0 8px;
+text-transform:capitalize} main{max-width:960px;margin:0 auto;padding:10px 28px 60px}
+.op{border:1px solid #232b38;border-radius:8px;margin:6px 0;overflow:hidden}
+.op summary{display:flex;gap:12px;align-items:center;padding:8px 12px;
+cursor:pointer;list-style:none}
+.m{font-weight:700;font-size:12px;padding:2px 10px;border-radius:6px;
+min-width:52px;text-align:center}
+.GET{background:#12391f;color:#6ad18b}.POST{background:#1c2e4a;color:#7fb3ff}
+.PUT{background:#3a2e14;color:#ffc86a}.DELETE{background:#401c1c;color:#ff7a7a}
+.PATCH{background:#2e1c40;color:#c99aff}
+.path{font-family:ui-monospace,monospace;font-size:13px}
+.sum{color:#8a93a6;font-size:12px;margin-left:auto;text-align:right}
+.body{padding:4px 14px 12px;border-top:1px solid #232b38;color:#aeb6c6;
+white-space:pre-wrap;font-size:13px}
+code{background:#1a2230;padding:1px 5px;border-radius:4px}
+.err{color:#ff7a7a;padding:30px}
+</style></head><body>
+<header><h1 id="title">eioku-tpu API</h1>
+<span style="color:#8a93a6;font-size:12px">generated from
+<code>/openapi.json</code></span></header>
+<main id="root">Loading…</main>
+<script>
+fetch('/openapi.json').then(r=>r.json()).then(spec=>{
+  document.getElementById('title').textContent =
+    spec.info.title + ' API — v' + spec.info.version;
+  const groups = {};
+  for (const [path, ops] of Object.entries(spec.paths))
+    for (const [method, op] of Object.entries(ops))
+      (groups[(op.tags||['root'])[0]] ||= []).push({path, method, op});
+  const esc = s => s.replace(/[&<>]/g, c =>
+    ({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+  document.getElementById('root').innerHTML =
+    Object.entries(groups).map(([tag, ops]) => '<h2>'+esc(tag)+'</h2>' +
+      ops.map(({path, method, op}) => `
+      <details class="op"><summary>
+        <span class="m ${method.toUpperCase()}">${method.toUpperCase()}</span>
+        <span class="path">${esc(path)}</span>
+        <span class="sum">${esc(op.summary||'')}</span></summary>
+      <div class="body">${esc(op.description||op.summary||'')}${
+        (op.parameters||[]).length ? '\\n\\npath params: ' +
+        op.parameters.map(p=>p.name).join(', ') : ''}</div>
+      </details>`).join('')).join('');
+}).catch(e => document.getElementById('root').innerHTML =
+  '<div class="err">failed to load /openapi.json: '+e+'</div>');
+</script></body></html>"""
 
 
 class VideoCreateBody(BaseModel):
@@ -211,6 +265,20 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
     @app.get(PREFIX + "/routes")
     async def list_routes(request: Request):
         return {"routes": sorted({f"{r.method} {r.path}" for r in app.routes})}
+
+    @app.get("/openapi.json")
+    async def openapi_spec(request: Request):
+        """OpenAPI 3.1 document for the whole API surface (the reference's
+        FastAPI serves the same; framework.App.openapi generates it from the
+        route table)."""
+        return app.openapi()
+
+    @app.get("/docs")
+    async def docs_page(request: Request):
+        """Interactive API reference: self-contained HTML over /openapi.json
+        (no CDN assets — this stack runs in zero-egress environments where
+        Swagger UI's bundles can't load)."""
+        return HTMLResponse(_DOCS_HTML)
 
     @app.get("/health")
     async def health(request: Request):

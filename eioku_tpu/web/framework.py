@@ -152,6 +152,10 @@ class PlainTextResponse(Response):
     media_type = "text/plain; charset=utf-8"
 
 
+class HTMLResponse(Response):
+    media_type = "text/html; charset=utf-8"
+
+
 _CHUNK = 1 << 18  # 256 KiB
 
 
@@ -274,6 +278,41 @@ class App:
             self.add_route(path, fn, [method])
             return fn
         return wrap
+
+    def openapi(self, version: str = "0.1") -> dict:
+        """OpenAPI 3.1 document generated from the route table (paths, methods,
+        path parameters, handler-docstring summaries). Capability parity: the
+        reference's FastAPI auto-serves /openapi.json + /docs for its whole
+        surface; this framework derives the same discovery document from its
+        own registry. Query/body schemas are documented in prose (docs/API.md)
+        — handlers parse them imperatively, so only the route surface is
+        introspectable."""
+        paths: dict[str, dict] = {}
+        for r in self.routes:
+            if "{filepath}" in r.path:  # static mounts aren't API surface
+                continue
+            doc = (r.handler.__doc__ or "").strip()
+            summary = doc.splitlines()[0] if doc else r.handler.__name__
+            op = {
+                "summary": summary,
+                "operationId": f"{r.method.lower()}_" + re.sub(
+                    r"\W+", "_", r.path).strip("_"),
+                "responses": {"200": {"description": "Successful response"}},
+            }
+            if doc.count("\n"):
+                op["description"] = doc
+            params = _PARAM_RE.findall(r.path)
+            if params:
+                op["parameters"] = [{"name": p, "in": "path", "required": True,
+                                     "schema": {"type": "string"}}
+                                    for p in params]
+            tag = r.path.split("/")[3] if r.path.startswith("/api/") \
+                and len(r.path.split("/")) > 3 else "root"
+            op["tags"] = [tag]
+            paths.setdefault(r.path, {})[r.method.lower()] = op
+        return {"openapi": "3.1.0",
+                "info": {"title": self.title, "version": version},
+                "paths": dict(sorted(paths.items()))}
 
     def mount_static(self, prefix: str, directory: str,
                      index: str = "index.html") -> None:

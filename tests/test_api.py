@@ -63,6 +63,32 @@ class TestRootAndHealth:
         assert client.get("/static/style.css").status_code == 200
         assert client.get("/static/../api/app.py").status_code in (404, 400)
 
+    def test_openapi_and_docs(self, client):
+        """FastAPI-parity discovery surface: /openapi.json generated from the
+        route table, /docs a self-contained reference page (no CDN assets —
+        zero-egress deployments)."""
+        spec = client.get("/openapi.json").json()
+        assert spec["openapi"] == "3.1.0"
+        ops = {f"{m.upper()} {p}" for p, ms in spec["paths"].items()
+               for m in ms}
+        for needed in ("GET /api/v1/videos", "GET /api/v1/search",
+                       "POST /api/v1/tasks", "GET /health",
+                       "GET /api/v1/videos/{video_id}/jump"):
+            assert any(o.startswith(needed.split("{")[0]) and
+                       (("{" not in needed) or "{" in o) for o in ops
+                       if o.split()[0] == needed.split()[0]), needed
+        # path params are declared
+        jump = spec["paths"].get("/api/v1/videos/{video_id}/jump", {})
+        params = jump.get("get", {}).get("parameters", [])
+        assert any(p["name"] == "video_id" and p["in"] == "path"
+                   for p in params)
+        # static mounts are not API surface
+        assert not any("{filepath}" in p for p in spec["paths"])
+        r = client.get("/docs")
+        assert r.status_code == 200
+        assert "text/html" in r.headers["content-type"]
+        assert "openapi.json" in r.text
+
     def test_api_root(self, client):
         r = client.get("/api/v1")
         assert r.status_code == 200 and r.json()["name"] == "eioku-tpu"
