@@ -23,6 +23,7 @@ from eioku_tpu.web.framework import (
     HTMLResponse,
     HTTPException,
     JSONResponse,
+    PlainTextResponse,
     Request,
 )
 
@@ -488,6 +489,34 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             # immutable)
             _attribute_speakers(ctx, v.id, out)
         return {"artifacts": out, "total": len(out)}
+
+    @app.get(PREFIX + "/videos/{video_id}/subtitles")
+    async def subtitles(request: Request):
+        """Transcript as a standard subtitle file: ?format=vtt (default) or
+        srt, ?language= filters multi-language transcripts, ?with_speakers=1
+        prefixes diarized speaker labels. Uses the same selection policy as
+        the Transcript tab; the SPA player attaches the VTT as a native
+        captions <track>."""
+        v = _get_video(request.path_params["video_id"])
+        fmt = request.query_params.get("format", "vtt")
+        if fmt not in ("vtt", "srt"):
+            raise HTTPException(422, f"unknown subtitle format: {fmt}")
+        lang = request.query_params.get("language")
+        envs = ctx.artifacts.get_by_asset(
+            v.id, artifact_type="transcript.segment",
+            payload_filters={"language": lang} if lang else None,
+            selection=ctx.policies.get_policy(v.id, "transcript.segment"),
+            limit=100000)
+        segs = [e.to_dict() for e in envs]
+        if request.query_params.get("with_speakers") in ("1", "true"):
+            _attribute_speakers(ctx, v.id, segs)
+        from eioku_tpu.services.subtitles import to_srt, to_vtt
+        if fmt == "srt":
+            return PlainTextResponse(
+                to_srt(segs), media_type="application/x-subrip",
+                headers={"content-disposition":
+                         f'attachment; filename="{v.id}.srt"'})
+        return PlainTextResponse(to_vtt(segs), media_type="text/vtt")
 
     @app.get(PREFIX + "/videos/{video_id}/artifact_types")
     async def artifact_types(request: Request):

@@ -118,6 +118,14 @@ async function openVideo(id, seekMs, fromHistory) {
   $("player-view").classList.remove("hidden");
   const video = $("video");
   video.src = `${API}/videos/${id}/stream`;
+  // native captions from the transcript (server renders WebVTT with the
+  // same selection policy as the Transcript tab, speaker labels included)
+  video.querySelectorAll("track").forEach(t => t.remove());
+  const track = document.createElement("track");
+  track.kind = "captions";
+  track.label = "Transcript";
+  track.src = `${API}/videos/${id}/subtitles?format=vtt&with_speakers=1`;
+  video.appendChild(track);
   if (seekMs != null) video.currentTime = seekMs / 1000;
   if (!fromHistory) history.pushState({ video: id }, "", `#v=${id}`);
   selectTab(state.tab);
