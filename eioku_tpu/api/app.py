@@ -135,6 +135,10 @@ def create_app(config: AppConfig | None = None, ctx: AppContext | None = None,
         if start_reconciler:
             background.append(asyncio.create_task(reconciliation_loop(
                 ctx.reconciler, ctx.config.reconcile_interval_s, stop)))
+        if do_discover and ctx.config.discover_interval_s:
+            from eioku_tpu.services.discovery import discovery_loop
+            background.append(asyncio.create_task(discovery_loop(
+                ctx.discovery, ctx.config.discover_interval_s, stop)))
 
     async def shutdown() -> None:
         stop.set()

@@ -75,6 +75,10 @@ class AppConfig:
     index_dir: str | None = None
     reconcile_interval_s: float = 300.0
     auto_discover: bool = True
+    # opt-in periodic re-scan of the configured paths (seconds; None = only
+    # at startup / via POST /paths/discover, like the reference): new files
+    # dropped into a watched folder get discovered and enqueued automatically
+    discover_interval_s: float | None = None
     semantic_search: bool = True
 
     # int8-quantized MiniLM serving for the semantic index (ops/quant.py):
@@ -217,6 +221,8 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
         cfg.model_cache_dir = data.get("model_cache_dir")
         cfg.index_dir = data.get("index_dir")
         cfg.auto_discover = data.get("auto_discover", cfg.auto_discover)
+        raw_di = data.get("discover_interval_s")
+        cfg.discover_interval_s = float(raw_di) if raw_di else None
         cfg.semantic_search = data.get("semantic_search", cfg.semantic_search)
         cfg.embed_int8 = data.get("embed_int8", cfg.embed_int8)
         cfg.workload_profile = data.get("workload_profile", cfg.workload_profile)

@@ -205,3 +205,28 @@ class VideoDiscoveryService:
                 self.videos.delete(video.id)
                 report.videos_removed += 1
         return report
+
+
+async def discovery_loop(discovery: "VideoDiscoveryService",
+                         interval_s: float,
+                         stop: "asyncio.Event | None" = None) -> None:
+    """Opt-in periodic re-scan (config discover_interval_s): files dropped
+    into a watched folder are discovered and their tasks enqueued without a
+    manual POST /paths/discover. Runs the blocking scan (directory walk +
+    xxhash) off the event loop; the startup discovery already covered t=0, so
+    the loop sleeps first."""
+    import asyncio
+
+    stop = stop or asyncio.Event()
+    while not stop.is_set():
+        try:
+            await asyncio.wait_for(stop.wait(), timeout=interval_s)
+            return  # stop set during the sleep
+        except asyncio.TimeoutError:
+            pass
+        try:
+            report = await asyncio.to_thread(discovery.discover)
+            if report.videos_new or report.videos_removed:
+                log.info("periodic discovery", extra=report.to_dict())
+        except Exception:
+            log.exception("periodic discovery failed")

@@ -176,6 +176,67 @@ class TestReferenceConfigCompat:
         assert _normalize_variant("whisper-large-v3") == "large-v3"
 
 
+class TestPeriodicDiscovery:
+    def test_loop_picks_up_new_file(self, db, tmp_path):
+        """config discover_interval_s: a file dropped into a watched folder
+        after startup is discovered by the background loop without a manual
+        POST /paths/discover."""
+        import asyncio
+        import sys
+        sys.path.insert(0, "tests")
+        from test_ml_pipeline import write_video
+
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.domain.models import PathConfig
+        from eioku_tpu.queue import JobProducer, MemoryJobQueue
+        from eioku_tpu.repositories import (
+            PathConfigRepository,
+            TaskRepository,
+            VideoRepository,
+        )
+        from eioku_tpu.services.discovery import (
+            VideoDiscoveryService,
+            discovery_loop,
+        )
+
+        config = AppConfig(scan_paths=[], discover_interval_s=0.05)
+        videos = VideoRepository(db)
+        paths = PathConfigRepository(db)
+        paths.save(PathConfig(path=str(tmp_path)))
+        svc = VideoDiscoveryService(config, videos, TaskRepository(db), paths,
+                                    JobProducer(MemoryJobQueue()))
+        svc.discover()
+        assert videos.list(limit=10) == []
+
+        async def run():
+            stop = asyncio.Event()
+            task = asyncio.create_task(
+                discovery_loop(svc, config.discover_interval_s, stop))
+            await asyncio.sleep(0.02)  # loop is sleeping; drop a file now
+            write_video(str(tmp_path / "new.mp4"), [(4, (10, 10, 10))],
+                        fps=2, size=(48, 48))
+            for _ in range(100):
+                await asyncio.sleep(0.05)
+                if videos.list(limit=10):
+                    break
+            stop.set()
+            await asyncio.wait_for(task, timeout=2)
+
+        asyncio.run(run())
+        found = videos.list(limit=10)
+        assert len(found) == 1 and found[0].path.endswith("new.mp4")
+
+    def test_config_loads_interval(self, tmp_path):
+        import json
+
+        from eioku_tpu.config.settings import load_config
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps({"paths": [], "discover_interval_s": 60}))
+        assert load_config(str(p)).discover_interval_s == 60.0
+        p.write_text(json.dumps({"paths": []}))
+        assert load_config(str(p)).discover_interval_s is None
+
+
 class TestWorkloadProfiles:
     def test_priorities(self):
         from eioku_tpu.config.settings import AppConfig
