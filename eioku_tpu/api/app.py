@@ -135,7 +135,10 @@ def create_app(config: AppConfig | None = None, ctx: AppContext | None = None,
         if start_reconciler:
             background.append(asyncio.create_task(reconciliation_loop(
                 ctx.reconciler, ctx.config.reconcile_interval_s, stop)))
-        if do_discover and ctx.config.discover_interval_s:
+        # independent of auto_discover: skipping the startup scan must not
+        # silently disable the periodic one (discover_interval_s is its own
+        # opt-in knob, docs/DEPLOY.md)
+        if ctx.config.discover_interval_s:
             from eioku_tpu.services.discovery import discovery_loop
             background.append(asyncio.create_task(discovery_loop(
                 ctx.discovery, ctx.config.discover_interval_s, stop)))

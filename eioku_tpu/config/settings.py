@@ -222,7 +222,17 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
         cfg.index_dir = data.get("index_dir")
         cfg.auto_discover = data.get("auto_discover", cfg.auto_discover)
         raw_di = data.get("discover_interval_s")
-        cfg.discover_interval_s = float(raw_di) if raw_di else None
+        try:
+            di = float(raw_di) if raw_di else None
+        except (TypeError, ValueError):
+            log.warning("discover_interval_s %r is not a number; periodic "
+                        "discovery disabled", raw_di)
+            di = None
+        if di is not None and di <= 0:
+            log.warning("discover_interval_s %s <= 0; periodic discovery "
+                        "disabled", di)
+            di = None
+        cfg.discover_interval_s = di
         cfg.semantic_search = data.get("semantic_search", cfg.semantic_search)
         cfg.embed_int8 = data.get("embed_int8", cfg.embed_int8)
         cfg.workload_profile = data.get("workload_profile", cfg.workload_profile)

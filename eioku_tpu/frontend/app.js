@@ -124,6 +124,8 @@ async function openVideo(id, seekMs, fromHistory) {
   const track = document.createElement("track");
   track.kind = "captions";
   track.label = "Transcript";
+  track.srclang = "en";
+  track.default = true;  // non-default tracks stay disabled: never fetched
   track.src = `${API}/videos/${id}/subtitles?format=vtt&with_speakers=1`;
   video.appendChild(track);
   if (seekMs != null) video.currentTime = seekMs / 1000;

@@ -217,16 +217,12 @@ async def discovery_loop(discovery: "VideoDiscoveryService",
     the loop sleeps first."""
     import asyncio
 
-    stop = stop or asyncio.Event()
-    while not stop.is_set():
-        try:
-            await asyncio.wait_for(stop.wait(), timeout=interval_s)
-            return  # stop set during the sleep
-        except asyncio.TimeoutError:
-            pass
-        try:
-            report = await asyncio.to_thread(discovery.discover)
-            if report.videos_new or report.videos_removed:
-                log.info("periodic discovery", extra=report.to_dict())
-        except Exception:
-            log.exception("periodic discovery failed")
+    from eioku_tpu.services.reconciler import periodic_loop
+
+    async def scan():
+        report = await asyncio.to_thread(discovery.discover)
+        if report.videos_new or report.videos_removed:
+            log.info("periodic discovery", extra=report.to_dict())
+
+    await periodic_loop(scan, interval_s, stop or asyncio.Event(),
+                        "periodic discovery", sleep_first=True)

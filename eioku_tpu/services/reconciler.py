@@ -141,18 +141,37 @@ class Reconciler:
                     "elapsed_s": round(elapsed)})
 
 
+async def periodic_loop(fn, interval_s: float, stop: asyncio.Event,
+                        name: str, sleep_first: bool = False) -> None:
+    """Shared skeleton for lifespan background loops (reconciliation,
+    periodic discovery): run `fn` every interval_s until `stop` is set,
+    logging (not propagating) per-iteration failures. Intervals clamp to a
+    1 s floor so a bad config value can't busy-loop full library scans."""
+    interval_s = max(float(interval_s), 1.0)
+    while not stop.is_set():
+        if sleep_first:
+            try:
+                await asyncio.wait_for(stop.wait(), timeout=interval_s)
+                return  # stop set during the sleep
+            except asyncio.TimeoutError:
+                pass
+        try:
+            out = fn()
+            if asyncio.iscoroutine(out):
+                await out
+        except Exception:
+            log.exception("%s failed", name)
+        if not sleep_first:
+            try:
+                await asyncio.wait_for(stop.wait(), timeout=interval_s)
+            except asyncio.TimeoutError:
+                pass
+
+
 async def reconciliation_loop(reconciler: Reconciler,
                               interval_s: float = DEFAULT_INTERVAL_S,
                               stop: asyncio.Event | None = None) -> None:
     """Background loop for the API process
     (reference: main_api.py:200-208, every 300 s)."""
-    stop = stop or asyncio.Event()
-    while not stop.is_set():
-        try:
-            reconciler.run()
-        except Exception:
-            log.exception("reconciliation failed")
-        try:
-            await asyncio.wait_for(stop.wait(), timeout=interval_s)
-        except asyncio.TimeoutError:
-            pass
+    await periodic_loop(reconciler.run, interval_s, stop or asyncio.Event(),
+                        "reconciliation")

@@ -279,7 +279,7 @@ class App:
             return fn
         return wrap
 
-    def openapi(self, version: str = "0.1") -> dict:
+    def openapi(self, version: str | None = None) -> dict:
         """OpenAPI 3.1 document generated from the route table (paths, methods,
         path parameters, handler-docstring summaries). Capability parity: the
         reference's FastAPI auto-serves /openapi.json + /docs for its whole
@@ -310,6 +310,8 @@ class App:
                 and len(r.path.split("/")) > 3 else "root"
             op["tags"] = [tag]
             paths.setdefault(r.path, {})[r.method.lower()] = op
+        if version is None:
+            from eioku_tpu import __version__ as version  # one source of truth
         return {"openapi": "3.1.0",
                 "info": {"title": self.title, "version": version},
                 "paths": dict(sorted(paths.items()))}

@@ -235,6 +235,38 @@ class TestPeriodicDiscovery:
         assert load_config(str(p)).discover_interval_s == 60.0
         p.write_text(json.dumps({"paths": []}))
         assert load_config(str(p)).discover_interval_s is None
+        # bad values disable with a warning instead of crashing/busy-looping
+        p.write_text(json.dumps({"paths": [], "discover_interval_s": -300}))
+        assert load_config(str(p)).discover_interval_s is None
+        p.write_text(json.dumps({"paths": [], "discover_interval_s": "5m"}))
+        assert load_config(str(p)).discover_interval_s is None
+
+    def test_loop_runs_without_auto_discover(self, db, tmp_path):
+        """auto_discover=false (skip the startup scan) must not disable the
+        periodic loop — discover_interval_s is its own opt-in knob."""
+        import asyncio
+
+        from eioku_tpu.api.app import build_context, create_app
+        from eioku_tpu.config.settings import AppConfig
+
+        cfg = AppConfig(scan_paths=[], auto_discover=False,
+                        discover_interval_s=9999, semantic_search=False)
+        app = create_app(ctx=build_context(cfg, db=db),
+                         start_reconciler=False)
+
+        async def run():
+            for fn in app.on_startup:
+                await fn()
+            names = {t.get_coro().__qualname__
+                     for t in asyncio.all_tasks()
+                     if t is not asyncio.current_task()}
+            for fn in app.on_shutdown:
+                await fn()
+            return names
+
+        names = asyncio.run(run())
+        assert any("discovery_loop" in n or "periodic_loop" in n
+                   for n in names), names
 
 
 class TestWorkloadProfiles:

@@ -42,6 +42,20 @@ class TestFormatters:
         assert out.splitlines()[0] == "1"
         assert "WEBVTT" not in out
 
+    def test_hostile_text_sanitized(self):
+        """Blank lines would terminate a cue, '-->' parses as a timing line,
+        '<'/'&' start VTT cue tags/entities — all must be neutralized."""
+        from eioku_tpu.services.subtitles import to_srt, to_vtt
+        segs = [{"span_start_ms": 0, "span_end_ms": 1000,
+                 "payload_json": {"text": "foo\n\nbar --> baz <i>&x"}}]
+        vtt = to_vtt(segs)
+        body = [ln for ln in vtt.splitlines() if ln.startswith("foo")]
+        assert body == ["foo bar → baz &lt;i>&amp;x"]
+        assert vtt.count("-->") == 1  # only the timing line
+        srt = to_srt(segs)
+        assert "foo bar → baz <i>&x" in srt  # SRT: no entity escaping
+        assert srt.count("-->") == 1
+
 
 class TestEndpoint:
     def test_vtt_endpoint(self, client, ctx):
