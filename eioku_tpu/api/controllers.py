@@ -490,6 +490,24 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             _attribute_speakers(ctx, v.id, out)
         return {"artifacts": out, "total": len(out)}
 
+    @app.get(PREFIX + "/people")
+    async def people(request: Request):
+        """Cross-video face identities: ArcFace track centroids clustered
+        library-wide (services/people.py). ?threshold= tunes the cosine
+        distance cutoff (default 0.45). Needs face_detection runs with
+        {"embeddings": true}; returns [] otherwise."""
+        from eioku_tpu.services.people import DEFAULT_THRESHOLD, PeopleService
+        svc = ctx.extra.get("people_service")
+        if svc is None:
+            svc = ctx.extra["people_service"] = PeopleService(ctx)
+        try:
+            threshold = float(request.query_params.get(
+                "threshold", DEFAULT_THRESHOLD))
+        except ValueError:
+            raise HTTPException(422, "threshold must be a number")
+        persons = await asyncio.to_thread(svc.people, threshold)
+        return {"people": persons, "total": len(persons)}
+
     @app.get(PREFIX + "/videos/{video_id}/subtitles")
     async def subtitles(request: Request):
         """Transcript as a standard subtitle file: ?format=vtt (default) or

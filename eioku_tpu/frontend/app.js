@@ -25,6 +25,46 @@ const fmtMs = (ms) => {
 };
 const esc = (t) => { const d = document.createElement("div"); d.textContent = t ?? ""; return d.innerHTML; };
 
+/* ---------- people (cross-video face identities) ---------- */
+async function togglePeople() {
+  const panel = $("people-panel");
+  if (!panel.classList.contains("hidden")) {
+    panel.classList.add("hidden");
+    return;
+  }
+  panel.classList.remove("hidden");
+  panel.innerHTML = "<em>Clustering faces…</em>";
+  try {
+    const { people } = await api("/people");
+    if (!people.length) {
+      panel.innerHTML = "<p>No face identities yet — run face detection " +
+        "with <code>{\"embeddings\": true}</code>.</p>";
+      return;
+    }
+    panel.innerHTML = "<h3>People</h3>" + people.map(p => {
+      const o = p.occurrences[0];
+      return `
+      <div class="person" data-pid="${p.person_id}">
+        <img class="mini-thumb" loading="lazy" alt="" src="${API}/videos/${
+          o.video_id}/thumbnail?at_ms=${o.first_ms}"
+          onerror="this.style.display='none'">
+        <strong>${esc(p.person_id.replace("_", " "))}</strong>
+        <span class="meta">${p.total_faces} faces · ${p.video_count} video${
+          p.video_count > 1 ? "s" : ""}</span>
+        <div class="occ">${p.occurrences.map(o => `
+          <a href="#" data-vid="${o.video_id}" data-ms="${o.first_ms}">
+            ${esc(state.videoPaths[o.video_id] || o.video_id.slice(0, 8))}
+            @ ${fmtMs(o.first_ms)}</a>`).join(" · ")}</div>
+      </div>`;
+    }).join("");
+    for (const a of panel.querySelectorAll(".occ a"))
+      a.onclick = (e) => { e.preventDefault();
+                           openVideo(a.dataset.vid, +a.dataset.ms); };
+  } catch (e) {
+    panel.innerHTML = `<p>People unavailable: ${esc(e.message)}</p>`;
+  }
+}
+
 /* ---------- gallery ---------- */
 async function loadGallery() {
   // sort + filename filter are SERVER-side (spec req 8.4): the SQL sorts/
@@ -444,6 +484,7 @@ setInterval(() => {
 window.addEventListener("DOMContentLoaded", () => {
   loadGallery();
   $("search-btn").onclick = doSearch;
+  $("people-btn").onclick = togglePeople;
   $("search-input").onkeydown = (e) => { if (e.key === "Enter") doSearch(); };
   $("gallery-sort").onchange = loadGallery;
   let filterTimer = null;

@@ -96,7 +96,7 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
                    num_classes: int, class_names: list[str],
                    default_conf: float, default_interval: float,
                    model_cache_dir: str | None,
-                   payload_builder) -> list[dict]:
+                   payload_builder, batch_hook=None) -> list[dict]:
     conf = float(config.get("confidence_threshold", default_conf))
     interval = float(config.get("frame_interval_s", default_interval))
     batch_size = int(config.get("batch_size", 32))
@@ -122,6 +122,7 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval,
             decode_threads=decode_threads, decode_procs=decode_procs)):
+        batch_start = len(results)
         if preprocess == "device":
             from eioku_tpu.ops.resize import (
                 letterbox_geometry,
@@ -165,6 +166,10 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
                     frame_no)
                 results.append({"payload": payload, "span_start_ms": t0,
                                 "span_end_ms": t0 + frame_duration_ms})
+        if batch_hook is not None:
+            # while this batch's SOURCE frames are still in memory: lets the
+            # face path crop identity patches without a second decode pass
+            batch_hook(batch, results[batch_start:])
     return results
 
 
@@ -183,15 +188,85 @@ def run_object_detection(video_path: str, config: dict,
 def run_face_detection(video_path: str, config: dict,
                        model_cache_dir: str | None = None) -> list[dict]:
     model = config.get("model", "yolov8n-face")
+    # {"embeddings": true}: ArcFace identity embeddings per face, cropped from
+    # the decoded frames in the same pass (no second decode) — feeds the
+    # cross-video People clustering (services/people.py)
+    collector = _FaceCropCollector() if config.get("embeddings") else None
     results = _run_detection(
         video_path, config, model_name=model, num_classes=1,
         class_names=[], default_conf=0.7, default_interval=3.0,
         model_cache_dir=model_cache_dir,
         payload_builder=lambda label, conf, box, frame: {
             "cluster_id": None, "confidence": conf, "bounding_box": box,
-            "frame_number": frame})
+            "frame_number": frame},
+        batch_hook=collector.collect if collector else None)
     _assign_face_clusters(results)
+    if collector:
+        collector.attach_embeddings(model_cache_dir)
     return results
+
+
+class _FaceCropCollector:
+    """Crops face boxes from each decoded batch, then embeds all crops with
+    the ArcFace model and writes payload.embedding (L2-normalized, so the
+    People clustering works in plain cosine space)."""
+
+    EMBED_BATCH = 64
+
+    def __init__(self):
+        self.crops: list[np.ndarray] = []
+        self.payloads: list[dict] = []
+
+    def collect(self, batch, batch_results: list[dict]) -> None:
+        from eioku_tpu.models.face_embed.model import INPUT_SIZE
+        local = {int(f): i for i, f in
+                 enumerate(batch.frame_indices[:batch.valid])}
+        for r in batch_results:
+            p = r["payload"]
+            i = local.get(p["frame_number"])
+            if i is None:
+                continue
+            b = p["bounding_box"]
+            x1, y1 = int(b["x"]), int(b["y"])
+            x2 = int(b["x"] + b["width"]), int(b["y"] + b["height"])
+            x2, y2 = x2[0], x2[1]
+            crop = batch.frames[i, max(y1, 0):max(y2, 1), max(x1, 0):max(x2, 1)]
+            if crop.size == 0:
+                continue
+            self.crops.append(cv2.resize(crop, (INPUT_SIZE, INPUT_SIZE),
+                                         interpolation=cv2.INTER_LINEAR))
+            self.payloads.append(p)
+
+    def attach_embeddings(self, model_cache_dir: str | None) -> None:
+        if not self.crops:
+            return
+        from eioku_tpu.models.face_embed.model import face_embed, preprocess
+        params, _ = _load_face_embedder(model_cache_dir)
+        crops = preprocess(np.stack(self.crops))
+        vecs = []
+        bs = self.EMBED_BATCH
+        for i in range(0, len(crops), bs):
+            chunk = crops[i:i + bs]
+            pad = bs - len(chunk)  # fixed shape: one compiled program
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            vecs.append(np.asarray(face_embed(params, jnp.asarray(chunk)))
+                        [:bs - pad if pad else bs])
+        emb = np.concatenate(vecs).astype(np.float32)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+        for p, v in zip(self.payloads, emb):
+            p["embedding"] = [round(float(x), 5) for x in v]
+
+
+@lru_cache(maxsize=1)
+def _load_face_embedder(model_cache_dir: str | None):
+    from eioku_tpu.models.face_embed.model import load_face_embed
+    params, pretrained = load_face_embed(model_cache_dir)
+    if not pretrained:
+        log.warning("no arcface_r18 checkpoint; face embeddings are "
+                    "random-init (clustering quality will be poor)")
+    return params, pretrained
 
 
 def _assign_face_clusters(results: list[dict],
