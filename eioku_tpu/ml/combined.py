@@ -589,6 +589,13 @@ def run_visual_analysis(video_path: str, config: dict,
         # face clustering over the merged face results
         from eioku_tpu.ml.detection import _assign_face_clusters
         _assign_face_clusters(faces.results, frame_step=faces.step)
+        if fcfg.get("embeddings"):
+            # identity embeddings for /people: the combined pass has already
+            # released its frames, so this re-decodes the face-sampled ones
+            from eioku_tpu.ml.detection import attach_face_embeddings
+            attach_face_embeddings(
+                video_path, faces.results,
+                float(fcfg.get("frame_interval_s", 3.0)), model_cache_dir)
         out["face_detection"] = faces.results
     if pcfg is not None:
         out["place_classification"] = objects.place_results if fuse_places \

@@ -259,6 +259,31 @@ class _FaceCropCollector:
             p["embedding"] = [round(float(x), 5) for x in v]
 
 
+def attach_face_embeddings(video_path: str, results: list[dict],
+                           interval_s: float,
+                           model_cache_dir: str | None = None,
+                           batch_size: int = 32) -> None:
+    """Post-hoc variant of the {"embeddings": true} path for pipelines that
+    no longer hold the decoded frames (the combined visual pass): re-decode
+    at the face-sampling cadence and crop the boxes whose frame numbers
+    match. One extra decode of the sampled frames only — the standalone
+    face task avoids even that via the in-pass batch hook."""
+    if not results:
+        return
+    by_frame: dict[int, list[dict]] = {}
+    for r in results:
+        by_frame.setdefault(r["payload"]["frame_number"], []).append(r)
+    collector = _FaceCropCollector()
+    for batch in video_io.iter_frame_batches(video_path,
+                                             batch_size=batch_size,
+                                             frame_interval_s=interval_s):
+        matched = [r for f in batch.frame_indices[:batch.valid]
+                   for r in by_frame.get(int(f), [])]
+        if matched:
+            collector.collect(batch, matched)
+    collector.attach_embeddings(model_cache_dir)
+
+
 @lru_cache(maxsize=1)
 def _load_face_embedder(model_cache_dir: str | None):
     from eioku_tpu.models.face_embed.model import load_face_embed

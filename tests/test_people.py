@@ -120,6 +120,25 @@ class TestEmbeddingsPipeline:
         SchemaRegistry.validate("face.detection", 1, with_emb[0]["payload"])
 
 
+    @pytest.mark.slow
+    def test_combined_pass_embeddings(self, tmp_path):
+        """The one-decode combined pass supports the same embeddings opt-in
+        (re-decoding only the face-sampled frames)."""
+        import sys
+        sys.path.insert(0, "tests")
+        from test_ml_pipeline import write_video
+
+        from eioku_tpu.ml.combined import run_visual_analysis
+        path = str(tmp_path / "v.mp4")
+        write_video(path, [(6, (80, 120, 160))], fps=3, size=(96, 96))
+        out = run_visual_analysis(path, {
+            "face_detection": {"confidence_threshold": 0.0, "batch_size": 4,
+                               "frame_interval_s": 0.5, "embeddings": True}})
+        faces = out["face_detection"]
+        assert faces
+        assert any(r["payload"].get("embedding") for r in faces)
+
+
 class TestEndpoint:
     def test_people_endpoint(self, client, ctx):
         seed_library(ctx)
