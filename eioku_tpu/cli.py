@@ -71,6 +71,22 @@ def cmd_resync(args) -> int:
     return 0
 
 
+def cmd_people(args) -> int:
+    from eioku_tpu.services.people import cluster_people
+    ctx = _ctx(args)
+    persons = cluster_people(ctx, threshold=args.threshold)
+    for p in persons:
+        print(f"{p['person_id']:12s} {p['total_faces']:5d} faces  "
+              f"{p['video_count']:3d} videos")
+        for o in p["occurrences"][:args.occurrences]:
+            print(f"    {o['video_id'][:8]}  track={o['cluster_id']}"
+                  f"  n={o['count']}  first={o['first_ms']}ms")
+    if not persons:
+        print("no face identities (run face_detection with"
+              " {\"embeddings\": true})")
+    return 0
+
+
 def cmd_import_eioku(args) -> int:
     from eioku_tpu.services.import_eioku import import_reference_db
     ctx = _ctx(args)
@@ -175,6 +191,11 @@ def main() -> int:
 
     p = sub.add_parser("discover", help="scan configured paths now")
     p.set_defaults(fn=cmd_discover)
+
+    p = sub.add_parser("people", help="cross-video face identities")
+    p.add_argument("--threshold", type=float, default=0.45)
+    p.add_argument("--occurrences", type=int, default=5)
+    p.set_defaults(fn=cmd_people)
 
     p = sub.add_parser("import-eioku",
                        help="import a reference eioku SQLite database "
