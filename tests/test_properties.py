@@ -154,3 +154,112 @@ class TestTokenizerProperties:
         assert ids[0] == tok.cls_id
         assert tok.sep_id in ids
         assert all(0 <= i < tok.vocab_size for i in ids)
+
+
+class TestSubtitleProperties:
+    seg_strategy = st.lists(st.fixed_dictionaries({
+        "span_start_ms": st.integers(0, 10_000_000),
+        "span_end_ms": st.integers(0, 10_000_000),
+        "payload_json": st.fixed_dictionaries({
+            "text": st.text(max_size=60),
+        }, optional={"speaker": st.text(min_size=1, max_size=10)}),
+    }), max_size=12)
+
+    @given(segs=seg_strategy)
+    @settings(max_examples=60, deadline=None)
+    def test_vtt_always_parses(self, segs):
+        """Any payload text yields a structurally valid VTT: header, cue
+        count == timing-line count, non-decreasing starts, every timing line
+        well-formed — regardless of newlines/arrows/tags in the text."""
+        import re
+
+        from eioku_tpu.services.subtitles import to_vtt
+        out = to_vtt(segs)
+        lines = out.splitlines()
+        assert lines[0] == "WEBVTT"
+        timing = [ln for ln in lines if "-->" in ln]
+        pat = re.compile(r"^\d{2,}:\d{2}:\d{2}\.\d{3} --> "
+                         r"\d{2,}:\d{2}:\d{2}\.\d{3}$")
+        starts = []
+        for ln in timing:
+            assert pat.match(ln), ln
+            h, m, s = ln.split(" --> ")[0].split(":")
+            starts.append((int(h) * 3600 + int(m) * 60 + float(s)))
+        assert starts == sorted(starts)
+        # a cue body never contains a blank line (it would end the cue)
+        for i, ln in enumerate(lines):
+            if "-->" in ln:
+                assert lines[i + 1].strip() != ""
+
+    @given(segs=seg_strategy)
+    @settings(max_examples=30, deadline=None)
+    def test_srt_vtt_same_cue_count(self, segs):
+        from eioku_tpu.services.subtitles import to_srt, to_vtt
+        assert to_vtt(segs).count("-->") == to_srt(segs).count("-->")
+
+
+class TestPeopleClusteringProperties:
+    vec = st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                   min_size=8, max_size=8)
+    track_strategy = st.lists(st.fixed_dictionaries({
+        "video_id": st.sampled_from(["v1", "v2", "v3"]),
+        "cluster_id": st.integers(0, 9).map(lambda i: f"face_{i}"),
+        "centroid": vec,
+        "count": st.integers(1, 20),
+        "first_ms": st.integers(0, 100_000),
+    }), max_size=20, unique_by=lambda t: (t["video_id"], t["cluster_id"]))
+
+    @given(tracks=track_strategy, threshold=st.floats(0.0, 2.0))
+    @settings(max_examples=60, deadline=None)
+    def test_partition_invariants(self, tracks, threshold):
+        """Every track lands in exactly one person; face totals are
+        preserved; person ids are dense and sorted by total faces."""
+        from unittest.mock import patch
+
+        import numpy as np
+
+        from eioku_tpu.services import people as pp
+        norm = []
+        for t in tracks:
+            c = np.asarray(t["centroid"], np.float32)
+            n = float(np.linalg.norm(c))
+            if n < 1e-6:
+                continue
+            norm.append({**t, "centroid": c / n})
+        with patch.object(pp, "_track_centroids", lambda ctx: list(norm)):
+            persons = pp.cluster_people(ctx=None, threshold=threshold)
+        occs = [o for p in persons for o in p["occurrences"]]
+        assert len(occs) == len(norm)
+        assert sum(p["total_faces"] for p in persons) == \
+            sum(t["count"] for t in norm)
+        totals = [p["total_faces"] for p in persons]
+        assert totals == sorted(totals, reverse=True)
+        assert [p["person_id"] for p in persons] == \
+            [f"person_{i}" for i in range(len(persons))]
+
+    @given(tracks=track_strategy)
+    @settings(max_examples=20, deadline=None)
+    def test_zero_threshold_never_merges_distinct(self, tracks):
+        from unittest.mock import patch
+
+        import numpy as np
+
+        from eioku_tpu.services import people as pp
+        norm = []
+        for t in tracks:
+            c = np.asarray(t["centroid"], np.float32)
+            n = float(np.linalg.norm(c))
+            if n < 1e-6:
+                continue
+            norm.append({**t, "centroid": c / n})
+        with patch.object(pp, "_track_centroids", lambda ctx: list(norm)):
+            persons = pp.cluster_people(ctx=None, threshold=0.0)
+        # only exactly-identical centroids may share a person
+        for p in persons:
+            ms = [m for m in norm
+                  if any(o["cluster_id"] == m["cluster_id"]
+                         and o["video_id"] == m["video_id"]
+                         for o in p["occurrences"])]
+            for a in ms:
+                for b in ms:
+                    assert float(a["centroid"] @ b["centroid"]) > 1 - 1e-5
