@@ -11,6 +11,7 @@ never shipped) and selection-policy management endpoints.
 from __future__ import annotations
 
 import asyncio
+import json
 import os
 
 from pydantic import BaseModel, Field
@@ -25,6 +26,7 @@ from eioku_tpu.web.framework import (
     JSONResponse,
     PlainTextResponse,
     Request,
+    StreamingResponse,
 )
 
 PREFIX = "/api/v1"
@@ -630,6 +632,50 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             descending=not request.query_bool("ascending"),
             limit=limit, offset=request.query_int("offset", 0))
         return {"tasks": [t.to_dict() for t in tasks], "total": ctx.tasks.count()}
+
+    @app.get(PREFIX + "/tasks/stream")
+    async def stream_tasks(request: Request):
+        """Live task progress as Server-Sent Events: one `data:` event per
+        change in the (status x type) counts plus the most recent tasks —
+        the SPA's Tasks tab updates without polling (the reference's SPA
+        polls /tasks). ?interval= (seconds, default 1, min 0.2),
+        ?timeout= caps the stream (default 300 s), ?max_events= for
+        bounded reads. Heartbeat comments keep proxies from idling out."""
+        interval = max(float(request.query_params.get("interval", 1.0)), 0.2)
+        timeout = min(float(request.query_params.get("timeout", 300.0)), 3600.0)
+        max_events = request.query_int("max_events", 0)
+
+        def snapshot():
+            counts: dict[str, int] = {}
+            for row in ctx.db.query(
+                    "SELECT status, COUNT(*) AS n FROM tasks GROUP BY status"):
+                counts[row["status"]] = row["n"]
+            recent = [t.to_dict() for t in ctx.tasks.find(
+                limit=20, sort_by="created_at", descending=True)]
+            return {"counts": counts, "recent": recent}
+
+        async def events():
+            import asyncio as _asyncio
+            import time as _time
+            deadline = _time.monotonic() + timeout
+            last, sent, beats = None, 0, 0
+            while _time.monotonic() < deadline:
+                snap = await _asyncio.to_thread(snapshot)
+                if snap != last:
+                    last = snap
+                    yield f"data: {json.dumps(snap)}\n\n"
+                    sent += 1
+                    if max_events and sent >= max_events:
+                        return
+                else:
+                    beats += 1
+                    if beats % 15 == 0:
+                        yield ": keepalive\n\n"
+                await _asyncio.sleep(interval)
+
+        return StreamingResponse(
+            events(), media_type="text/event-stream",
+            headers={"cache-control": "no-cache", "x-accel-buffering": "no"})
 
     def _get_task(task_id: str):
         t = ctx.tasks.get(task_id)

@@ -11,6 +11,7 @@ const $ = (id) => document.getElementById(id);
 const state = {
   video: null, tab: "transcript", artifacts: {}, runs: [], run: null,
   overlays: { objects: false, faces: false, ocr: false }, tasksTimer: null,
+  tasksSource: null,
   overlayRaf: null, videoPaths: {},
 };
 
@@ -184,6 +185,7 @@ function closeVideo(fromHistory) {
   $("player-view").classList.add("hidden");
   $("gallery-view").classList.remove("hidden");
   clearInterval(state.tasksTimer);
+  if (state.tasksSource) { state.tasksSource.close(); state.tasksSource = null; }
   if (fromHistory !== true) history.pushState({}, "", "#");
   loadGallery();
 }
@@ -333,6 +335,18 @@ async function renderTasks() {
 }
 function startTaskPolling() {
   clearInterval(state.tasksTimer);
+  if (state.tasksSource) { state.tasksSource.close(); state.tasksSource = null; }
+  // live updates via SSE (/tasks/stream); interval polling is the fallback
+  // for browsers/proxies that break EventSource
+  if (window.EventSource) {
+    try {
+      const es = new EventSource(`${API}/tasks/stream?interval=2`);
+      es.onmessage = () => { if (state.tab === "tasks") renderTasks(); };
+      es.onerror = () => { es.close(); state.tasksSource = null; };
+      state.tasksSource = es;
+      return;
+    } catch (e) { /* fall through to polling */ }
+  }
   state.tasksTimer = setInterval(() => {
     if (state.tab === "tasks") renderTasks();
   }, 5000);

@@ -156,6 +156,37 @@ class HTMLResponse(Response):
     media_type = "text/html; charset=utf-8"
 
 
+class StreamingResponse(Response):
+    """Incremental body from an async generator (SSE, long downloads). The
+    server already speaks more_body (FileResponse uses it); this exposes it
+    for generated content. No content-length: the connection closes (or the
+    client stops reading) when the generator ends."""
+
+    media_type = "application/octet-stream"
+
+    def __init__(self, content, status_code: int = 200,
+                 headers: dict[str, str] | None = None,
+                 media_type: str | None = None):
+        super().__init__(b"", status_code, headers, media_type)
+        self.content = content
+
+    def _header_list(self) -> list[tuple[bytes, bytes]]:
+        out = [(b"content-type", self.media_type.encode())]
+        out.extend((k.lower().encode(), v.encode())
+                   for k, v in self.headers.items())
+        return out
+
+    async def send(self, send: Callable) -> None:
+        await send({"type": "http.response.start",
+                    "status": self.status_code,
+                    "headers": self._header_list()})
+        async for chunk in self.content:
+            body = chunk.encode() if isinstance(chunk, str) else chunk
+            await send({"type": "http.response.body", "body": body,
+                        "more_body": True})
+        await send({"type": "http.response.body", "body": b""})
+
+
 _CHUNK = 1 << 18  # 256 KiB
 
 

@@ -63,6 +63,24 @@ class TestRootAndHealth:
         assert client.get("/static/style.css").status_code == 200
         assert client.get("/static/../api/app.py").status_code in (404, 400)
 
+    def test_tasks_stream_sse(self, client, ctx):
+        """GET /tasks/stream: live task progress as Server-Sent Events (the
+        SPA's Tasks tab subscribes instead of polling). Bounded read via
+        max_events so the test completes."""
+        from eioku_tpu.domain.models import Task
+        v = seed_video(ctx)
+        ctx.tasks.save(Task(video_id=v.id, task_type="transcription"))
+        r = client.get("/api/v1/tasks/stream?max_events=1&interval=0.2")
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/event-stream")
+        line = [ln for ln in r.text.splitlines() if ln.startswith("data: ")][0]
+        import json as _json
+        snap = _json.loads(line[len("data: "):])
+        assert snap["counts"].get("pending") == 1
+        assert snap["recent"][0]["task_type"] == "transcription"
+        # the literal path still routes ahead of /tasks/{task_id}
+        assert client.get("/api/v1/tasks/definitely-missing").status_code == 404
+
     def test_openapi_and_docs(self, client):
         """FastAPI-parity discovery surface: /openapi.json generated from the
         route table, /docs a self-contained reference page (no CDN assets —
