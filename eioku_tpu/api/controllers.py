@@ -304,9 +304,13 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
 
     @app.get(PREFIX + "/metrics")
     async def metrics(request: Request):
-        from eioku_tpu.utils.metrics import METRICS
+        from eioku_tpu.utils.metrics import METRICS, to_prometheus
         snap = METRICS.snapshot()
         snap["queue"] = ctx.producer.queue.counts()
+        if request.query_params.get("format") == "prometheus":
+            return PlainTextResponse(
+                to_prometheus(snap),
+                media_type="text/plain; version=0.0.4; charset=utf-8")
         return snap
 
     @app.get(PREFIX + "/device")

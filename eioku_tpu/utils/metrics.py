@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import threading
 import time
 from contextlib import contextmanager
@@ -97,6 +98,48 @@ def _key(name: str, labels: dict) -> str:
 
 
 METRICS = MetricsRegistry()
+
+
+def _prom_name(key: str) -> tuple[str, str]:
+    """Split an internal 'name{k=v,...}' key into (sanitized metric name,
+    label string with quoted values — Prometheus requires them quoted)."""
+    name, labels = key, ""
+    if "{" in key:
+        name, rest = key.split("{", 1)
+        pairs = [p.split("=", 1) for p in rest.rstrip("}").split(",") if p]
+        labels = ",".join(f'{k}="{v}"' for k, v in pairs)
+    name = re.sub(r"[^a-zA-Z0-9_:]", "_", name)
+    return name, labels
+
+
+def to_prometheus(snap: dict) -> str:
+    """Render a MetricsRegistry snapshot (+optional 'queue' counts) in the
+    Prometheus text exposition format: counters verbatim, timing histograms
+    as _count/_sum/_bucket with CUMULATIVE le buckets (ours are per-bucket).
+    Served by /api/v1/metrics?format=prometheus."""
+    lines: list[str] = []
+    for key, value in sorted(snap.get("counters", {}).items()):
+        name, labels = _prom_name(key)
+        lines += [f"# TYPE eioku_{name} counter",
+                  f"eioku_{name}{{{labels}}} {value}" if labels
+                  else f"eioku_{name} {value}"]
+    for key, h in sorted(snap.get("timings", {}).items()):
+        name, labels = _prom_name(key)
+        base = f"eioku_{name}_seconds"
+        pre = labels + "," if labels else ""
+        lines.append(f"# TYPE {base} histogram")
+        cum = 0
+        for b, c in zip(_BUCKETS, list(h["buckets"].values())[:-1]):
+            cum += c
+            lines.append(f'{base}_bucket{{{pre}le="{b}"}} {cum}')
+        lines.append(f'{base}_bucket{{{pre}le="+Inf"}} {h["count"]}')
+        lines.append(f"{base}_sum{{{labels}}} {h['mean'] * h['count']:.6f}"
+                     if labels else f"{base}_sum {h['mean'] * h['count']:.6f}")
+        lines.append(f"{base}_count{{{labels}}} {h['count']}" if labels
+                     else f"{base}_count {h['count']}")
+    for status, n in sorted(snap.get("queue", {}).items()):
+        lines += [f'eioku_queue_jobs{{status="{status}"}} {n}']
+    return "\n".join(lines) + "\n"
 
 
 @contextmanager

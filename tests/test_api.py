@@ -117,6 +117,26 @@ class TestRootAndHealth:
         d = client.get("/api/v1/device")
         assert d.status_code == 200 and d.json()["device_count"] >= 1
 
+    def test_metrics_prometheus_format(self, client):
+        from eioku_tpu.utils.metrics import METRICS
+        METRICS.inc("http_requests", path="/x")
+        with METRICS.timer("request_seconds"):
+            pass
+        r = client.get("/api/v1/metrics?format=prometheus")
+        assert r.status_code == 200
+        assert "version=0.0.4" in r.headers["content-type"]
+        text = r.text
+        assert '# TYPE eioku_http_requests counter' in text
+        assert 'eioku_http_requests{path="/x"}' in text
+        assert "# TYPE eioku_request_seconds_seconds histogram" in text
+        assert 'le="+Inf"' in text and "_count 1" in text
+        # cumulative buckets: the +Inf bucket equals the count
+        import re as _re
+        inf = _re.search(
+            r'eioku_request_seconds_seconds_bucket\{le="\+Inf"\} (\d+)', text)
+        cnt = _re.search(r"eioku_request_seconds_seconds_count (\d+)", text)
+        assert inf.group(1) == cnt.group(1)
+
     def test_health(self, client):
         assert client.get("/health").json()["status"] == "ok"
 
