@@ -645,8 +645,15 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         polls /tasks). ?interval= (seconds, default 1, min 0.2),
         ?timeout= caps the stream (default 300 s), ?max_events= for
         bounded reads. Heartbeat comments keep proxies from idling out."""
-        interval = max(float(request.query_params.get("interval", 1.0)), 0.2)
-        timeout = min(float(request.query_params.get("timeout", 300.0)), 3600.0)
+        import math as _math
+        interval = request.query_float("interval", 1.0)
+        timeout = request.query_float("timeout", 300.0)
+        if not (_math.isfinite(interval) and _math.isfinite(timeout)):
+            raise HTTPException(422, "interval/timeout must be finite")
+        timeout = min(max(timeout, 0.0), 3600.0)
+        # interval can never exceed the stream lifetime (inf/NaN rejected
+        # above; an interval above timeout would sleep past the deadline)
+        interval = min(max(interval, 0.2), max(timeout, 0.2))
         max_events = request.query_int("max_events", 0)
 
         def snapshot():

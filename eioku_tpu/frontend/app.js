@@ -173,7 +173,6 @@ async function openVideo(id, seekMs, fromHistory) {
   if (!fromHistory) history.pushState({ video: id }, "", `#v=${id}`);
   selectTab(state.tab);
   loadJumpOptions();
-  startTaskPolling();
   if (state.overlayRaf) cancelAnimationFrame(state.overlayRaf);
   overlayLoop();
 }
@@ -184,8 +183,7 @@ function closeVideo(fromHistory) {
   state.video = null;
   $("player-view").classList.add("hidden");
   $("gallery-view").classList.remove("hidden");
-  clearInterval(state.tasksTimer);
-  if (state.tasksSource) { state.tasksSource.close(); state.tasksSource = null; }
+  stopTaskUpdates();
   if (fromHistory !== true) history.pushState({}, "", "#");
   loadGallery();
 }
@@ -213,7 +211,9 @@ async function selectTab(tab) {
     b.classList.toggle("active", b.dataset.tab === tab);
   const content = $("tab-content");
   content.innerHTML = "<em>Loading…</em>";
-  if (tab === "tasks") { $("run-selector-wrap").classList.add("hidden"); return renderTasks(); }
+  if (tab === "tasks") { $("run-selector-wrap").classList.add("hidden");
+    startTaskUpdates(); return renderTasks(); }
+  stopTaskUpdates();
   const type = TAB_TYPE[tab];
   const { runs } = await api(`/videos/${state.video.id}/runs?artifact_type=${type}`);
   state.runs = runs;
@@ -333,23 +333,33 @@ async function renderTasks() {
     b.onclick = async (e) => { e.stopPropagation();
       await api(`/tasks/${b.dataset.retry}/retry`, { method: "POST" }); renderTasks(); };
 }
-function startTaskPolling() {
-  clearInterval(state.tasksTimer);
+function stopTaskUpdates() {
+  clearInterval(state.tasksTimer); state.tasksTimer = null;
   if (state.tasksSource) { state.tasksSource.close(); state.tasksSource = null; }
-  // live updates via SSE (/tasks/stream); interval polling is the fallback
-  // for browsers/proxies that break EventSource
+}
+function startTaskUpdates() {
+  // called ONLY while the Tasks tab is visible (a stream per page view would
+  // poll the server for nothing); SSE first, interval polling as the
+  // fallback — including after any SSE error/stream end, so updates never
+  // silently freeze
+  stopTaskUpdates();
+  const fallback = () => {
+    stopTaskUpdates();
+    state.tasksTimer = setInterval(() => {
+      if (state.tab === "tasks") renderTasks(); else stopTaskUpdates();
+    }, 5000);
+  };
   if (window.EventSource) {
     try {
       const es = new EventSource(`${API}/tasks/stream?interval=2`);
-      es.onmessage = () => { if (state.tab === "tasks") renderTasks(); };
-      es.onerror = () => { es.close(); state.tasksSource = null; };
+      es.onmessage = () => { if (state.tab === "tasks") renderTasks();
+                             else stopTaskUpdates(); };
+      es.onerror = fallback;
       state.tasksSource = es;
       return;
     } catch (e) { /* fall through to polling */ }
   }
-  state.tasksTimer = setInterval(() => {
-    if (state.tab === "tasks") renderTasks();
-  }, 5000);
+  fallback();
 }
 
 /* ---------- jump ----------

@@ -591,11 +591,13 @@ def run_visual_analysis(video_path: str, config: dict,
         _assign_face_clusters(faces.results, frame_step=faces.step)
         if fcfg.get("embeddings"):
             # identity embeddings for /people: the combined pass has already
-            # released its frames, so this re-decodes the face-sampled ones
+            # released its frames, so this re-decodes the face-sampled ones.
+            # faces.step is the TRUE grid (snapped to the pass's base step);
+            # passing the seconds interval instead would rederive a different
+            # grid and miss the faces (review finding, round 3)
             from eioku_tpu.ml.detection import attach_face_embeddings
-            attach_face_embeddings(
-                video_path, faces.results,
-                float(fcfg.get("frame_interval_s", 3.0)), model_cache_dir)
+            attach_face_embeddings(video_path, faces.results, faces.step,
+                                   model_cache_dir)
         out["face_detection"] = faces.results
     if pcfg is not None:
         out["place_classification"] = objects.place_results if fuse_places \

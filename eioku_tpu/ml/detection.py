@@ -260,27 +260,41 @@ class _FaceCropCollector:
 
 
 def attach_face_embeddings(video_path: str, results: list[dict],
-                           interval_s: float,
+                           frame_step: int,
                            model_cache_dir: str | None = None,
                            batch_size: int = 32) -> None:
     """Post-hoc variant of the {"embeddings": true} path for pipelines that
     no longer hold the decoded frames (the combined visual pass): re-decode
-    at the face-sampling cadence and crop the boxes whose frame numbers
-    match. One extra decode of the sampled frames only — the standalone
-    face task avoids even that via the in-pass batch hook."""
+    on the EXACT sampling grid the faces came from and crop the boxes whose
+    frame numbers match. frame_step is the caller's true source-frames-per-
+    sample (e.g. the combined pass's faces.step, which snaps to its base
+    grid) — re-deriving a grid from a seconds interval here would round
+    differently and silently miss every face off the rederived grid."""
     if not results:
         return
+    info = video_io.probe(video_path)
+    fps = info.fps or 30.0
     by_frame: dict[int, list[dict]] = {}
     for r in results:
         by_frame.setdefault(r["payload"]["frame_number"], []).append(r)
     collector = _FaceCropCollector()
-    for batch in video_io.iter_frame_batches(video_path,
-                                             batch_size=batch_size,
-                                             frame_interval_s=interval_s):
+    matched_frames: set[int] = set()
+    # iter_frame_batches recomputes step = round(fps * interval); feeding
+    # frame_step/fps back through that is an exact round-trip
+    for batch in video_io.iter_frame_batches(
+            video_path, batch_size=batch_size,
+            frame_interval_s=max(frame_step, 1) / fps):
         matched = [r for f in batch.frame_indices[:batch.valid]
                    for r in by_frame.get(int(f), [])]
+        matched_frames.update(int(f) for f in batch.frame_indices[:batch.valid]
+                              if int(f) in by_frame)
         if matched:
             collector.collect(batch, matched)
+    missed = set(by_frame) - matched_frames
+    if missed:
+        log.warning("face embedding re-decode missed %d/%d face frames "
+                    "(frame_step=%d mismatch?)", len(missed), len(by_frame),
+                    frame_step)
     collector.attach_embeddings(model_cache_dir)
 
 

@@ -100,14 +100,24 @@ def _key(name: str, labels: dict) -> str:
 METRICS = MetricsRegistry()
 
 
+# pairs split on commas that START a new `key=` (label VALUES may contain
+# commas — _key joins with plain ','/'=' so the split must be lookahead-aware)
+_LABEL_SPLIT = re.compile(r",(?=[A-Za-z_][A-Za-z0-9_]*=)")
+
+
+def _prom_escape(v: str) -> str:
+    return v.replace("\\", r"\\").replace('"', r"\"").replace("\n", r"\n")
+
+
 def _prom_name(key: str) -> tuple[str, str]:
     """Split an internal 'name{k=v,...}' key into (sanitized metric name,
-    label string with quoted values — Prometheus requires them quoted)."""
+    label string with quoted, escaped values)."""
     name, labels = key, ""
     if "{" in key:
         name, rest = key.split("{", 1)
-        pairs = [p.split("=", 1) for p in rest.rstrip("}").split(",") if p]
-        labels = ",".join(f'{k}="{v}"' for k, v in pairs)
+        pairs = [p.split("=", 1) for p in _LABEL_SPLIT.split(rest.rstrip("}"))
+                 if "=" in p]
+        labels = ",".join(f'{k}="{_prom_escape(v)}"' for k, v in pairs)
     name = re.sub(r"[^a-zA-Z0-9_:]", "_", name)
     return name, labels
 
@@ -116,18 +126,26 @@ def to_prometheus(snap: dict) -> str:
     """Render a MetricsRegistry snapshot (+optional 'queue' counts) in the
     Prometheus text exposition format: counters verbatim, timing histograms
     as _count/_sum/_bucket with CUMULATIVE le buckets (ours are per-bucket).
-    Served by /api/v1/metrics?format=prometheus."""
+    One TYPE line per metric NAME (the format forbids repeating it per
+    labeled child). Served by /api/v1/metrics?format=prometheus."""
     lines: list[str] = []
+    typed: set[str] = set()
+
+    def type_line(full_name: str, kind: str) -> None:
+        if full_name not in typed:
+            typed.add(full_name)
+            lines.append(f"# TYPE {full_name} {kind}")
+
     for key, value in sorted(snap.get("counters", {}).items()):
         name, labels = _prom_name(key)
-        lines += [f"# TYPE eioku_{name} counter",
-                  f"eioku_{name}{{{labels}}} {value}" if labels
-                  else f"eioku_{name} {value}"]
+        type_line(f"eioku_{name}", "counter")
+        lines.append(f"eioku_{name}{{{labels}}} {value}" if labels
+                     else f"eioku_{name} {value}")
     for key, h in sorted(snap.get("timings", {}).items()):
         name, labels = _prom_name(key)
         base = f"eioku_{name}_seconds"
         pre = labels + "," if labels else ""
-        lines.append(f"# TYPE {base} histogram")
+        type_line(base, "histogram")
         cum = 0
         for b, c in zip(_BUCKETS, list(h["buckets"].values())[:-1]):
             cum += c
@@ -137,8 +155,10 @@ def to_prometheus(snap: dict) -> str:
                      if labels else f"{base}_sum {h['mean'] * h['count']:.6f}")
         lines.append(f"{base}_count{{{labels}}} {h['count']}" if labels
                      else f"{base}_count {h['count']}")
-    for status, n in sorted(snap.get("queue", {}).items()):
-        lines += [f'eioku_queue_jobs{{status="{status}"}} {n}']
+    if snap.get("queue"):
+        type_line("eioku_queue_jobs", "gauge")
+        for status, n in sorted(snap["queue"].items()):
+            lines.append(f'eioku_queue_jobs{{status="{status}"}} {n}')
     return "\n".join(lines) + "\n"
 
 

@@ -12,6 +12,7 @@ backend/tests/test_api.py:14-60).
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
@@ -160,7 +161,12 @@ class StreamingResponse(Response):
     """Incremental body from an async generator (SSE, long downloads). The
     server already speaks more_body (FileResponse uses it); this exposes it
     for generated content. No content-length: the connection closes (or the
-    client stops reading) when the generator ends."""
+    client stops reading) when the generator ends.
+
+    The app sets `_receive` before send(): a watcher task awaits
+    http.disconnect and aborts the generator, so a long-lived stream (e.g. a
+    one-hour SSE subscription) stops polling the moment the client goes away
+    instead of running out its timeout."""
 
     media_type = "application/octet-stream"
 
@@ -169,6 +175,7 @@ class StreamingResponse(Response):
                  media_type: str | None = None):
         super().__init__(b"", status_code, headers, media_type)
         self.content = content
+        self._receive: Callable | None = None
 
     def _header_list(self) -> list[tuple[bytes, bytes]]:
         out = [(b"content-type", self.media_type.encode())]
@@ -177,14 +184,52 @@ class StreamingResponse(Response):
         return out
 
     async def send(self, send: Callable) -> None:
+        import asyncio
+
         await send({"type": "http.response.start",
                     "status": self.status_code,
                     "headers": self._header_list()})
-        async for chunk in self.content:
-            body = chunk.encode() if isinstance(chunk, str) else chunk
-            await send({"type": "http.response.body", "body": body,
-                        "more_body": True})
-        await send({"type": "http.response.body", "body": b""})
+        disconnected = asyncio.Event()
+
+        async def watch() -> None:
+            while True:
+                try:
+                    msg = await self._receive()
+                except Exception:
+                    break
+                if msg["type"] == "http.disconnect":
+                    break
+            disconnected.set()
+
+        watcher = asyncio.ensure_future(watch()) if self._receive else None
+        it = self.content.__aiter__()
+        dc_wait = asyncio.ensure_future(disconnected.wait())
+        try:
+            while not disconnected.is_set():
+                nxt = asyncio.ensure_future(it.__anext__())
+                done, _ = await asyncio.wait(
+                    {nxt, dc_wait}, return_when=asyncio.FIRST_COMPLETED)
+                if nxt not in done:
+                    nxt.cancel()
+                    log.info("streaming response aborted: client disconnected")
+                    break
+                try:
+                    chunk = nxt.result()
+                except StopAsyncIteration:
+                    break
+                body = chunk.encode() if isinstance(chunk, str) else chunk
+                await send({"type": "http.response.body", "body": body,
+                            "more_body": True})
+            if not disconnected.is_set():
+                await send({"type": "http.response.body", "body": b""})
+        finally:
+            dc_wait.cancel()
+            if watcher is not None:
+                watcher.cancel()
+            aclose = getattr(it, "aclose", None)
+            if aclose is not None:
+                with contextlib.suppress(Exception):
+                    await aclose()
 
 
 _CHUNK = 1 << 18  # 256 KiB
@@ -399,6 +444,8 @@ class App:
             log.error("unhandled error %s %s\n%s", scope.get("method"),
                       scope.get("path"), traceback.format_exc())
             response = JSONResponse({"detail": "Internal Server Error"}, 500)
+        if isinstance(response, StreamingResponse):
+            response._receive = receive  # disconnect watch (send() docstring)
         await response.send(send)
 
     async def _dispatch(self, request: Request) -> Response:

@@ -94,6 +94,15 @@ class _Connection:
         async def receive():
             nonlocal body_sent
             if body_sent:
+                # ASGI semantics: after the body, receive() resolves only on
+                # actual client disconnect. Streaming handlers watch this to
+                # stop work when the peer goes away. Reading ahead is safe
+                # here: streams carry connection: close (no content-length),
+                # so no pipelined request follows on this socket.
+                try:
+                    await self.reader.read(1)
+                except Exception:
+                    pass
                 return {"type": "http.disconnect"}
             body_sent = True
             return {"type": "http.request", "body": body, "more_body": False}

@@ -137,6 +137,33 @@ class TestRootAndHealth:
         cnt = _re.search(r"eioku_request_seconds_seconds_count (\d+)", text)
         assert inf.group(1) == cnt.group(1)
 
+    def test_prometheus_type_once_and_escaping(self, client):
+        """The format forbids repeated TYPE lines per metric name, and label
+        values with commas/quotes must render escaped, not crash."""
+        from eioku_tpu.utils.metrics import METRICS
+        METRICS.inc("tasks_done", task_type="a")
+        METRICS.inc("tasks_done", task_type="b")
+        METRICS.inc("paths_seen", path='/a,b"c')
+        r = client.get("/api/v1/metrics?format=prometheus")
+        assert r.status_code == 200
+        text = r.text
+        assert text.count("# TYPE eioku_tasks_done counter") == 1
+        assert 'eioku_tasks_done{task_type="a"}' in text
+        assert 'eioku_tasks_done{task_type="b"}' in text
+        assert 'eioku_paths_seen{path="/a,b\\"c"}' in text
+
+    def test_tasks_stream_bad_params(self, client):
+        assert client.get(
+            "/api/v1/tasks/stream?interval=abc").status_code == 422
+        assert client.get(
+            "/api/v1/tasks/stream?interval=inf").status_code == 422
+        assert client.get(
+            "/api/v1/tasks/stream?timeout=nan").status_code == 422
+        # interval above timeout clamps instead of sleeping past the deadline
+        r = client.get(
+            "/api/v1/tasks/stream?timeout=0.3&interval=60&max_events=1")
+        assert r.status_code == 200
+
     def test_health(self, client):
         assert client.get("/health").json()["status"] == "ok"
 

@@ -121,6 +121,33 @@ class TestEmbeddingsPipeline:
 
 
     @pytest.mark.slow
+    def test_combined_pass_embeddings_snapped_grid(self, tmp_path):
+        """Regression (review finding): with scene detection active the
+        combined pass samples faces on a grid SNAPPED to the base step
+        (substep()), which differs from round(fps * interval). The re-decode
+        must follow faces.step, not re-derive a grid — otherwise nearly all
+        faces silently lose their embeddings."""
+        import sys
+        sys.path.insert(0, "tests")
+        from test_ml_pipeline import write_video
+
+        from eioku_tpu.ml.combined import run_visual_analysis
+        path = str(tmp_path / "v.mp4")
+        write_video(path, [(16, (80, 120, 160)), (16, (200, 40, 90))],
+                    fps=4, size=(96, 96))
+        # base grid from scenes (sample_fps 2 -> base_step 2); face interval
+        # 1.25 s -> unsnapped step 5, snapped step 6: the grids genuinely
+        # diverge, which is exactly the broken case
+        out = run_visual_analysis(path, {
+            "scene_detection": {"sample_fps": 2.0},
+            "face_detection": {"confidence_threshold": 0.0, "batch_size": 4,
+                               "frame_interval_s": 1.25, "embeddings": True}})
+        faces = out["face_detection"]
+        assert faces
+        missing = [r for r in faces if not r["payload"].get("embedding")]
+        assert not missing, f"{len(missing)}/{len(faces)} faces lost embeddings"
+
+    @pytest.mark.slow
     def test_combined_pass_embeddings(self, tmp_path):
         """The one-decode combined pass supports the same embeddings opt-in
         (re-decoding only the face-sampled frames)."""
