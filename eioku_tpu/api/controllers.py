@@ -514,6 +514,33 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         persons = await asyncio.to_thread(svc.people, threshold)
         return {"people": persons, "total": len(persons)}
 
+    @app.get(PREFIX + "/videos/{video_id}/clip")
+    async def clip(request: Request):
+        """Export [start_ms, end_ms] as a downloadable clip: native
+        stream-copy remux (no re-encode, cut snaps to the keyframe at or
+        before start_ms), cached per (file, span). Spans cap at 10 min."""
+        from eioku_tpu.services.clips import MAX_CLIP_MS, clip_path
+        v = _get_video(request.path_params["video_id"])
+        start_ms = request.query_int("start_ms", 0)
+        end_ms = request.query_int("end_ms")
+        if end_ms is None:
+            raise HTTPException(422, "end_ms is required")
+        if end_ms <= start_ms or start_ms < 0:
+            raise HTTPException(422, "end_ms must be greater than start_ms")
+        if end_ms - start_ms > MAX_CLIP_MS:
+            raise HTTPException(422, f"clip span is capped at {MAX_CLIP_MS} ms")
+        if not os.path.isfile(v.path):
+            raise HTTPException(404, "video file is missing on disk")
+        path = await asyncio.to_thread(clip_path, v.path, v.file_hash,
+                                       start_ms, end_ms)
+        if path is None:
+            raise HTTPException(500, "clip export failed")
+        base = os.path.splitext(os.path.basename(v.path))[0]
+        return FileResponse(
+            path, media_type="video/mp4",
+            download_name=f"{base}_{start_ms}_{end_ms}"
+                          f"{os.path.splitext(path)[1]}")
+
     @app.get(PREFIX + "/videos/{video_id}/subtitles")
     async def subtitles(request: Request):
         """Transcript as a standard subtitle file: ?format=vtt (default) or

@@ -509,6 +509,14 @@ window.addEventListener("DOMContentLoaded", () => {
   loadGallery();
   $("search-btn").onclick = doSearch;
   $("people-btn").onclick = togglePeople;
+  $("clip-btn").onclick = () => {
+    if (!state.video) return;
+    const t = Math.round($("video").currentTime * 1000);
+    const start = Math.max(0, t - 5000);
+    // server remuxes (stream copy) and serves the cached file
+    window.open(`${API}/videos/${state.video.id}/clip?start_ms=${start}` +
+                `&end_ms=${t + 15000}`, "_blank");
+  };
   $("search-input").onkeydown = (e) => { if (e.key === "Enter") doSearch(); };
   $("gallery-sort").onchange = loadGallery;
   let filterTimer = null;

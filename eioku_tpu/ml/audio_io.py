@@ -102,6 +102,10 @@ def _configure_av(lib) -> None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_int,
         ctypes.c_char_p]
+    lib.eioku_clip_remux.restype = ctypes.c_int
+    lib.eioku_clip_remux.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
+        ctypes.c_longlong]
 
 
 def native_decoder():

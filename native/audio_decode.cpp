@@ -381,4 +381,104 @@ int eioku_media_encode_mapped(const char *path, const unsigned char *rgb,
     return ret < 0 ? ret : 0;
 }
 
+// eioku_clip_remux(src, dst, start_ms, end_ms) -> 0 ok / <0 failure.
+// Stream-copy every A/V stream of [start, end] into dst (container from the
+// extension) WITHOUT re-encoding: export of a search-hit clip costs ms, not
+// a transcode. Cut points snap to the keyframe at-or-before start_ms (the
+// only cut a copy can make playable); timestamps rebase so the clip starts
+// near zero.
+int eioku_clip_remux(const char *src, const char *dst,
+                     long long start_ms, long long end_ms) {
+    if (end_ms <= start_ms) return -1;
+    AVFormatContext *ic = nullptr, *oc = nullptr;
+    AVPacket *pkt = nullptr;
+    int ret = 0;
+    bool header_written = false, opened_io = false;
+    std::vector<int> map;           // input stream index -> output (-1 drop)
+    std::vector<long long> first_dts;
+
+    if ((ret = avformat_open_input(&ic, src, nullptr, nullptr)) < 0) return ret;
+    if ((ret = avformat_find_stream_info(ic, nullptr)) < 0) goto done;
+    if ((ret = avformat_alloc_output_context2(&oc, nullptr, nullptr, dst)) < 0)
+        goto done;
+
+    map.assign(ic->nb_streams, -1);
+    first_dts.assign(ic->nb_streams, AV_NOPTS_VALUE);
+    for (unsigned i = 0; i < ic->nb_streams; i++) {
+        AVCodecParameters *par = ic->streams[i]->codecpar;
+        if (par->codec_type != AVMEDIA_TYPE_VIDEO &&
+            par->codec_type != AVMEDIA_TYPE_AUDIO)
+            continue;
+        AVStream *os = avformat_new_stream(oc, nullptr);
+        if (!os) { ret = AVERROR(ENOMEM); goto done; }
+        if ((ret = avcodec_parameters_copy(os->codecpar, par)) < 0) goto done;
+        os->codecpar->codec_tag = 0;  // container-appropriate tag
+        os->time_base = ic->streams[i]->time_base;
+        map[i] = os->index;
+    }
+    if (oc->nb_streams == 0) { ret = -2; goto done; }
+
+    if (!(oc->oformat->flags & AVFMT_NOFILE)) {
+        if ((ret = avio_open(&oc->pb, dst, AVIO_FLAG_WRITE)) < 0) goto done;
+        opened_io = true;
+    }
+    if ((ret = avformat_write_header(oc, nullptr)) < 0) goto done;
+    header_written = true;
+
+    // seek the whole file to the keyframe at-or-before start
+    if ((ret = av_seek_frame(ic, -1, start_ms * 1000,
+                             AVSEEK_FLAG_BACKWARD)) < 0)
+        goto done;
+
+    pkt = av_packet_alloc();
+    while (av_read_frame(ic, pkt) >= 0) {
+        int in_idx = pkt->stream_index;
+        if (in_idx >= (int)map.size() || map[in_idx] < 0) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        AVStream *is = ic->streams[in_idx];
+        AVStream *os = oc->streams[map[in_idx]];
+        long long t_ms = pkt->pts == AV_NOPTS_VALUE ? -1
+            : av_rescale_q(pkt->pts, is->time_base, AVRational{1, 1000});
+        if (t_ms > end_ms) {
+            // past the window on this stream; other streams may lag, so keep
+            // reading until EVERY mapped stream is past (cheap approximation:
+            // stop once the video stream passes — audio packets are tiny)
+            if (is->codecpar->codec_type == AVMEDIA_TYPE_VIDEO) {
+                av_packet_unref(pkt);
+                break;
+            }
+            av_packet_unref(pkt);
+            continue;
+        }
+        if (first_dts[in_idx] == AV_NOPTS_VALUE) {
+            first_dts[in_idx] = pkt->dts != AV_NOPTS_VALUE ? pkt->dts
+                : (pkt->pts != AV_NOPTS_VALUE ? pkt->pts : 0);
+        }
+        // rebase so the clip starts near zero (per stream, in its timebase)
+        if (pkt->pts != AV_NOPTS_VALUE) pkt->pts -= first_dts[in_idx];
+        if (pkt->dts != AV_NOPTS_VALUE) pkt->dts -= first_dts[in_idx];
+        av_packet_rescale_ts(pkt, is->time_base, os->time_base);
+        pkt->stream_index = os->index;
+        pkt->pos = -1;
+        if ((ret = av_interleaved_write_frame(oc, pkt)) < 0) {
+            av_packet_unref(pkt);
+            goto done;
+        }
+        av_packet_unref(pkt);
+    }
+    ret = 0;
+
+done:
+    if (header_written) av_write_trailer(oc);
+    if (pkt) av_packet_free(&pkt);
+    if (oc) {
+        if (opened_io) avio_closep(&oc->pb);
+        avformat_free_context(oc);
+    }
+    if (ic) avformat_close_input(&ic);
+    return ret < 0 ? ret : 0;
+}
+
 }  // extern "C"
