@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from eioku_tpu.api.app import build_context
@@ -69,6 +70,21 @@ def cmd_resync(args) -> int:
         if index is not None:
             print(f"rebuilt semantic index: {index.rebuild()} chunks")
     return 0
+
+
+def cmd_export_clip(args) -> int:
+    from eioku_tpu.services.clips import export_clip
+    src = args.video
+    if not os.path.isfile(src):  # accept a library video id too
+        ctx = _ctx(args)
+        v = ctx.videos.get(src)
+        if v is None:
+            print(f"not a file or video id: {src}", file=sys.stderr)
+            return 1
+        src = v.path
+    ok = export_clip(src, args.out, int(args.start_ms), int(args.end_ms))
+    print(f"{'wrote' if ok else 'FAILED'} {args.out}")
+    return 0 if ok else 1
 
 
 def cmd_people(args) -> int:
@@ -191,6 +207,15 @@ def main() -> int:
 
     p = sub.add_parser("discover", help="scan configured paths now")
     p.set_defaults(fn=cmd_discover)
+
+    p = sub.add_parser("export-clip",
+                       help="cut [start,end] of a video into a clip "
+                            "(native stream-copy remux)")
+    p.add_argument("video", help="file path or library video id")
+    p.add_argument("out")
+    p.add_argument("--start-ms", type=int, default=0)
+    p.add_argument("--end-ms", type=int, required=True)
+    p.set_defaults(fn=cmd_export_clip)
 
     p = sub.add_parser("people", help="cross-video face identities")
     p.add_argument("--threshold", type=float, default=0.45)
