@@ -536,10 +536,12 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         if path is None:
             raise HTTPException(500, "clip export failed")
         base = os.path.splitext(os.path.basename(v.path))[0]
+        clip_ext = os.path.splitext(path)[1].lower()
+        media = {".mkv": "video/x-matroska", ".webm": "video/webm",
+                 ".mov": "video/quicktime"}.get(clip_ext, "video/mp4")
         return FileResponse(
-            path, media_type="video/mp4",
-            download_name=f"{base}_{start_ms}_{end_ms}"
-                          f"{os.path.splitext(path)[1]}")
+            path, media_type=media,
+            download_name=f"{base}_{start_ms}_{end_ms}{clip_ext}")
 
     @app.get(PREFIX + "/videos/{video_id}/subtitles")
     async def subtitles(request: Request):

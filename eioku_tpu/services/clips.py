@@ -51,6 +51,8 @@ def _reencode_clip(src: str, dst: str, start_ms: int, end_ms: int) -> bool:
         cap.set(cv2.CAP_PROP_POS_MSEC, start_ms)
         out = cv2.VideoWriter(dst, cv2.VideoWriter_fourcc(*"mp4v"), fps,
                               (w, h))
+        if not out.isOpened():  # e.g. mp4v fourcc into a .webm container
+            return False
         wrote = 0
         while cap.get(cv2.CAP_PROP_POS_MSEC) <= end_ms:
             ok, frame = cap.read()
@@ -59,7 +61,7 @@ def _reencode_clip(src: str, dst: str, start_ms: int, end_ms: int) -> bool:
             out.write(frame)
             wrote += 1
         out.release()
-        return wrote > 0
+        return wrote > 0 and os.path.getsize(dst) > 0
     finally:
         cap.release()
 
@@ -72,12 +74,21 @@ def clip_path(video_path: str, file_hash: str, start_ms: int,
     ext = os.path.splitext(video_path)[1].lower() or ".mp4"
     if ext not in (".mp4", ".mov", ".m4v", ".mkv", ".webm"):
         ext = ".mp4"  # remux of esoteric containers lands in mp4
-    name = f"{file_hash or 'nohash'}_{start_ms}_{end_ms}{ext}"
+    # hash-less videos (POST /videos without file_hash) must not collide on
+    # a shared constant — fall back to the path identity
+    import xxhash
+    ident = file_hash or xxhash.xxh64(video_path.encode()).hexdigest()
+    name = f"{ident}_{start_ms}_{end_ms}{ext}"
     path = os.path.join(_CACHE_DIR, name)
     if os.path.isfile(path) and os.path.getsize(path) > 0:
         os.utime(path)  # LRU touch
         return path
-    tmp = f"{path}.{os.getpid()}.tmp{ext}"
+    # mkstemp: concurrent renders of the SAME span run as threads in one
+    # process (asyncio.to_thread), so a shared tmp name would let one
+    # render truncate the other mid-write (same race the thumbnail cache
+    # documents); the tmp_ prefix keeps eviction away from in-flight files
+    fd, tmp = tempfile.mkstemp(prefix="tmp_", suffix=ext, dir=_CACHE_DIR)
+    os.close(fd)
     ok = False
     try:
         ok = export_clip(video_path, tmp, start_ms, end_ms)
@@ -96,7 +107,8 @@ def _evict() -> None:
     try:
         entries = [(os.path.getmtime(os.path.join(_CACHE_DIR, f)),
                     os.path.join(_CACHE_DIR, f))
-                   for f in os.listdir(_CACHE_DIR) if not f.endswith(".tmp")]
+                   for f in os.listdir(_CACHE_DIR)
+                   if not f.startswith("tmp_")]
         entries.sort()
         for _, p in entries[:-_CACHE_MAX]:
             os.unlink(p)

@@ -392,10 +392,14 @@ int eioku_clip_remux(const char *src, const char *dst,
     if (end_ms <= start_ms) return -1;
     AVFormatContext *ic = nullptr, *oc = nullptr;
     AVPacket *pkt = nullptr;
-    int ret = 0;
+    int ret = 0, wrote = 0;
     bool header_written = false, opened_io = false;
+    // ONE origin for every stream (the anchor keyframe's time): per-stream
+    // rebase would shift video and audio by different amounts and desync
+    // the clip by the keyframe-snap distance
+    long long origin_ms = AV_NOPTS_VALUE;
+    bool have_video = false;
     std::vector<int> map;           // input stream index -> output (-1 drop)
-    std::vector<long long> first_dts;
 
     if ((ret = avformat_open_input(&ic, src, nullptr, nullptr)) < 0) return ret;
     if ((ret = avformat_find_stream_info(ic, nullptr)) < 0) goto done;
@@ -403,12 +407,12 @@ int eioku_clip_remux(const char *src, const char *dst,
         goto done;
 
     map.assign(ic->nb_streams, -1);
-    first_dts.assign(ic->nb_streams, AV_NOPTS_VALUE);
     for (unsigned i = 0; i < ic->nb_streams; i++) {
         AVCodecParameters *par = ic->streams[i]->codecpar;
         if (par->codec_type != AVMEDIA_TYPE_VIDEO &&
             par->codec_type != AVMEDIA_TYPE_AUDIO)
             continue;
+        if (par->codec_type == AVMEDIA_TYPE_VIDEO) have_video = true;
         AVStream *os = avformat_new_stream(oc, nullptr);
         if (!os) { ret = AVERROR(ENOMEM); goto done; }
         if ((ret = avcodec_parameters_copy(os->codecpar, par)) < 0) goto done;
@@ -452,13 +456,27 @@ int eioku_clip_remux(const char *src, const char *dst,
             av_packet_unref(pkt);
             continue;
         }
-        if (first_dts[in_idx] == AV_NOPTS_VALUE) {
-            first_dts[in_idx] = pkt->dts != AV_NOPTS_VALUE ? pkt->dts
-                : (pkt->pts != AV_NOPTS_VALUE ? pkt->pts : 0);
+        if (origin_ms == AV_NOPTS_VALUE) {
+            // anchor on the first VIDEO packet (the snap keyframe); for
+            // audio-only files, the first packet of any stream
+            if (is->codecpar->codec_type == AVMEDIA_TYPE_VIDEO ||
+                !have_video) {
+                long long t = pkt->dts != AV_NOPTS_VALUE ? pkt->dts
+                    : (pkt->pts != AV_NOPTS_VALUE ? pkt->pts : 0);
+                origin_ms = av_rescale_q(t, is->time_base,
+                                         AVRational{1, 1000});
+            } else {
+                // audio arriving before the anchor keyframe: drop it (its
+                // video hasn't started; keeping it would front-load silence)
+                av_packet_unref(pkt);
+                continue;
+            }
         }
-        // rebase so the clip starts near zero (per stream, in its timebase)
-        if (pkt->pts != AV_NOPTS_VALUE) pkt->pts -= first_dts[in_idx];
-        if (pkt->dts != AV_NOPTS_VALUE) pkt->dts -= first_dts[in_idx];
+        // rebase every stream by the SAME origin so A/V sync is preserved
+        long long off = av_rescale_q(origin_ms, AVRational{1, 1000},
+                                     is->time_base);
+        if (pkt->pts != AV_NOPTS_VALUE) pkt->pts -= off;
+        if (pkt->dts != AV_NOPTS_VALUE) pkt->dts -= off;
         av_packet_rescale_ts(pkt, is->time_base, os->time_base);
         pkt->stream_index = os->index;
         pkt->pos = -1;
@@ -466,9 +484,10 @@ int eioku_clip_remux(const char *src, const char *dst,
             av_packet_unref(pkt);
             goto done;
         }
+        wrote++;
         av_packet_unref(pkt);
     }
-    ret = 0;
+    ret = wrote > 0 ? 0 : -3;  // header-only output is a failure, not a clip
 
 done:
     if (header_written) av_write_trailer(oc);

@@ -55,10 +55,20 @@ class TestExport:
         from eioku_tpu.services.clips import export_clip
         dst = str(tmp_path / "clip.mp4")
         assert export_clip(src, dst, 2000, 4000)
-        assert audio_io.native_decode(dst) is not None
         clip_audio = audio_io.native_decode(dst)
+        assert clip_audio is not None
         assert len(clip_audio) > sr  # >1 s of audio made it into the clip
         assert float(np.abs(clip_audio).mean()) > 0.05  # the tone, not silence
+        # A/V sync: the source's dark->bright switch is at 3.0 s with the
+        # tone continuous. Both streams rebase by ONE origin (the snapped
+        # keyframe), so audio must not exceed the video span by more than a
+        # frame or two — per-stream rebase (the reviewed bug) would make
+        # audio 2 s longer than video
+        from eioku_tpu.ml.video_io import probe
+        info = probe(dst)
+        video_s = info.frame_count / (info.fps or 10)
+        audio_s = len(clip_audio) / 16000
+        assert abs(audio_s - video_s) < 0.75, (audio_s, video_s)
 
     def test_invalid_span(self, clip_video, tmp_path):
         from eioku_tpu.services.clips import export_clip
