@@ -222,7 +222,14 @@ def run_transcription(video_path: str, config: dict,
         lang_idx = int(whisper_detect_language(params, first_enc, cfg)[0])
         language = LANGUAGES[lang_idx]
         log.info("auto-detected language", extra={"language": language})
-    sot = tokens.sot_sequence(language or "en", timestamps=use_timestamps)
+    # faster-whisper's task parameter: "translate" decodes English output
+    # from any source language (config {"task": "translate"})
+    task = str(config.get("task", "transcribe"))
+    if task not in ("transcribe", "translate"):
+        log.warning("unknown whisper task %r; transcribing", task)
+        task = "transcribe"
+    sot = tokens.sot_sequence(language or "en", timestamps=use_timestamps,
+                              task=task)
 
     # custom-vocabulary / initial-prompt biasing (reference engine:
     # faster-whisper's initial_prompt + hotwords; spec requirement 5.6,

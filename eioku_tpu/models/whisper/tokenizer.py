@@ -57,8 +57,13 @@ class WhisperTokens:
             return self.lang_base  # default en
 
     def sot_sequence(self, lang: str | None = "en",
-                     timestamps: bool = False) -> list[int]:
-        seq = [self.sot, self.lang_token(lang or "en"), self.transcribe]
+                     timestamps: bool = False,
+                     task: str = "transcribe") -> list[int]:
+        """task "translate" emits English regardless of source language
+        (whisper's built-in X->en translation; faster-whisper's `task`
+        parameter, serving config {"task": "translate"})."""
+        task_tok = self.translate if task == "translate" else self.transcribe
+        seq = [self.sot, self.lang_token(lang or "en"), task_tok]
         if not timestamps:
             seq.append(self.no_timestamps)
         return seq

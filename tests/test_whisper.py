@@ -307,6 +307,42 @@ class TestTokens:
         ja = t.sot_sequence("ja")
         assert ja[1] == t.lang_token("ja") != t.lang_token("en")
 
+    def test_sot_sequence_translate(self):
+        # whisper's built-in X->en translation (faster-whisper task param,
+        # serving config {"task": "translate"})
+        t = WhisperTokens(51865)
+        tr = t.sot_sequence("ja", task="translate")
+        assert tr[2] == t.translate == 50358
+        assert t.sot_sequence("ja")[2] == t.transcribe
+
+    def test_run_transcription_translate_task(self, tmp_path, monkeypatch):
+        """config {"task": "translate"}: the decode prompt carries the
+        translate token instead of transcribe (whole pipeline plumbing)."""
+        import wave
+
+        import numpy as np
+
+        from eioku_tpu.ml import transcribe as tr
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = (np.sin(2 * np.pi * 300 * t) * 0.4 * 32767).astype(np.int16)
+        wav = tmp_path / "c.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+            w.writeframes(x.tobytes())
+        seen = {}
+        orig = tr.WhisperTokens.sot_sequence
+
+        def spy(self, lang="en", timestamps=False, task="transcribe"):
+            seen["task"] = task
+            return orig(self, lang, timestamps, task)
+
+        monkeypatch.setattr(tr.WhisperTokens, "sot_sequence", spy)
+        tr.run_transcription(str(wav), {"model": "whisper-tiny",
+                                        "max_tokens": 4, "vad_filter": False,
+                                        "task": "translate"})
+        assert seen["task"] == "translate"
+
     def test_decoder_with_vocab(self):
         vocab = {"Hello": 1, "Ġworld": 2}  # GPT2 'Ġ' space marker
         t = WhisperTokens(51865)
