@@ -232,6 +232,13 @@ def m0006_semantic_index(conn, dialect) -> None:
     )
 
 
+def m0007_task_progress(conn, dialect) -> None:
+    # Fractional completion reported live by the ML pipelines (the reference's
+    # task rows expose only status + timestamps, database/models.py:35-48).
+    # Identical syntax on both dialects.
+    execute_script(conn, "ALTER TABLE tasks ADD COLUMN progress REAL;")
+
+
 MIGRATIONS = [
     (1, "core_tables", m0001_core_tables),
     (2, "artifact_envelope", m0002_artifact_envelope),
@@ -239,4 +246,5 @@ MIGRATIONS = [
     (4, "nav_projections", m0004_nav_projections),
     (5, "job_queue", m0005_job_queue),
     (6, "semantic_index", m0006_semantic_index),
+    (7, "task_progress", m0007_task_progress),
 ]

@@ -84,6 +84,7 @@ class Task:
     started_at: datetime | None = None
     completed_at: datetime | None = None
     attempts: int = 0
+    progress: float | None = None  # fractional completion while running
 
     def can_transition(self, to: TaskStatus) -> bool:
         return to in _TASK_TRANSITIONS[self.status]
@@ -96,12 +97,17 @@ class Task:
         if to is TaskStatus.RUNNING:
             self.started_at = now
             self.attempts += 1
-        elif to in (TaskStatus.COMPLETED, TaskStatus.FAILED, TaskStatus.CANCELLED):
+            self.progress = 0.0
+        elif to is TaskStatus.COMPLETED:
+            self.completed_at = now
+            self.progress = 1.0
+        elif to in (TaskStatus.FAILED, TaskStatus.CANCELLED):
             self.completed_at = now
         elif to is TaskStatus.PENDING:
             self.started_at = None
             self.completed_at = None
             self.error = None
+            self.progress = None
 
     @property
     def running_time_s(self) -> float | None:
@@ -124,6 +130,7 @@ class Task:
             "started_at": self.started_at.isoformat() if self.started_at else None,
             "completed_at": self.completed_at.isoformat() if self.completed_at else None,
             "attempts": self.attempts,
+            "progress": self.progress,
             "running_time_s": self.running_time_s,
         }
 

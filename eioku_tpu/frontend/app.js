@@ -325,6 +325,9 @@ async function renderTasks() {
       ${esc(t.task_type)}${t.language ? " (" + t.language + ")" : ""}
       <span class="chip ${t.status}">${t.status}</span>
       ${t.running_time_s != null ? `<span class="chip">${t.running_time_s.toFixed(1)}s</span>` : ""}
+      ${t.status === "running" && t.progress != null
+        ? `<span class="pbar"><span class="pfill" style="width:${Math.round(t.progress * 100)}%"></span></span>
+           <span class="t">${Math.round(t.progress * 100)}%</span>` : ""}
       ${["failed", "cancelled"].includes(t.status)
         ? `<button data-retry="${t.id}">Retry</button>` : ""}
       ${t.error ? `<div class="t">${esc(t.error.slice(0, 120))}</div>` : ""}

@@ -30,6 +30,7 @@ import numpy as np
 from eioku_tpu.domain.artifacts import SelectionPolicy, utcnow
 from eioku_tpu.models.embed.minilm import MiniLMConfig, load_minilm, minilm_embed
 from eioku_tpu.models.embed.tokenizer import WordPieceTokenizer
+from eioku_tpu.utils import progress
 from eioku_tpu.utils.hashing import compute_config_hash
 from eioku_tpu.workers.task_handler import build_envelopes
 
@@ -153,6 +154,7 @@ class SemanticIndex:
             emb = minilm_embed(self._params, jnp.asarray(ids), jnp.asarray(mask),
                                self._cfg)
             out[i:i + len(batch)] = np.asarray(emb[:len(batch)], np.float32)
+            progress.report((i + len(batch)) / len(texts))
         return out
 
     # -- storage ------------------------------------------------------------------

@@ -28,6 +28,7 @@ import jax
 
 from eioku_tpu.ml import video_io
 from eioku_tpu.ml.detection import INPUT_SIZE, _load_model, letterbox_batch
+from eioku_tpu.utils import progress
 from eioku_tpu.models.yolo.classes import COCO_CLASSES
 from eioku_tpu.models.yolo.postprocess import detect
 from eioku_tpu.ops.colorspace import (
@@ -542,6 +543,10 @@ def run_visual_analysis(video_path: str, config: dict,
                 place_meta.append((fi, t_ms))
                 if len(place_batch) == place_bs:
                     flush_places()
+        if info.duration_ms > 0 and batch.valid:
+            # the post-loop drain is a small tail; cap decode at 95%
+            progress.report(0.95 * batch.timestamps_ms[batch.valid - 1]
+                            / info.duration_ms)
     # final partial batches ALL dispatch before anything drains: the async
     # dispatches queue back-to-back so their transfers/executions overlap
     # instead of each consumer's blocking fetch serializing the next one's

@@ -23,6 +23,7 @@ import numpy as np
 
 from eioku_tpu.ml import video_io
 from eioku_tpu.models.yolo.classes import COCO_CLASSES
+from eioku_tpu.utils import progress
 from eioku_tpu.models.yolo.model import YoloConfig, fold_batchnorm, init_yolo_params
 from eioku_tpu.models.yolo.postprocess import detect
 from eioku_tpu.models.yolo.weights import load_yolo_checkpoint
@@ -170,6 +171,9 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
             # while this batch's SOURCE frames are still in memory: lets the
             # face path crop identity patches without a second decode pass
             batch_hook(batch, results[batch_start:])
+        if info.duration_ms > 0 and batch.valid:
+            progress.report(batch.timestamps_ms[batch.valid - 1]
+                            / info.duration_ms)
     return results
 
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eioku_tpu.ml import audio_io
+from eioku_tpu.utils import progress
 
 log = logging.getLogger(__name__)
 
@@ -64,6 +65,7 @@ def embed_windows(params, windows: list[tuple[int, np.ndarray]], cfg,
             chunk.append(np.zeros_like(chunk[0]))
         batch = jnp.asarray(np.stack(chunk).astype(np.float32))
         embs.append(np.asarray(ecapa_embed(params, batch, cfg))[:valid])
+        progress.report((i + valid) / len(windows))
     return np.concatenate(embs, axis=0) if embs else np.zeros((0, 1), np.float32)
 
 

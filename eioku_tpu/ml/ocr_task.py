@@ -22,6 +22,7 @@ import jax
 
 from eioku_tpu.ml import video_io
 from eioku_tpu.models.ocr.craft import craft_forward
+from eioku_tpu.utils import progress
 from eioku_tpu.ops.colorspace import i420_to_rgb, to_i420
 from eioku_tpu.models.ocr.crnn import LATIN_CHARSET, crnn_forward, ctc_greedy_decode
 from eioku_tpu.models.ocr.weights import (
@@ -244,4 +245,7 @@ def run_ocr(video_path: str, config: dict,
                                 "frame_index": int(batch.frame_indices[i])},
                     "span_start_ms": t0, "span_end_ms": t0 + frame_ms,
                 })
+        if info.duration_ms > 0 and batch.valid:
+            progress.report(batch.timestamps_ms[batch.valid - 1]
+                            / info.duration_ms)
     return results

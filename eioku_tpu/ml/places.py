@@ -15,6 +15,7 @@ import numpy as np
 
 from eioku_tpu.ml import video_io
 from eioku_tpu.models.resnet.model import load_places365, preprocess, resnet18_forward
+from eioku_tpu.utils import progress
 
 log = logging.getLogger(__name__)
 
@@ -56,4 +57,7 @@ def run_place_classification(video_path: str, config: dict,
                             "frame_number": int(batch.frame_indices[i])},
                 "span_start_ms": t0, "span_end_ms": t0 + frame_ms,
             })
+        if info.duration_ms > 0 and batch.valid:
+            progress.report(batch.timestamps_ms[batch.valid - 1]
+                            / info.duration_ms)
     return results

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eioku_tpu.ml import video_io
+from eioku_tpu.utils import progress
 from eioku_tpu.ops.colorspace import i420_frames_to_hsv_planes, to_i420
 from eioku_tpu.ops.scene_diff import scene_scores
 
@@ -69,6 +70,8 @@ def detect_scenes(
                 continue  # no predecessor for the very first sampled frame
             if scores[slot] > threshold:
                 boundaries.append((int(batch.timestamps_ms[slot]), float(scores[slot])))
+        if duration_ms > 0 and batch.valid:
+            progress.report(batch.timestamps_ms[batch.valid - 1] / duration_ms)
 
     return assemble_scenes(boundaries, duration_ms, min_scene_len_s)
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eioku_tpu.ml import audio_io
+from eioku_tpu.utils import progress
 from eioku_tpu.models.whisper.decoding import (
     build_suppress_masks,
     whisper_decode_windows,
@@ -534,6 +535,7 @@ def run_transcription(video_path: str, config: dict,
             emit_window(out[j].tolist(), len(init_seq), float(avg_lp[j]),
                         float(no_speech[j]), start_ms,
                         align[j] if align is not None else None)
+        progress.report((i + len(chunk)) / len(windows))
     return results
 
 
@@ -608,3 +610,4 @@ def _run_conditioned(windows, params, cfg, tokens, sot, suppress_always,
             prev = []  # reset context after a gated window
         else:
             prev = (prev + gen_text)[-max(_PROMPT_BUCKETS):]
+        progress.report((w_idx + 1) / len(windows))

@@ -29,6 +29,7 @@ def _row_to_task(r) -> Task:
         started_at=str_to_dt(r["started_at"]),
         completed_at=str_to_dt(r["completed_at"]),
         attempts=r["attempts"],
+        progress=r["progress"],
     )
 
 
@@ -39,15 +40,18 @@ class TaskRepository:
     def save(self, t: Task) -> Task:
         self.db.execute(
             "INSERT INTO tasks (id, video_id, task_type, status, priority, language,"
-            " config_json, error, created_at, started_at, completed_at, attempts)"
-            " VALUES (?,?,?,?,?,?,?,?,?,?,?,?)"
+            " config_json, error, created_at, started_at, completed_at, attempts,"
+            " progress)"
+            " VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)"
             " ON CONFLICT(id) DO UPDATE SET status=excluded.status,"
             " priority=excluded.priority, config_json=excluded.config_json,"
             " error=excluded.error, started_at=excluded.started_at,"
-            " completed_at=excluded.completed_at, attempts=excluded.attempts",
+            " completed_at=excluded.completed_at, attempts=excluded.attempts,"
+            " progress=excluded.progress",
             (t.id, t.video_id, t.task_type, t.status.value, t.priority, t.language,
              json.dumps(t.config), t.error, dt_to_str(t.created_at),
-             dt_to_str(t.started_at), dt_to_str(t.completed_at), t.attempts),
+             dt_to_str(t.started_at), dt_to_str(t.completed_at), t.attempts,
+             t.progress),
         )
         return t
 
@@ -106,6 +110,13 @@ class TaskRepository:
             t.error = error
         return self.save(t)
 
+    def set_progress(self, task_id: str, frac: float) -> None:
+        """Cheap mid-run progress write; only touches RUNNING rows so a
+        late-arriving report can never repaint a terminal task."""
+        self.db.execute(
+            "UPDATE tasks SET progress=? WHERE id=? AND status='running'",
+            (min(max(float(frac), 0.0), 1.0), task_id))
+
     def atomic_claim_pending(self, worker_id: str,
                              task_type: str | None = None) -> Task | None:
         """Atomically claim the highest-priority pending task (claim-once semantics).
@@ -117,7 +128,8 @@ class TaskRepository:
         params = [now] + ([task_type] if task_type else [])
         with self.db.transaction() as conn:
             row = conn.execute(
-                f"""UPDATE tasks SET status='running', started_at=?, attempts=attempts+1
+                f"""UPDATE tasks SET status='running', started_at=?, attempts=attempts+1,
+                        progress=0.0
                     WHERE id = (SELECT id FROM tasks WHERE status='pending' {type_clause}
                                 ORDER BY priority ASC, created_at ASC LIMIT 1)
                     RETURNING *""",

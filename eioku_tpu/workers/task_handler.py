@@ -23,6 +23,7 @@ from typing import Any
 from eioku_tpu.domain.artifacts import ArtifactEnvelope, Run, utcnow
 from eioku_tpu.domain.models import Task, TaskStatus
 from eioku_tpu.domain.task_registry import TASK_REGISTRY
+from eioku_tpu.utils import progress
 from eioku_tpu.utils.hashing import compute_config_hash, compute_input_hash
 from eioku_tpu.utils.metrics import METRICS, maybe_profile
 
@@ -71,8 +72,14 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
     if task.status is TaskStatus.PENDING:
         app.tasks.update_status(task_id, TaskStatus.RUNNING)
     try:
+        # Pipelines narrate fractional completion via progress.report(); the
+        # sink persists it onto the task row (throttled), where it reaches
+        # /tasks and the /tasks/stream SSE feed. asyncio.to_thread copies the
+        # context, so the ContextVar sink is visible inside the engine thread.
+        sink = progress.throttled(lambda f: app.tasks.set_progress(task_id, f))
         if task_type == "semantic_indexing":
-            with METRICS.timer("task_seconds", task_type=task_type):
+            with METRICS.timer("task_seconds", task_type=task_type), \
+                    progress.reporting(sink):
                 n = await asyncio.to_thread(_run_semantic_indexing, app, ctx,
                                             video_id, config)
             app.tasks.update_status(task_id, TaskStatus.COMPLETED)
@@ -94,7 +101,7 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
                     f"{current[:12]} != {video.file_hash[:12]}); re-run "
                     "discovery to refresh the video record")
         with METRICS.timer("task_seconds", task_type=task_type), \
-                maybe_profile(task_type):
+                maybe_profile(task_type), progress.reporting(sink):
             results = await asyncio.to_thread(engine.run_task, task_type,
                                               video_path, config)
         config_hash = compute_config_hash(config or {})
