@@ -112,6 +112,24 @@ def cmd_import_eioku(args) -> int:
     return 0
 
 
+def cmd_export_dump(args) -> int:
+    from eioku_tpu.services.dump import export_dump
+    ctx = _ctx(args)
+    counts = export_dump(ctx, args.out,
+                         include_embeddings=args.include_embeddings)
+    print(json.dumps(dict(counts, out=args.out)), file=sys.stderr
+          if args.out == "-" else sys.stdout)
+    return 0
+
+
+def cmd_import_dump(args) -> int:
+    from eioku_tpu.services.dump import import_dump
+    ctx = _ctx(args)
+    counts = import_dump(ctx, args.source, reindex=not args.no_reindex)
+    print(json.dumps(counts))
+    return 0
+
+
 def cmd_reconcile(args) -> int:
     ctx = _ctx(args)
     report = ctx.reconciler.run()
@@ -231,6 +249,25 @@ def main() -> int:
                    help="keep source SHA-256 file hashes instead of "
                         "recomputing xxhash64 for files present on disk")
     p.set_defaults(fn=cmd_import_eioku)
+
+    p = sub.add_parser("export-dump",
+                       help="back up the library (videos/tasks/runs/"
+                            "selections/artifacts) to one JSONL file "
+                            "(.gz compresses; '-' streams to stdout)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--include-embeddings", action="store_true",
+                   help="also dump embedding.chunk artifacts (their index "
+                        "slots only make sense on this installation)")
+    p.set_defaults(fn=cmd_export_dump)
+
+    p = sub.add_parser("import-dump",
+                       help="restore an export-dump file (idempotent; "
+                            "projections rebuilt, semantic index re-enqueued)")
+    p.add_argument("--source", required=True, help="dump file or '-' (stdin)")
+    p.add_argument("--no-reindex", action="store_true",
+                   help="do not re-enqueue semantic_indexing for restored "
+                        "transcripts")
+    p.set_defaults(fn=cmd_import_dump)
 
     p = sub.add_parser("extract-audio",
                        help="decode a video's audio track to wav/m4a")
