@@ -87,6 +87,14 @@ async function loadGallery() {
     </div>`).join("") || "<p>No videos discovered yet.</p>";
   for (const card of document.querySelectorAll("#gallery .card"))
     card.onclick = () => openVideo(card.dataset.id);
+  api("/stats").then(s => {
+    $("library-stats").innerHTML =
+      `<span class="chip">${s.videos.total} videos</span>` +
+      `<span class="chip">${s.videos.duration_hours} h</span>` +
+      `<span class="chip">${s.artifacts.total} artifacts</span>` +
+      (s.semantic_index.chunks
+        ? `<span class="chip">${s.semantic_index.chunks} indexed chunks</span>` : "");
+  }).catch(() => {});
 }
 
 /* ---------- semantic search ---------- */

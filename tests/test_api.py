@@ -117,6 +117,18 @@ class TestRootAndHealth:
         d = client.get("/api/v1/device")
         assert d.status_code == 200 and d.json()["device_count"] >= 1
 
+    def test_stats(self, client, ctx):
+        v = seed_video(ctx)
+        seed_transcript(ctx, v.id)
+        r = client.get("/api/v1/stats")
+        assert r.status_code == 200
+        s = r.json()
+        assert s["videos"]["total"] == 1
+        assert s["videos"]["by_status"] == {"discovered": 1}
+        assert s["artifacts"]["by_type"]["transcript.segment"] >= 1
+        assert s["artifacts"]["total"] == s["artifacts"]["by_type"]["transcript.segment"]
+        assert "chunks" in s["semantic_index"] and s["runs"] >= 0
+
     def test_metrics_prometheus_format(self, client):
         from eioku_tpu.utils.metrics import METRICS
         METRICS.inc("http_requests", path="/x")
