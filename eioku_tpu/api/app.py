@@ -104,6 +104,9 @@ def build_context(config: AppConfig | None = None,
         from eioku_tpu.index.semantic import SemanticIndex
         ctx.extra["semantic_index"] = SemanticIndex(ctx)
         ctx.extra["reranker"] = Reranker(config.model_cache_dir)
+    if getattr(config, "visual_search", False):
+        from eioku_tpu.index.visual import VisualIndex
+        ctx.extra["visual_index"] = VisualIndex(ctx)
     return ctx
 
 

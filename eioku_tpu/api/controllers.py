@@ -815,7 +815,7 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         if not q:
             raise HTTPException(422, "query parameter 'q' is required")
         mode = request.query_params.get("mode", "semantic")
-        if mode not in ("semantic", "keyword", "hybrid"):
+        if mode not in ("semantic", "keyword", "hybrid", "visual"):
             raise HTTPException(422, f"unknown search mode: {mode}")
         top_k = min(request.query_int("top_k", 10), 100)
         asset_id = request.query_params.get("video_id")
@@ -844,7 +844,17 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
                         503, "semantic index not available on this deployment")
             else:
                 semantic = index.search(q, top_k=fetch_k, asset_id=asset_id)
-        if mode == "keyword":
+        if mode == "visual":
+            # CLIP text->keyframe retrieval (index/visual.py); a text-only
+            # reranker can't rescore image moments, so rerank is a no-op here
+            vindex = ctx.extra.get("visual_index")
+            if vindex is None:
+                raise HTTPException(
+                    503, "visual index not available on this deployment")
+            results = await asyncio.to_thread(
+                vindex.search, q, top_k, asset_id)
+            reranking = False
+        elif mode == "keyword":
             results = keyword
         elif mode == "semantic":
             results = semantic

@@ -80,6 +80,9 @@ class AppConfig:
     # dropped into a watched folder get discovered and enqueued automatically
     discover_interval_s: float | None = None
     semantic_search: bool = True
+    # CLIP text->keyframe retrieval (/search?mode=visual): scene keyframes
+    # embedded by the image tower, queries by the text tower
+    visual_search: bool = True
 
     # int8-quantized MiniLM serving for the semantic index (ops/quant.py):
     # the MXU's double-rate int8 path, ~1e-3 cosine deviation
@@ -234,6 +237,7 @@ def load_config(explicit_path: str | None = None) -> AppConfig:
             di = None
         cfg.discover_interval_s = di
         cfg.semantic_search = data.get("semantic_search", cfg.semantic_search)
+        cfg.visual_search = data.get("visual_search", cfg.visual_search)
         cfg.embed_int8 = data.get("embed_int8", cfg.embed_int8)
         cfg.workload_profile = data.get("workload_profile", cfg.workload_profile)
         cfg.combined_visual = data.get("combined_visual", cfg.combined_visual)

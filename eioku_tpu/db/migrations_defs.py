@@ -239,6 +239,24 @@ def m0007_task_progress(conn, dialect) -> None:
     execute_script(conn, "ALTER TABLE tasks ADD COLUMN progress REAL;")
 
 
+def m0008_visual_index(conn, dialect) -> None:
+    # keyframe (CLIP) embedding slots: like embedding_chunks but keyed to a
+    # frame timestamp instead of a text chunk (eioku_tpu/index/visual.py)
+    execute_script(conn,
+        """
+        CREATE TABLE frame_embeddings (
+            slot INTEGER PRIMARY KEY,
+            asset_id TEXT NOT NULL,
+            ts_ms INTEGER NOT NULL,
+            scene_index INTEGER,
+            model TEXT NOT NULL,
+            run_id TEXT NOT NULL
+        );
+        CREATE INDEX idx_frame_embeddings_asset ON frame_embeddings(asset_id);
+        """
+    )
+
+
 MIGRATIONS = [
     (1, "core_tables", m0001_core_tables),
     (2, "artifact_envelope", m0002_artifact_envelope),
@@ -247,4 +265,5 @@ MIGRATIONS = [
     (5, "job_queue", m0005_job_queue),
     (6, "semantic_index", m0006_semantic_index),
     (7, "task_progress", m0007_task_progress),
+    (8, "visual_index", m0008_visual_index),
 ]

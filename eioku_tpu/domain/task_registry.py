@@ -38,6 +38,11 @@ TASK_REGISTRY: dict[str, TaskTypeSpec] = {
         TaskTypeSpec("metadata_extraction", LanguageMode.NONE, ("video.metadata",), False,
                      2),  # cheap + others benefit from duration: run early
         TaskTypeSpec("semantic_indexing", LanguageMode.NONE, ("embedding.chunk",), True, 7),
+        # beyond the reference: CLIP text->keyframe retrieval; enqueued by the
+        # task handler after scene detection completes (like semantic after
+        # transcription). Produces index rows (frame_embeddings), not
+        # artifacts — fully derived, rebuildable state.
+        TaskTypeSpec("visual_indexing", LanguageMode.NONE, (), True, 7),
         # beyond the reference: who-spoke-when turns (opt-in via
         # active_task_types; ECAPA-TDNN embeddings + clustering)
         TaskTypeSpec("speaker_diarization", LanguageMode.NONE, ("speaker.turn",), True, 6),

@@ -113,8 +113,9 @@ async function doSearch() {
   box.innerHTML = "<em>Searching…</em>";
   try {
     const rr = $("search-rerank")?.checked ? "&rerank=1" : "";
+    const mode = $("search-mode")?.value || "semantic";
     const { results, suggestions, reranked } = await api(
-      `/search?q=${encodeURIComponent(q)}&top_k=10${rr}`);
+      `/search?q=${encodeURIComponent(q)}&top_k=10&mode=${mode}${rr}`);
     let empty = "<p>No matches.</p>";
     if (suggestions?.length)  // spec req 2.4: offer alternative terms
       empty += `<p class="suggest">Try: ${suggestions.map(s =>

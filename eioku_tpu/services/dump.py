@@ -185,6 +185,7 @@ def import_dump(ctx, in_path: str, reindex: bool = True) -> dict:
     have_artifacts = {r["artifact_id"] for r in
                       ctx.db.query("SELECT artifact_id FROM artifacts")}
     text_assets: set[str] = set()  # restored videos with embeddable text
+    scene_assets: set[str] = set()  # restored videos with scene keyframes
     batch: list[ArtifactEnvelope] = []
 
     def flush() -> None:
@@ -266,6 +267,8 @@ def import_dump(ctx, in_path: str, reindex: bool = True) -> dict:
                 env = _envelope_from(d)
                 if env.artifact_type in ("transcript.segment", "ocr.text"):
                     text_assets.add(env.asset_id)
+                elif env.artifact_type == "scene":
+                    scene_assets.add(env.asset_id)
                 batch.append(env)
                 if len(batch) >= _BATCH:
                     flush()
@@ -276,18 +279,23 @@ def import_dump(ctx, in_path: str, reindex: bool = True) -> dict:
     # derived state is rebuilt, never trusted from the dump
     counts["projected"] = ctx.projection_sync.resync_all()
     if reindex:
-        counts["reindex_enqueued"] = _enqueue_reindex(ctx, text_assets)
+        counts["reindex_enqueued"] = \
+            _enqueue_reindex(ctx, text_assets, "semantic_indexing") + \
+            _enqueue_reindex(ctx, scene_assets, "visual_indexing")
     log.info("restored library dump", extra=dict(counts, path=in_path))
     return counts
 
 
-def _enqueue_reindex(ctx, asset_ids: set[str]) -> int:
-    from eioku_tpu.workers.task_handler import _enqueue_semantic_indexing
+def _enqueue_reindex(ctx, asset_ids: set[str], task_type: str) -> int:
+    if task_type == "visual_indexing" and \
+            ctx.extra.get("visual_index") is None:
+        return 0
+    from eioku_tpu.workers.task_handler import _enqueue_followup
     n = 0
     for video_id in sorted(asset_ids):
         video = ctx.videos.get(video_id)
         if video is None:
             continue
-        _enqueue_semantic_indexing(ctx, video_id, video.path)
+        _enqueue_followup(ctx, video_id, video.path, task_type)
         n += 1
     return n

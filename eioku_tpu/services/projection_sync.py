@@ -175,7 +175,8 @@ class ProjectionSyncService:
                     conn.execute(f"DELETE FROM {fts} WHERE rowid=?", (rowid,))
                 conn.execute(f"DELETE FROM {meta} WHERE asset_id=?", (asset_id,))
             for table in ("scene_ranges", "object_labels", "face_clusters",
-                          "video_locations", "embedding_chunks", "topics"):
+                          "video_locations", "embedding_chunks", "topics",
+                          "frame_embeddings"):
                 conn.execute(f"DELETE FROM {table} WHERE asset_id=?", (asset_id,))
 
     # -- rebuild ----------------------------------------------------------------

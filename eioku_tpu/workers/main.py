@@ -34,7 +34,8 @@ def build_worker(app_ctx=None, config=None, settings: WorkerSettings | None = No
         queue = SqliteJobQueue(app_ctx.db)
     worker = Worker(queue, settings or WorkerSettings(),
                     ctx={"app_ctx": app_ctx, "engine": engine,
-                         "semantic_index": app_ctx.extra.get("semantic_index")})
+                         "semantic_index": app_ctx.extra.get("semantic_index"),
+                         "visual_index": app_ctx.extra.get("visual_index")})
     worker.register("process_ml_task", process_ml_task)
 
     async def reconcile_cron(ctx):

@@ -77,11 +77,12 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
         # /tasks and the /tasks/stream SSE feed. asyncio.to_thread copies the
         # context, so the ContextVar sink is visible inside the engine thread.
         sink = progress.throttled(lambda f: app.tasks.set_progress(task_id, f))
-        if task_type == "semantic_indexing":
+        if task_type in ("semantic_indexing", "visual_indexing"):
+            runner = _run_semantic_indexing if task_type == "semantic_indexing" \
+                else _run_visual_indexing
             with METRICS.timer("task_seconds", task_type=task_type), \
                     progress.reporting(sink):
-                n = await asyncio.to_thread(_run_semantic_indexing, app, ctx,
-                                            video_id, config)
+                n = await asyncio.to_thread(runner, app, ctx, video_id, config)
             app.tasks.update_status(task_id, TaskStatus.COMPLETED)
             METRICS.inc("tasks_completed", task_type=task_type)
             return {"artifacts": n}
@@ -140,6 +141,10 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
             # visual_analysis sub-result); re-indexing replaces the video's
             # slots, so double-triggering is idempotent
             _enqueue_semantic_indexing(app, video_id, video_path)
+        if (task_type == "scene_detection" or "scene_detection" in result_sets) \
+                and app.extra.get("visual_index") is not None:
+            # scenes define the keyframes the CLIP image tower embeds
+            _enqueue_followup(app, video_id, video_path, "visual_indexing")
         app.tasks.update_status(task_id, TaskStatus.COMPLETED)
         METRICS.inc("tasks_completed", task_type=task_type)
         METRICS.inc("artifacts_created", len(envs), task_type=task_type)
@@ -178,26 +183,38 @@ def _update_video_from_metadata(app, video_id: str, payload: dict) -> None:
     app.videos.save(video)
 
 
-def _enqueue_semantic_indexing(app, video_id: str, video_path: str) -> None:
-    """Fan in: transcription done -> schedule embedding of its transcript."""
-    existing = app.tasks.find(video_id=video_id, task_type="semantic_indexing",
-                              limit=1)
-    config = app.config.settings_for("semantic_indexing")
+def _enqueue_followup(app, video_id: str, video_path: str,
+                      task_type: str) -> None:
+    """Fan in: an upstream task finished -> schedule its derived-index task
+    (transcription/ocr -> semantic_indexing; scenes -> visual_indexing)."""
+    existing = app.tasks.find(video_id=video_id, task_type=task_type, limit=1)
+    config = app.config.settings_for(task_type)
     if existing:
         task = existing[0]
         if task.status in (TaskStatus.FAILED, TaskStatus.CANCELLED,
                            TaskStatus.COMPLETED):
             app.tasks.update_status(task.id, TaskStatus.PENDING)
     else:
-        task = Task(video_id=video_id, task_type="semantic_indexing", config=config,
-                    priority=TASK_REGISTRY["semantic_indexing"].default_priority)
+        task = Task(video_id=video_id, task_type=task_type, config=config,
+                    priority=TASK_REGISTRY[task_type].default_priority)
         app.tasks.save(task)
-    app.producer.enqueue_task(task.id, "semantic_indexing", video_id, video_path,
+    app.producer.enqueue_task(task.id, task_type, video_id, video_path,
                               config, priority=task.priority)
+
+
+def _enqueue_semantic_indexing(app, video_id: str, video_path: str) -> None:
+    _enqueue_followup(app, video_id, video_path, "semantic_indexing")
 
 
 def _run_semantic_indexing(app, ctx: dict, video_id: str, config: dict) -> int:
     index = ctx.get("semantic_index") or app.extra.get("semantic_index")
     if index is None:
         raise RuntimeError("semantic index not configured on this worker")
+    return index.index_video(video_id, config)
+
+
+def _run_visual_indexing(app, ctx: dict, video_id: str, config: dict) -> int:
+    index = ctx.get("visual_index") or app.extra.get("visual_index")
+    if index is None:
+        raise RuntimeError("visual index not configured on this worker")
     return index.index_video(video_id, config)

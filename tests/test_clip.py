@@ -1,0 +1,349 @@
+"""CLIP visual search: tokenizer parity, model parity vs HF transformers,
+index round-trip, worker + API integration.
+
+The reference never shipped any semantic layer (SURVEY.md section 0) and its
+spec covered text only; text->keyframe retrieval is a beyond-parity feature,
+so parity here means numerical agreement with the public HF implementation
+(transformers CLIPModel / CLIPTokenizer), same strategy as the MiniLM,
+whisper, and reranker converters.
+"""
+import json
+
+import numpy as np
+import pytest
+
+from eioku_tpu.models.clip.model import (
+    ClipConfig,
+    clip_encode_image,
+    clip_encode_text,
+    convert_hf_state_dict,
+    init_clip_params,
+    preprocess_images,
+)
+from eioku_tpu.models.clip.tokenizer import (
+    ClipTokenizer,
+    FallbackClipTokenizer,
+    _bytes_to_unicode,
+)
+
+TINY = ClipConfig(embed_dim=48, image_size=64, patch_size=16, vision_width=96,
+                  vision_layers=2, vision_heads=4, vision_mlp=192,
+                  vocab_size=1000, context_length=77, text_width=64,
+                  text_layers=2, text_heads=4, text_mlp=128)
+
+
+def _tiny_vocab_files(tmp_path):
+    """A real (small) CLIP-style BPE vocab: byte alphabet + </w> variants +
+    a few merges; specials hold the two largest ids (the EOT-argmax pooling
+    convention requires it)."""
+    chars = list(_bytes_to_unicode().values())
+    vocab = {c: i for i, c in enumerate(chars)}
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    merges = [("h", "e"), ("l", "o</w>"), ("he", "l"),
+              ("hel", "lo</w>"), ("w", "o"), ("wo", "r"),
+              ("r", "l"), ("wor", "l"), ("worl", "d</w>")]
+    for a, b in merges:
+        if a + b not in vocab:
+            vocab[a + b] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    with open(vp, "w") as f:
+        json.dump(vocab, f)
+    with open(mp, "w") as f:
+        f.write("#version: 0.2\n")
+        f.writelines(f"{a} {b}\n" for a, b in merges)
+    return vp, mp
+
+
+class TestTokenizer:
+    def test_bpe_merges_apply(self, tmp_path):
+        vp, mp = _tiny_vocab_files(tmp_path)
+        tok = ClipTokenizer.from_files(vp, mp)
+        ids = tok.tokenize("hello world")
+        # "hello" fully merges to one token, "world" to one token
+        assert len(ids) == 2
+
+    def test_encode_batch_shape_and_specials(self, tmp_path):
+        vp, mp = _tiny_vocab_files(tmp_path)
+        tok = ClipTokenizer.from_files(vp, mp)
+        out = tok.encode_batch(["hello", "hello world hello"])
+        assert out.shape == (2, 77) and out.dtype == np.int32
+        assert out[0, 0] == tok.sot_id
+        assert tok.eot_id in out[0]
+        # EOT is the max id -> argmax pooling lands on the first EOT
+        assert int(np.argmax(out[0])) == list(out[0]).index(tok.eot_id)
+
+    @pytest.mark.slow
+    def test_hf_parity(self, tmp_path):
+        transformers = pytest.importorskip("transformers")
+        vp, mp = _tiny_vocab_files(tmp_path)
+        hf = transformers.CLIPTokenizer(vocab_file=vp, merges_file=mp)
+        tok = ClipTokenizer.from_files(vp, mp)
+        for text in ("hello world", "Hello,  WORLD!", "it's 9 o'clock",
+                     "a b c hello", "don't stop... now?!"):
+            hf_ids = hf(text)["input_ids"]
+            ours = [tok.sot_id] + tok.tokenize(text) + [tok.eot_id]
+            assert ours == hf_ids, text
+
+    def test_fallback_tokenizer_contract(self):
+        tok = FallbackClipTokenizer(vocab_size=1000)
+        out = tok.encode_batch(["red car", "red car", "blue sky"])
+        assert out.shape == (3, 77)
+        assert (out[0] == out[1]).all()  # deterministic
+        assert not (out[0] == out[2]).all()
+        assert int(np.argmax(out[0])) == list(out[0]).index(tok.eot_id)
+
+
+class TestModel:
+    def test_shapes_and_normalization(self):
+        params = init_clip_params(TINY, seed=0)
+        imgs = np.random.default_rng(0).standard_normal(
+            (2, 64, 64, 3)).astype(np.float32)
+        out = np.asarray(clip_encode_image(params, imgs, TINY))
+        assert out.shape == (2, 48)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0,
+                                   atol=1e-5)
+        ids = np.zeros((2, 77), np.int32)
+        ids[0, :3] = [998, 5, 999]
+        ids[1, :4] = [998, 7, 11, 999]
+        txt = np.asarray(clip_encode_text(params, ids, TINY))
+        assert txt.shape == (2, 48)
+        np.testing.assert_allclose(np.linalg.norm(txt, axis=-1), 1.0,
+                                   atol=1e-5)
+
+    def test_eot_pooling_ignores_padding_garbage(self):
+        """Tokens after EOT (zero padding) must not change the embedding
+        (causal mask + argmax pooling)."""
+        params = init_clip_params(TINY, seed=0)
+        a = np.zeros((1, 77), np.int32)
+        a[0, :3] = [998, 5, 999]
+        b = a.copy()
+        b[0, 10:20] = 37  # garbage BELOW the EOT id after the EOT position
+        ea = np.asarray(clip_encode_text(params, a, TINY))
+        eb = np.asarray(clip_encode_text(params, b, TINY))
+        np.testing.assert_allclose(ea, eb, atol=1e-5)
+
+    def test_preprocess_geometry(self):
+        frames = [np.full((480, 640, 3), 128, np.uint8),
+                  np.full((100, 60, 3), 255, np.uint8)]
+        out = preprocess_images(frames, TINY)
+        assert out.shape == (2, 64, 64, 3)
+        # normalized: mid-gray lands near zero
+        assert abs(out[0].mean()) < 1.0
+
+    @pytest.mark.slow
+    def test_hf_model_parity(self):
+        transformers = pytest.importorskip("transformers")
+        import torch
+        hf_cfg = transformers.CLIPConfig.from_text_vision_configs(
+            transformers.CLIPTextConfig(
+                vocab_size=1000, hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=128,
+                max_position_embeddings=77,
+                # the real openai checkpoints ship the legacy config value,
+                # which selects HF's argmax-of-ids EOT pooling — the behavior
+                # clip_encode_text implements (EOT = largest id in the row)
+                eos_token_id=2),
+            transformers.CLIPVisionConfig(
+                hidden_size=96, num_hidden_layers=2, num_attention_heads=4,
+                intermediate_size=192, image_size=64, patch_size=16),
+            projection_dim=48)
+        torch.manual_seed(0)
+        hf = transformers.CLIPModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+        params = convert_hf_state_dict(sd, TINY)
+
+        imgs = np.random.default_rng(0).standard_normal(
+            (2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf.get_image_features(
+                pixel_values=torch.tensor(imgs.transpose(0, 3, 1, 2)))
+            ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+        ours = np.asarray(clip_encode_image(params, imgs, TINY))
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+        ids = np.zeros((2, 77), np.int32)
+        ids[0, :5] = [998, 5, 7, 9, 999]
+        ids[1, :3] = [998, 42, 999]
+        with torch.no_grad():
+            ref = hf.get_text_features(
+                input_ids=torch.tensor(ids, dtype=torch.long))
+            ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+        ours = np.asarray(clip_encode_text(params, ids, TINY))
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def _tiny_index(ctx):
+    """VisualIndex with the tiny config injected (full ViT-B/32 compile is a
+    slow-tier cost; the index logic is config-independent)."""
+    from eioku_tpu.index.visual import VisualIndex
+    index = VisualIndex(ctx)
+    index._params = init_clip_params(TINY, seed=0)
+    index._cfg = TINY
+    index._tokenizer = FallbackClipTokenizer(TINY.vocab_size)
+    return index
+
+
+def _write_video(path, n_frames=30):
+    import cv2
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+    assert w.isOpened()
+    for i in range(n_frames):
+        w.write(np.full((64, 64, 3), (i * 8) % 255, np.uint8))
+    w.release()
+
+
+class TestVisualIndex:
+    @pytest.fixture()
+    def ctx(self, tmp_path):
+        from eioku_tpu.api.app import build_context
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.db.connection import Database
+        db = Database(f"sqlite:///{tmp_path}/v.db")
+        c = build_context(AppConfig(scan_paths=[], auto_discover=False),
+                          db=db)
+        yield c
+        db.close()
+
+    def test_index_and_search_roundtrip(self, ctx, tmp_path):
+        from eioku_tpu.domain.models import Video
+        path = str(tmp_path / "clip.mp4")
+        _write_video(path)
+        v = Video(path=path, file_hash="h")
+        ctx.videos.save(v)
+        index = _tiny_index(ctx)
+        n = index.index_video(v.id, {"keyframe_interval_s": 1.0})
+        assert n >= 2
+        rows = ctx.db.query("SELECT * FROM frame_embeddings")
+        assert len(rows) == n and rows[0]["asset_id"] == v.id
+        results = index.search("anything", top_k=3)
+        assert results and results[0]["video_id"] == v.id
+        assert results[0]["source"] == "visual"
+        assert "start_ms" in results[0]["jump_to"]
+
+    def test_reindex_replaces_slots(self, ctx, tmp_path):
+        from eioku_tpu.domain.models import Video
+        path = str(tmp_path / "clip.mp4")
+        _write_video(path)
+        v = Video(path=path, file_hash="h")
+        ctx.videos.save(v)
+        index = _tiny_index(ctx)
+        n1 = index.index_video(v.id, {"keyframe_interval_s": 1.0})
+        n2 = index.index_video(v.id, {"keyframe_interval_s": 1.0})
+        assert n1 == n2
+        assert ctx.db.scalar("SELECT COUNT(*) FROM frame_embeddings") == n2
+        # stale slots never resolve, fresh ones do
+        results = index.search("x", top_k=n2 + 5)
+        assert len(results) == n2
+
+    def test_scene_midpoints_preferred(self, ctx, tmp_path):
+        from eioku_tpu.domain.artifacts import ArtifactEnvelope, new_id
+        from eioku_tpu.domain.models import Video
+        path = str(tmp_path / "clip.mp4")
+        _write_video(path)
+        v = Video(path=path, file_hash="h", duration_ms=3000)
+        ctx.videos.save(v)
+        ctx.artifacts.batch_create([ArtifactEnvelope(
+            artifact_id=new_id(), asset_id=v.id, artifact_type="scene",
+            schema_version=1, span_start_ms=0, span_end_ms=2000,
+            payload_json={"scene_index": 0, "start_ms": 0, "end_ms": 2000,
+                          "duration_ms": 2000},
+            producer="p", producer_version="1", model_profile="balanced",
+            config_hash="c", input_hash="i", run_id="r1")])
+        index = _tiny_index(ctx)
+        assert index.index_video(v.id, {}) == 1  # one scene -> one keyframe
+        row = ctx.db.query_one("SELECT * FROM frame_embeddings")
+        assert row["ts_ms"] == 1000 and row["scene_index"] == 0
+
+    def test_max_keyframes_cap(self, ctx, tmp_path):
+        from eioku_tpu.domain.models import Video
+        path = str(tmp_path / "clip.mp4")
+        _write_video(path, n_frames=40)
+        v = Video(path=path, file_hash="h")
+        ctx.videos.save(v)
+        index = _tiny_index(ctx)
+        n = index.index_video(v.id, {"keyframe_interval_s": 0.1,
+                                     "max_keyframes": 5})
+        assert n == 5
+
+
+class TestApiIntegration:
+    def test_search_mode_visual(self, tmp_path):
+        from eioku_tpu.api.app import build_context, create_app
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.domain.models import Video
+        from eioku_tpu.web.testing import TestClient
+        db = Database(f"sqlite:///{tmp_path}/api.db")
+        ctx = build_context(AppConfig(scan_paths=[], auto_discover=False),
+                            db=db)
+        path = str(tmp_path / "c.mp4")
+        _write_video(path)
+        v = Video(path=path, file_hash="h")
+        ctx.videos.save(v)
+        index = _tiny_index(ctx)
+        ctx.extra["visual_index"] = index
+        index.index_video(v.id, {"keyframe_interval_s": 1.0})
+        app = create_app(ctx=ctx, start_reconciler=False)
+        with TestClient(app) as client:
+            r = client.get("/api/v1/search?q=red+car&mode=visual&top_k=3")
+            assert r.status_code == 200
+            body = r.json()
+            assert body["mode"] == "visual" and body["results"]
+            assert body["results"][0]["source"] == "visual"
+            r = client.get("/api/v1/search?q=x&mode=bogus")
+            assert r.status_code == 422
+        db.close()
+
+    def test_visual_mode_without_index_is_503(self, tmp_path):
+        from eioku_tpu.api.app import build_context, create_app
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.web.testing import TestClient
+        db = Database(f"sqlite:///{tmp_path}/api.db")
+        cfg = AppConfig(scan_paths=[], auto_discover=False,
+                        visual_search=False)
+        ctx = build_context(cfg, db=db)
+        app = create_app(ctx=ctx, start_reconciler=False)
+        with TestClient(app) as client:
+            r = client.get("/api/v1/search?q=x&mode=visual")
+            assert r.status_code == 503
+        db.close()
+
+
+class TestWorkerIntegration:
+    def test_scene_completion_enqueues_visual_indexing(self, tmp_path):
+        """scene_detection -> visual_indexing fan-in through the real worker,
+        with the tiny CLIP injected into the worker ctx."""
+        import asyncio
+
+        from eioku_tpu.api.app import build_context
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.domain.models import PathConfig, TaskStatus
+        from eioku_tpu.queue.worker import WorkerSettings
+        from eioku_tpu.workers.main import build_worker
+
+        path = str(tmp_path / "clip.mp4")
+        _write_video(path)
+        db = Database(f"sqlite:///{tmp_path}/w.db")
+        ctx = build_context(
+            AppConfig(scan_paths=[], auto_discover=False,
+                      active_task_types=["scene_detection"]), db=db)
+        ctx.extra["visual_index"] = _tiny_index(ctx)
+        try:
+            ctx.paths.save(PathConfig(path=str(tmp_path)))
+            ctx.discovery.discover()
+            worker = build_worker(app_ctx=ctx,
+                                  settings=WorkerSettings(max_jobs=1,
+                                                          poll_delay_s=0.01))
+            asyncio.run(worker.drain())
+            tasks = {t.task_type: t for t in ctx.tasks.find(limit=10)}
+            assert "visual_indexing" in tasks, list(tasks)
+            assert tasks["visual_indexing"].status is TaskStatus.COMPLETED, \
+                tasks["visual_indexing"].error
+            assert ctx.db.scalar("SELECT COUNT(*) FROM frame_embeddings") >= 1
+        finally:
+            db.close()

@@ -130,9 +130,11 @@ class TestRoundTrip:
         export_dump(src, out)
         dst = _ctx(tmp_path, "dst")
         counts = import_dump(dst, out, reindex=True)
-        assert counts["reindex_enqueued"] == 1
-        tasks = dst.tasks.find(video_id=v.id, task_type="semantic_indexing")
-        assert tasks and tasks[0].status is TaskStatus.PENDING
+        # one semantic (transcripts) + one visual (scenes) re-index
+        assert counts["reindex_enqueued"] == 2
+        for task_type in ("semantic_indexing", "visual_indexing"):
+            tasks = dst.tasks.find(video_id=v.id, task_type=task_type)
+            assert tasks and tasks[0].status is TaskStatus.PENDING, task_type
 
     def test_include_embeddings_flag(self, tmp_path):
         src = _ctx(tmp_path, "src")
