@@ -187,6 +187,41 @@ def bench_embed(n_batches: int = 10, batch: int = 256, seq: int = 256) -> float:
     return cps
 
 
+def bench_clip(n_batches: int = 8, batch: int = 64) -> float:
+    """CLIP ViT-B/32 image tower (the visual-search indexing path,
+    index/visual.py): keyframes/s through the full 12-layer ViT in bf16.
+    Pure MXU work (patch conv + attention + MLP at width 768)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eioku_tpu.models.clip.model import (
+        ClipConfig,
+        clip_encode_image,
+        init_clip_params,
+    )
+
+    cfg = ClipConfig(compute_dtype="bfloat16")
+    params = init_clip_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.standard_normal(
+        (batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32))
+    t0 = time.time()
+    out = clip_encode_image(params, mk(), cfg)
+    float(out.sum())
+    _log(f"clip compile: {time.time() - t0:.1f}s")
+    inputs = [mk() for _ in range(n_batches)]
+    jax.block_until_ready(inputs)
+    t0 = time.time()
+    outs = [clip_encode_image(params, x, cfg) for x in inputs]
+    jax.block_until_ready(outs)
+    float(outs[-1].sum())
+    dt = time.time() - t0
+    fps = n_batches * batch / dt
+    _log(f"clip image tower: {fps:.1f} keyframes/s")
+    return fps
+
+
 def bench_embed_int8(n_batches: int = 10, batch: int = 256,
                      seq: int = 256) -> float:
     """int8 MiniLM serving variant (ops/quant.py, opt-in config embed_int8):
@@ -567,6 +602,7 @@ STAGES = {
     "detect_m": bench_detect_m,
     "embed": bench_embed,
     "embed_int8": bench_embed_int8,
+    "clip": bench_clip,
     "pipeline": bench_pipeline,
     "combined": bench_combined_visual,
     "scenes": bench_scene_pipeline,
@@ -581,14 +617,14 @@ STAGES = {
 # compile has measured 60s and 415s on different days); the effective budget
 # is min(ceiling, remaining global deadline)
 STAGE_TIMEOUT_S = {"detect": 600, "detect_int8": 420, "detect_m": 420,
-                   "embed": 420, "embed_int8": 420,
+                   "embed": 420, "embed_int8": 420, "clip": 420,
                    "pipeline": 900, "combined": 600, "scenes": 300,
                    "query": 240, "whisper": 600, "whisper_beam": 420,
                    "whisper_beam_full": 420, "whisper_int8": 420}
 # skip a stage outright when less than this remains: a run that can't finish
 # shouldn't burn the budget of later (cheaper) stages
 STAGE_MIN_S = {"detect": 90, "detect_int8": 90, "detect_m": 90, "embed": 60,
-               "embed_int8": 60,
+               "embed_int8": 60, "clip": 60,
                "pipeline": 180,
                "combined": 120, "scenes": 60, "query": 45, "whisper": 120,
                "whisper_beam": 120, "whisper_beam_full": 120,
@@ -701,6 +737,7 @@ def _assemble(vals: dict[str, float | None], backend: str) -> dict:
              "detect_m": ("detect_m_fps_640", 1),
              "embed": ("embed_chunks_per_s", 1),
              "embed_int8": ("embed_int8_chunks_per_s", 1),
+             "clip": ("clip_keyframes_per_s", 1),
              "pipeline": ("pipeline_video_hours_per_hour", 1),
              "combined": ("combined_visual_video_hours_per_hour", 1),
              "scenes": ("scene_video_hours_per_hour", 1),
@@ -824,7 +861,7 @@ def main() -> None:
         # cheapest-first on warm cache: ANY alive window records a number
         # before the expensive stages get a chance to eat the deadline
         order = ["query", "scenes", "embed", "detect", "detect_m", "combined",
-                 "pipeline", "detect_int8", "embed_int8"]
+                 "pipeline", "clip", "detect_int8", "embed_int8"]
         if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
             # beam-5 first: it is the production default, and the k=1 variant
             # of the decode program has shown pathological compile times on

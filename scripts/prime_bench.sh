@@ -12,8 +12,8 @@ set -u
 cd "$(dirname "$0")/.."
 STAGES=("$@")
 if [ ${#STAGES[@]} -eq 0 ]; then
-  STAGES=(query scenes embed detect detect_m combined pipeline detect_int8
-          embed_int8 whisper_beam whisper_beam_full whisper_int8 whisper)
+  STAGES=(query scenes embed detect detect_m combined pipeline clip
+          detect_int8 embed_int8 whisper_beam whisper_beam_full whisper_int8 whisper)
 fi
 for s in "${STAGES[@]}"; do
   echo "=== priming stage: $s ==="
