@@ -807,6 +807,22 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
             " ORDER BY score DESC", (v.id,))
         return {"topics": [dict(r) for r in rows]}
 
+    @app.get(PREFIX + "/videos/{video_id}/similar")
+    async def similar_moments(request: Request):
+        """Visually similar moments across the library, anchored at the
+        indexed keyframe nearest ?at_ms= (CLIP embedding already in the
+        index — no model call at query time). Beyond the reference."""
+        v = _get_video(request.path_params["video_id"])
+        vindex = ctx.extra.get("visual_index")
+        if vindex is None:
+            raise HTTPException(
+                503, "visual index not available on this deployment")
+        at_ms = request.query_int("at_ms", 0)
+        top_k = min(request.query_int("top_k", 10), 100)
+        results = await asyncio.to_thread(vindex.similar, v.id, at_ms, top_k)
+        return {"video_id": v.id, "at_ms": at_ms, "results": results,
+                "total": len(results)}
+
     # -- semantic search (new layer; engine attaches when index is built) ---------------
 
     @app.get(PREFIX + "/search")

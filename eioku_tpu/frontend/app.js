@@ -458,6 +458,31 @@ async function findInVideo() {
   if (next) seek(next.jump_to.start_ms);
 }
 
+/* ---------- similar moments (CLIP, cross-library) ---------- */
+async function findSimilar() {
+  const at = Math.round($("video").currentTime * 1000);
+  const box = $("find-results");
+  box.innerHTML = "<em>Finding similar moments…</em>";
+  try {
+    const { results } = await api(
+      `/videos/${state.video.id}/similar?at_ms=${at}&top_k=8`);
+    box.innerHTML = results.map(r => `
+      <div class="seg" data-vid="${r.video_id}" data-ms="${r.ts_ms}">
+        <img class="mini-thumb" loading="lazy" alt=""
+          src="${API}/videos/${r.video_id}/thumbnail?at_ms=${r.ts_ms}"
+          onerror="this.style.display='none'">
+        <span class="t">${fmtMs(r.ts_ms)}</span>
+        <span class="fname">${esc(state.videoPaths[r.video_id] || "")}</span>
+        <span class="chip">${r.score.toFixed(3)}</span>
+      </div>`).join("") || "<p>No indexed moments yet.</p>";
+    for (const el of box.querySelectorAll(".seg"))
+      el.onclick = () => {
+        if (el.dataset.vid === state.video.id) seek(+el.dataset.ms);
+        else openVideo(el.dataset.vid, +el.dataset.ms);
+      };
+  } catch (e) { box.innerHTML = `<p>Similar unavailable: ${esc(e.message)}</p>`; }
+}
+
 /* ---------- overlays ---------- */
 function drawOverlays() {
   const video = $("video"), canvas = $("overlay");
@@ -548,6 +573,7 @@ window.addEventListener("DOMContentLoaded", () => {
   $("jump-kind").onchange = renderJumpTargets;
   $("jump-conf").oninput = () => { $("jump-conf-val").textContent = $("jump-conf").value; };
   $("find-btn").onclick = findInVideo;
+  $("similar-btn").onclick = findSimilar;
   $("find-input").onkeydown = (e) => { if (e.key === "Enter") findInVideo(); };
   $("toggle-objects").onchange = () => toggleOverlay("objects", "object.detection");
   $("toggle-faces").onchange = () => toggleOverlay("faces", "face.detection");

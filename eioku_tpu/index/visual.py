@@ -236,6 +236,30 @@ class VisualIndex:
                 return out[:top_k]
             k = min(k * 4, corpus.shape[0])
 
+    def similar(self, asset_id: str, ts_ms: int, top_k: int = 10) -> list[dict]:
+        """Visually similar moments across the library, anchored at the
+        indexed keyframe nearest to (asset_id, ts_ms). Pure vector math —
+        the anchor's embedding is already in the index, so no decode and no
+        model call happen at query time."""
+        row = self.ctx.db.query_one(
+            "SELECT * FROM frame_embeddings WHERE asset_id=?"
+            " ORDER BY ABS(ts_ms - ?) LIMIT 1", (asset_id, int(ts_ms)))
+        if row is None:
+            return []
+        corpus = self._corpus()
+        if corpus is None:
+            return []
+        anchor_slot = int(row["slot"])
+        q = np.asarray(corpus[anchor_slot], np.float32)
+        k = min(top_k * 4 + 1, corpus.shape[0])
+        while True:
+            out = [r for r in self._candidates(corpus, q, k, top_k + 1, None)
+                   if not (r["video_id"] == asset_id
+                           and r["ts_ms"] == row["ts_ms"])]
+            if len(out) >= top_k or k >= corpus.shape[0]:
+                return out[:top_k]
+            k = min(k * 4, corpus.shape[0])
+
     def _candidates(self, corpus, q, k: int, top_k: int,
                     asset_id: str | None) -> list[dict]:
         scores, idx = _topk_cosine(corpus, jnp.asarray(q), k)

@@ -257,6 +257,31 @@ class TestVisualIndex:
         row = ctx.db.query_one("SELECT * FROM frame_embeddings")
         assert row["ts_ms"] == 1000 and row["scene_index"] == 0
 
+    def test_similar_moments(self, ctx, tmp_path):
+        """Anchor excluded, cross-video hits ranked, nearest keyframe used."""
+        from eioku_tpu.domain.models import Video
+        p1, p2 = str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")
+        _write_video(p1)
+        _write_video(p2)
+        v1 = Video(path=p1, file_hash="h1")
+        v2 = Video(path=p2, file_hash="h2")
+        ctx.videos.save(v1)
+        ctx.videos.save(v2)
+        index = _tiny_index(ctx)
+        n1 = index.index_video(v1.id, {"keyframe_interval_s": 1.0})
+        n2 = index.index_video(v2.id, {"keyframe_interval_s": 1.0})
+        results = index.similar(v1.id, 500, top_k=n1 + n2)
+        # the anchor keyframe itself never appears
+        anchor = ctx.db.query_one(
+            "SELECT ts_ms FROM frame_embeddings WHERE asset_id=?"
+            " ORDER BY ABS(ts_ms - 500) LIMIT 1", (v1.id,))
+        assert not any(r["video_id"] == v1.id and r["ts_ms"] == anchor["ts_ms"]
+                       for r in results)
+        assert any(r["video_id"] == v2.id for r in results)
+        assert results == sorted(results, key=lambda r: -r["score"])
+        # unindexed asset -> empty, not an error
+        assert index.similar("nope", 0) == []
+
     def test_max_keyframes_cap(self, ctx, tmp_path):
         from eioku_tpu.domain.models import Video
         path = str(tmp_path / "clip.mp4")
@@ -295,6 +320,10 @@ class TestApiIntegration:
             assert body["results"][0]["source"] == "visual"
             r = client.get("/api/v1/search?q=x&mode=bogus")
             assert r.status_code == 422
+            r = client.get(f"/api/v1/videos/{v.id}/similar?at_ms=1000")
+            assert r.status_code == 200
+            body = r.json()
+            assert body["video_id"] == v.id and isinstance(body["results"], list)
         db.close()
 
     def test_visual_mode_without_index_is_503(self, tmp_path):
