@@ -324,29 +324,34 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         indexed duration and bytes, artifact breakdown by type, semantic
         index size. The reference has no equivalent (ops there meant psql +
         show_tasks.py); the SPA gallery header and dashboards read this."""
-        def q(sql, params=()):
-            return ctx.db.query(sql, params)
-        videos = {r["status"]: r["n"] for r in q(
-            "SELECT status, COUNT(*) AS n FROM videos GROUP BY status")}
-        tasks = {r["status"]: r["n"] for r in q(
-            "SELECT status, COUNT(*) AS n FROM tasks GROUP BY status")}
-        artifacts = {r["artifact_type"]: r["n"] for r in q(
-            "SELECT artifact_type, COUNT(*) AS n FROM artifacts"
-            " GROUP BY artifact_type ORDER BY n DESC")}
-        totals = q("SELECT COUNT(*) AS n, COALESCE(SUM(duration_ms),0) AS dur,"
-                   " COALESCE(SUM(size_bytes),0) AS bytes FROM videos")[0]
-        return {
-            "videos": {"total": totals["n"], "by_status": videos,
-                       "duration_hours": round(totals["dur"] / 3.6e6, 2),
-                       "size_gb": round(totals["bytes"] / 1e9, 2)},
-            "tasks": {"total": sum(tasks.values()), "by_status": tasks},
-            "artifacts": {"total": sum(artifacts.values()),
-                          "by_type": artifacts},
-            "semantic_index": {
-                "chunks": ctx.db.scalar(
-                    "SELECT COUNT(*) FROM embedding_chunks") or 0},
-            "runs": ctx.db.scalar("SELECT COUNT(*) FROM runs") or 0,
-        }
+        def snapshot():
+            # full-table aggregates can take 100s of ms on a large library;
+            # off-loop like stream_tasks so the single asyncio loop keeps
+            # answering other requests
+            q = ctx.db.query
+            videos = {r["status"]: r["n"] for r in q(
+                "SELECT status, COUNT(*) AS n FROM videos GROUP BY status")}
+            tasks = {r["status"]: r["n"] for r in q(
+                "SELECT status, COUNT(*) AS n FROM tasks GROUP BY status")}
+            artifacts = {r["artifact_type"]: r["n"] for r in q(
+                "SELECT artifact_type, COUNT(*) AS n FROM artifacts"
+                " GROUP BY artifact_type ORDER BY n DESC")}
+            totals = q(
+                "SELECT COUNT(*) AS n, COALESCE(SUM(duration_ms),0) AS dur,"
+                " COALESCE(SUM(size_bytes),0) AS bytes FROM videos")[0]
+            return {
+                "videos": {"total": totals["n"], "by_status": videos,
+                           "duration_hours": round(totals["dur"] / 3.6e6, 2),
+                           "size_gb": round(totals["bytes"] / 1e9, 2)},
+                "tasks": {"total": sum(tasks.values()), "by_status": tasks},
+                "artifacts": {"total": sum(artifacts.values()),
+                              "by_type": artifacts},
+                "semantic_index": {
+                    "chunks": ctx.db.scalar(
+                        "SELECT COUNT(*) FROM embedding_chunks") or 0},
+                "runs": ctx.db.scalar("SELECT COUNT(*) FROM runs") or 0,
+            }
+        return await asyncio.to_thread(snapshot)
 
     # -- videos ------------------------------------------------------------------
 

@@ -225,25 +225,33 @@ class SemanticIndex:
         if not chunks:
             return 0
         vecs = self.embed_texts([c["text"] for c in chunks])
-        # drop stale slots for this asset (old runs stay in file but unmapped)
-        self.ctx.db.execute("DELETE FROM embedding_chunks WHERE asset_id=?",
-                            (video_id,))
-        start_slot = self._append_vectors(vecs)
         run_id = str(uuid.uuid4())
-        results = [
-            {"payload": {"text": c["text"], "source": c["source"],
-                         "model": self.MODEL_NAME, "dim": self.dim,
-                         "index_slot": start_slot + i,
-                         "norm": float(np.linalg.norm(vecs[i]))},
-             "span_start_ms": c["start_ms"], "span_end_ms": c["end_ms"]}
-            for i, c in enumerate(chunks)
-        ]
-        envs = build_envelopes(
-            results, video_id=video_id, artifact_type="embedding.chunk",
-            run_id=run_id, producer="eioku-tpu-semantic",
-            producer_version="0.1.0", model_profile=self.ctx.config.model_profile,
-            config_hash=compute_config_hash(config), input_hash="transcript")
-        self.ctx.artifacts.batch_create(envs)
+        # ONE BEGIN IMMEDIATE transaction around slot allocation + file append
+        # + artifact insert: the sqlite write lock serializes concurrent
+        # indexers ACROSS PROCESSES, so slot numbers and vector-file appends
+        # can never interleave between two workers (same guard as
+        # index/visual.py)
+        with self._lock, self.ctx.db.transaction():
+            # drop stale slots for this asset (old runs stay in file, unmapped)
+            self.ctx.db.execute(
+                "DELETE FROM embedding_chunks WHERE asset_id=?", (video_id,))
+            start_slot = self._append_vectors(vecs)
+            results = [
+                {"payload": {"text": c["text"], "source": c["source"],
+                             "model": self.MODEL_NAME, "dim": self.dim,
+                             "index_slot": start_slot + i,
+                             "norm": float(np.linalg.norm(vecs[i]))},
+                 "span_start_ms": c["start_ms"], "span_end_ms": c["end_ms"]}
+                for i, c in enumerate(chunks)
+            ]
+            envs = build_envelopes(
+                results, video_id=video_id, artifact_type="embedding.chunk",
+                run_id=run_id, producer="eioku-tpu-semantic",
+                producer_version="0.1.0",
+                model_profile=self.ctx.config.model_profile,
+                config_hash=compute_config_hash(config),
+                input_hash="transcript")
+            self.ctx.artifacts.batch_create(envs)
         self._extract_topics(video_id, [c["text"] for c in chunks],
                              top_k=int(config.get("topics_top_k", 10)))
         log.info("indexed video", extra={"video_id": video_id,

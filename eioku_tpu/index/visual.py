@@ -85,6 +85,16 @@ class VisualIndex:
 
     @property
     def dim(self) -> int:
+        if self._cfg is not None:
+            return self._cfg.embed_dim
+        # pure-vector paths (similar(), corpus loads) must not pay a full
+        # dual-encoder load just to learn the row width: meta.json records it
+        if os.path.isfile(self.meta_path):
+            try:
+                with open(self.meta_path) as f:
+                    return int(json.load(f)["dim"])
+            except (ValueError, KeyError, OSError):
+                pass
         self._ensure_model()
         return self._cfg.embed_dim
 
@@ -207,16 +217,19 @@ class VisualIndex:
         frames = self._decode_at(video.path, stamps)
         vecs = self.embed_frames(frames)
         run_id = str(uuid.uuid4())
-        with self._lock:
-            self.ctx.db.execute(
+        # ONE BEGIN IMMEDIATE transaction around slot allocation + file append
+        # + row insert: the sqlite write lock serializes concurrent indexers
+        # ACROSS PROCESSES (multi-worker deployments), so two videos can never
+        # claim the same slots / interleave their vector-file appends
+        with self._lock, self.ctx.db.transaction() as conn:
+            conn.execute(
                 "DELETE FROM frame_embeddings WHERE asset_id=?", (video_id,))
             start = self._append_vectors(vecs)
-            with self.ctx.db.transaction() as conn:
-                conn.executemany(
-                    "INSERT INTO frame_embeddings (slot, asset_id, ts_ms,"
-                    " scene_index, model, run_id) VALUES (?,?,?,?,?,?)",
-                    [(start + i, video_id, ts, scene_idx, self.MODEL_NAME,
-                      run_id) for i, (ts, scene_idx) in enumerate(stamps)])
+            conn.executemany(
+                "INSERT INTO frame_embeddings (slot, asset_id, ts_ms,"
+                " scene_index, model, run_id) VALUES (?,?,?,?,?,?)",
+                [(start + i, video_id, ts, scene_idx, self.MODEL_NAME,
+                  run_id) for i, (ts, scene_idx) in enumerate(stamps)])
         log.info("visually indexed video", extra={
             "video_id": video_id, "keyframes": len(stamps)})
         return len(stamps)

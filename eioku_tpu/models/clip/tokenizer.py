@@ -35,9 +35,12 @@ def _bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, map(chr, cs)))
 
 
+# translation of HF's \p{L}+ | \p{N} | [^\s\p{L}\p{N}]+ into stdlib `re`:
+# [^\W\d_] == \p{L}; underscore is neither letter nor number, so it belongs
+# to the punctuation-run branch ((?:[^\s\w]|_)+)
 _PAT = re.compile(
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|\d|[^\s\w]+",
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE | re.UNICODE)
 
 
@@ -113,6 +116,9 @@ class ClipTokenizer:
         text = _whitespace_clean(text).lower()
         ids: list[int] = []
         for tok in _PAT.findall(text):
+            if tok in (self.SOT, self.EOT):  # literal specials stay atomic
+                ids.append(self.vocab[tok])
+                continue
             mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             for piece in self._bpe(mapped):
                 ids.append(self.vocab.get(piece, self.eot_id))

@@ -68,19 +68,21 @@ def _open_in(path: str):
 
 
 def _iter_artifact_rows(db, include_embeddings: bool) -> Iterator[dict]:
-    """Stream artifacts in rowid order without loading the table."""
-    last = 0
+    """Stream artifacts in batches without loading the table. Keyset
+    pagination on the artifact_id PRIMARY KEY — portable across both
+    dialects (PostgreSQL tables have no implicit rowid)."""
+    last = ""
     clause = "" if include_embeddings else \
         " AND artifact_type != 'embedding.chunk'"
     while True:
         rows = db.query(
-            f"SELECT rowid AS _rid, * FROM artifacts WHERE rowid > ?{clause}"
-            " ORDER BY rowid LIMIT ?", (last, _BATCH))
+            f"SELECT * FROM artifacts WHERE artifact_id > ?{clause}"
+            " ORDER BY artifact_id LIMIT ?", (last, _BATCH))
         if not rows:
             return
         for r in rows:
-            last = r["_rid"]
-            yield {k: r[k] for k in r.keys() if k != "_rid"}
+            last = r["artifact_id"]
+            yield {k: r[k] for k in r.keys()}
         if len(rows) < _BATCH:
             return
 
@@ -195,7 +197,10 @@ def import_dump(ctx, in_path: str, reindex: bool = True) -> dict:
 
     f = _open_in(in_path)
     try:
-        header = json.loads(next(iter(f)))
+        first = next(iter(f), None)
+        if first is None:
+            raise ValueError(f"{in_path} is empty — not an {FORMAT} file")
+        header = json.loads(first)
         if header.get("kind") != "header" or \
                 header.get("data", {}).get("format") != FORMAT:
             raise ValueError(f"{in_path} is not an {FORMAT} file")
@@ -233,7 +238,11 @@ def import_dump(ctx, in_path: str, reindex: bool = True) -> dict:
                 ctx.tasks.save(_task_from(d))
                 counts["tasks"] += 1
             elif kind == "run":
-                if d["run_id"] in existing_runs:
+                # runs/selections/artifacts for a video that was NOT restored
+                # (path collision with a different local id) would be orphans:
+                # projected into search but 404 on /videos/{id} — skip them
+                if d["run_id"] in existing_runs \
+                        or d["asset_id"] not in existing_videos:
                     counts["skipped_existing"] += 1
                     continue
                 ctx.runs.save(Run(
@@ -248,6 +257,9 @@ def import_dump(ctx, in_path: str, reindex: bool = True) -> dict:
                     else d.get("config_json") or {}))
                 counts["runs"] += 1
             elif kind == "selection":
+                if d["asset_id"] not in existing_videos:
+                    counts["skipped_existing"] += 1
+                    continue
                 try:
                     policy = SelectionPolicy(
                         mode=d.get("mode") or "latest",
@@ -261,7 +273,8 @@ def import_dump(ctx, in_path: str, reindex: bool = True) -> dict:
                                         policy)
                 counts["selections"] += 1
             elif kind == "artifact":
-                if d["artifact_id"] in have_artifacts:
+                if d["artifact_id"] in have_artifacts \
+                        or d["asset_id"] not in existing_videos:
                     counts["skipped_existing"] += 1
                     continue
                 env = _envelope_from(d)

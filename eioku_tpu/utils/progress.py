@@ -65,12 +65,20 @@ def throttled(write: Callable[[float], None], *, min_interval_s: float = 1.0,
     """
     import time
 
-    state = {"t": 0.0, "frac": -1.0}
+    state = {"t": 0.0, "frac": -1.0, "terminal": False}
 
     def sink(frac: float) -> None:
         now = time.monotonic()
-        if frac < 1.0 and (now - state["t"] < min_interval_s
-                           or frac - state["frac"] < min_delta):
+        if frac >= 1.0:
+            # terminal update bypasses both gates, but only ONCE: a pipeline
+            # whose clamped fraction hits 1.0 mid-run (metadata duration
+            # shorter than the real stream) must not turn every remaining
+            # batch into an unthrottled DB write
+            if state["terminal"]:
+                return
+            state["terminal"] = True
+        elif now - state["t"] < min_interval_s \
+                or frac - state["frac"] < min_delta:
             return
         state["t"] = now
         state["frac"] = frac

@@ -82,7 +82,8 @@ class TestTokenizer:
         hf = transformers.CLIPTokenizer(vocab_file=vp, merges_file=mp)
         tok = ClipTokenizer.from_files(vp, mp)
         for text in ("hello world", "Hello,  WORLD!", "it's 9 o'clock",
-                     "a b c hello", "don't stop... now?!"):
+                     "a b c hello", "don't stop... now?!",
+                     "file_name under_score", "mixed_!?punct"):
             hf_ids = hf(text)["input_ids"]
             ours = [tok.sot_id] + tok.tokenize(text) + [tok.eot_id]
             assert ours == hf_ids, text

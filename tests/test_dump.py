@@ -147,6 +147,33 @@ class TestRoundTrip:
         assert len(dst.artifacts.get_by_asset(
             v.id, artifact_type="embedding.chunk")) == 1
 
+    def test_path_collision_skips_dependents_too(self, tmp_path):
+        """A video skipped for a path collision must not leave orphan
+        artifacts/runs/selections behind (they would project into search
+        but 404 on /videos/{id})."""
+        src = _ctx(tmp_path, "src")
+        _seed(src, tmp_path)
+        out = str(tmp_path / "lib.jsonl.gz")
+        export_dump(src, out)
+        dst = _ctx(tmp_path, "dst")
+        # same path already discovered locally under a DIFFERENT id
+        dst.videos.save(Video(id="local-id", path=str(tmp_path / "a.mp4"),
+                              file_hash="h1"))
+        counts = import_dump(dst, out, reindex=False)
+        assert counts["videos"] == 0
+        assert counts["artifacts"] == 0 and counts["runs"] == 0
+        assert counts["selections"] == 0
+        assert dst.db.scalar("SELECT COUNT(*) FROM artifacts") == 0
+        assert dst.db.scalar(
+            "SELECT COUNT(*) FROM transcript_fts_meta") == 0
+
+    def test_rejects_empty_file(self, tmp_path):
+        empty = tmp_path / "empty.jsonl"
+        empty.write_text("")
+        dst = _ctx(tmp_path, "dst")
+        with pytest.raises(ValueError, match="empty"):
+            import_dump(dst, str(empty), reindex=False)
+
     def test_rejects_foreign_files(self, tmp_path):
         bogus = tmp_path / "not_a_dump.jsonl"
         bogus.write_text('{"kind": "header", "data": {"format": "other"}}\n')

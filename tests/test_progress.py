@@ -84,6 +84,16 @@ class TestThrottled:
         sink(1.0)  # both gates closed, but terminal updates bypass them
         assert writes == [0.1, 1.0]
 
+    def test_terminal_bypass_fires_only_once(self):
+        """A pipeline whose clamped fraction hits 1.0 mid-run (metadata
+        duration shorter than the stream) must not write per batch."""
+        writes = []
+        sink = progress.throttled(writes.append, min_interval_s=3600.0,
+                                  min_delta=0.5)
+        for _ in range(50):
+            sink(1.0)
+        assert writes == [1.0]
+
 
 class TestDomainAndRepo:
     def test_transitions_manage_progress(self):
