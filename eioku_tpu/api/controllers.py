@@ -13,6 +13,7 @@ from __future__ import annotations
 import asyncio
 import json
 import os
+import uuid
 
 from pydantic import BaseModel, Field
 
@@ -386,6 +387,58 @@ def register_routes(app: App, ctx) -> None:  # noqa: C901 — route table
         v = Video(path=body.path, file_hash=body.file_hash, size_bytes=body.size_bytes)
         ctx.videos.save(v)
         return JSONResponse(v.to_dict(), 201)
+
+    @app.put(PREFIX + "/videos/upload")
+    async def upload_video(request: Request):
+        """Upload a video into the library over HTTP (beyond the reference,
+        which only ingests from configured filesystem paths). Raw streaming
+        body — multi-GB files go straight to disk chunk by chunk, and both
+        `curl -T movie.mp4 '...?filename=movie.mp4'` and the browser's
+        `fetch(url, {method: "PUT", body: file})` produce it natively (no
+        multipart). The file lands in the first enabled library path, then
+        runs the exact discovery pipeline a scanned file would (dedup,
+        hashing, task fan-out, enqueue)."""
+        from eioku_tpu.services.discovery import VIDEO_EXTENSIONS
+        filename = request.query_params.get("filename", "")
+        name = os.path.basename(filename)
+        if not name or name != filename or name.startswith("."):
+            raise HTTPException(422, "filename must be a plain file name")
+        if os.path.splitext(name)[1].lower() not in VIDEO_EXTENSIONS:
+            raise HTTPException(
+                415, f"unsupported extension; expected one of "
+                     f"{sorted(VIDEO_EXTENSIONS)}")
+        dirs = [p.path for p in ctx.paths.list() if p.enabled]
+        if not dirs:
+            raise HTTPException(503, "no library path configured to receive "
+                                     "uploads (add one via POST /paths)")
+        dest_dir = dirs[0]
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, name)
+        if os.path.exists(dest) or ctx.videos.get_by_path(dest) is not None:
+            raise HTTPException(409, "a video with this filename already "
+                                     "exists in the library")
+        tmp = os.path.join(dest_dir, f".upload-{uuid.uuid4().hex}.part")
+        written = 0
+        try:
+            with open(tmp, "wb") as f:
+                async for chunk in request.stream():
+                    f.write(chunk)
+                    written += len(chunk)
+            if written == 0:
+                raise HTTPException(422, "empty upload body")
+            os.replace(tmp, dest)  # atomic: discovery never sees a partial
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+        def ingest():
+            video, _created = ctx.discovery._ensure_video(dest)
+            created, enqueued = ctx.discovery.create_and_enqueue_tasks(video)
+            return video, created, enqueued
+        video, created, enqueued = await asyncio.to_thread(ingest)
+        return JSONResponse({"video": video.to_dict(), "bytes": written,
+                             "tasks_created": created,
+                             "tasks_enqueued": enqueued}, 201)
 
     def _get_video(video_id: str) -> Video:
         v = ctx.videos.get(video_id)

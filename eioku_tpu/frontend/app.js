@@ -574,6 +574,28 @@ window.addEventListener("DOMContentLoaded", () => {
   $("jump-conf").oninput = () => { $("jump-conf-val").textContent = $("jump-conf").value; };
   $("find-btn").onclick = findInVideo;
   $("similar-btn").onclick = findSimilar;
+  $("upload-btn").onclick = () => $("upload-input").click();
+  $("upload-input").onchange = async (e) => {
+    const file = e.target.files[0];
+    if (!file) return;
+    const btn = $("upload-btn");
+    btn.disabled = true;
+    btn.textContent = "Uploading…";
+    try {
+      // raw streaming body: fetch sends the File without multipart framing
+      const r = await fetch(`${API}/videos/upload?filename=${
+        encodeURIComponent(file.name)}`, { method: "PUT", body: file });
+      if (!r.ok) {
+        const err = await r.json().catch(() => ({}));
+        alert(`Upload failed: ${err.detail || r.status}`);
+      }
+      loadGallery();
+    } finally {
+      btn.disabled = false;
+      btn.textContent = "Upload";
+      e.target.value = "";
+    }
+  };
   $("find-input").onkeydown = (e) => { if (e.key === "Enter") findInVideo(); };
   $("toggle-objects").onchange = () => toggleOverlay("objects", "object.detection");
   $("toggle-faces").onchange = () => toggleOverlay("faces", "face.detection");

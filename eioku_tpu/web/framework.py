@@ -87,13 +87,25 @@ class Request:
     async def body(self) -> bytes:
         if self._body is None:
             chunks = []
-            while True:
-                message = await self._receive()
-                chunks.append(message.get("body", b""))
-                if not message.get("more_body", False):
-                    break
+            async for chunk in self.stream():
+                chunks.append(chunk)
             self._body = b"".join(chunks)
         return self._body
+
+    async def stream(self):
+        """Yield raw body chunks without buffering — multi-GB uploads go
+        straight to disk instead of resident memory. Single-shot: once
+        consumed (by stream() or body()), the body is gone."""
+        if self._body is not None:
+            yield self._body
+            return
+        while True:
+            message = await self._receive()
+            chunk = message.get("body", b"")
+            if chunk:
+                yield chunk
+            if not message.get("more_body", False):
+                return
 
     async def json(self) -> Any:
         raw = await self.body()

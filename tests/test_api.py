@@ -210,6 +210,39 @@ class TestVideos:
     def test_missing_video_404(self, client):
         assert client.get("/api/v1/videos/nope").status_code == 404
 
+    def test_upload(self, client, ctx, tmp_path):
+        import os
+
+        from eioku_tpu.domain.models import PathConfig
+
+        # no library path configured yet -> 503
+        r = client.put("/api/v1/videos/upload?filename=a.mp4", content=b"xx")
+        assert r.status_code == 503
+        lib = tmp_path / "lib"
+        ctx.paths.save(PathConfig(path=str(lib)))
+        # guardrails
+        assert client.put("/api/v1/videos/upload?filename=../evil.mp4",
+                          content=b"x").status_code == 422
+        assert client.put("/api/v1/videos/upload?filename=a.exe",
+                          content=b"x").status_code == 415
+        assert client.put("/api/v1/videos/upload?filename=a.mp4",
+                          content=b"").status_code == 422
+        # happy path: file lands in the library dir, video + tasks created
+        r = client.put("/api/v1/videos/upload?filename=clip.mp4",
+                       content=b"\x00" * 4096)
+        assert r.status_code == 201, r.text
+        body = r.json()
+        assert body["bytes"] == 4096
+        assert body["video"]["path"] == str(lib / "clip.mp4")
+        assert os.path.getsize(lib / "clip.mp4") == 4096
+        assert body["tasks_created"] > 0
+        assert ctx.videos.get(body["video"]["id"]) is not None
+        # duplicate filename -> 409, no partial files left behind
+        r = client.put("/api/v1/videos/upload?filename=clip.mp4",
+                       content=b"y")
+        assert r.status_code == 409
+        assert [p for p in os.listdir(lib) if p.endswith(".part")] == []
+
     def test_transcript_with_speakers(self, client, ctx):
         v = seed_video(ctx)
         seed_transcript(ctx, v.id)
