@@ -182,6 +182,7 @@ async function openVideo(id, seekMs, fromHistory) {
   if (!fromHistory) history.pushState({ video: id }, "", `#v=${id}`);
   selectTab(state.tab);
   loadJumpOptions();
+  loadStoryboard(id);
   if (state.overlayRaf) cancelAnimationFrame(state.overlayRaf);
   overlayLoop();
 }
@@ -456,6 +457,32 @@ async function findInVideo() {
     el.onclick = () => seek(+el.dataset.ms);
   const next = matches.find(m => m.jump_to.start_ms >= from);
   if (next) seek(next.jump_to.start_ms);
+}
+
+/* ---------- storyboard (scene strip under the player) ---------- */
+async function loadStoryboard(id) {
+  const box = $("storyboard");
+  box.innerHTML = "";
+  try {
+    const { artifacts } = await api(`/videos/${id}/artifacts?type=scene`);
+    let scenes = artifacts
+      .map(a => ({ ms: Math.round((a.span_start_ms + a.span_end_ms) / 2),
+                   start: a.span_start_ms, idx: a.payload_json.scene_index }))
+      .sort((a, b) => a.start - b.start);
+    if (!scenes.length) return;
+    if (scenes.length > 24) {  // uniform thinning keeps temporal coverage
+      const step = (scenes.length - 1) / 23;
+      scenes = Array.from({ length: 24 },
+                          (_, i) => scenes[Math.round(i * step)]);
+    }
+    box.innerHTML = scenes.map(s => `
+      <img class="board-thumb" loading="lazy" alt="" data-ms="${s.start}"
+        title="scene ${s.idx ?? "?"} · ${fmtMs(s.start)}"
+        src="${API}/videos/${id}/thumbnail?at_ms=${s.ms}"
+        onerror="this.style.display='none'">`).join("");
+    for (const img of box.querySelectorAll(".board-thumb"))
+      img.onclick = () => seek(+img.dataset.ms);
+  } catch (e) { /* storyboard is best-effort */ }
 }
 
 /* ---------- similar moments (CLIP, cross-library) ---------- */
