@@ -112,6 +112,33 @@ def cmd_import_eioku(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Library overview from the shell (same numbers as /api/v1/stats)."""
+    ctx = _ctx(args)
+    q = ctx.db.query
+    videos = {r["status"]: r["n"] for r in q(
+        "SELECT status, COUNT(*) AS n FROM videos GROUP BY status")}
+    tasks = {r["status"]: r["n"] for r in q(
+        "SELECT status, COUNT(*) AS n FROM tasks GROUP BY status")}
+    arts = {r["artifact_type"]: r["n"] for r in q(
+        "SELECT artifact_type, COUNT(*) AS n FROM artifacts"
+        " GROUP BY artifact_type ORDER BY n DESC")}
+    totals = q("SELECT COALESCE(SUM(duration_ms),0) AS dur,"
+               " COALESCE(SUM(size_bytes),0) AS b FROM videos")[0]
+    print(json.dumps({
+        "videos": {"total": sum(videos.values()), "by_status": videos,
+                   "duration_hours": round(totals["dur"] / 3.6e6, 2),
+                   "size_gb": round(totals["b"] / 1e9, 2)},
+        "tasks": {"total": sum(tasks.values()), "by_status": tasks},
+        "artifacts": {"total": sum(arts.values()), "by_type": arts},
+        "semantic_chunks": ctx.db.scalar(
+            "SELECT COUNT(*) FROM embedding_chunks") or 0,
+        "visual_keyframes": ctx.db.scalar(
+            "SELECT COUNT(*) FROM frame_embeddings") or 0,
+    }, indent=2))
+    return 0
+
+
 def cmd_export_dump(args) -> int:
     from eioku_tpu.services.dump import export_dump
     ctx = _ctx(args)
@@ -249,6 +276,9 @@ def main() -> int:
                    help="keep source SHA-256 file hashes instead of "
                         "recomputing xxhash64 for files present on disk")
     p.set_defaults(fn=cmd_import_eioku)
+
+    p = sub.add_parser("stats", help="library overview (counts, hours, bytes)")
+    p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("export-dump",
                        help="back up the library (videos/tasks/runs/"

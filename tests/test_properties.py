@@ -263,3 +263,64 @@ class TestPeopleClusteringProperties:
             for a in ms:
                 for b in ms:
                     assert float(a["centroid"] @ b["centroid"]) > 1 - 1e-5
+
+
+class TestDumpRoundTripProperties:
+    """Arbitrary libraries survive export -> import bit-exactly
+    (services/dump.py): payloads, spans, provenance, unicode text."""
+
+    payloads = st.fixed_dictionaries({
+        "text": st.text(min_size=0, max_size=80),
+        "language": st.sampled_from(["en", "ja", "de"]),
+        "start_ms": st.integers(0, 10_000),
+        "end_ms": st.integers(10_001, 20_000),
+        "confidence": st.floats(0, 1, allow_nan=False).map(
+            lambda x: round(x, 6)),
+    })
+
+    @given(payloads=st.lists(payloads, min_size=1, max_size=12))
+    @settings(max_examples=20, deadline=None)
+    def test_artifacts_roundtrip_bit_exact(self, payloads, tmp_path_factory):
+        import json as _json
+
+        from eioku_tpu.api.app import build_context
+        from eioku_tpu.config.settings import AppConfig
+        from eioku_tpu.db.connection import Database
+        from eioku_tpu.domain.models import Video
+        from eioku_tpu.services.dump import export_dump, import_dump
+
+        base = tmp_path_factory.mktemp("dumpprop")
+        src_db = Database(f"sqlite:///{base}/src.db")
+        dst_db = Database(f"sqlite:///{base}/dst.db")
+        try:
+            src = build_context(AppConfig(scan_paths=[], auto_discover=False,
+                                          semantic_search=False,
+                                          visual_search=False), db=src_db)
+            dst = build_context(AppConfig(scan_paths=[], auto_discover=False,
+                                          semantic_search=False,
+                                          visual_search=False), db=dst_db)
+            v = Video(path=str(base / "v.mp4"), file_hash="h")
+            src.videos.save(v)
+            envs = [ArtifactEnvelope(
+                artifact_id=new_id(), asset_id=v.id,
+                artifact_type="transcript.segment", schema_version=1,
+                span_start_ms=p["start_ms"], span_end_ms=p["end_ms"],
+                payload_json=p, producer="p", producer_version="1",
+                model_profile="balanced", config_hash="c", input_hash="i",
+                run_id="r1") for p in payloads]
+            src.artifacts.insert_unchecked_batch(envs)
+            out = str(base / "d.jsonl.gz")
+            export_dump(src, out)
+            import_dump(dst, out, reindex=False)
+            restored = dst.artifacts.get_by_asset(v.id)
+            assert len(restored) == len(envs)
+            by_id = {e.artifact_id: e for e in envs}
+            for r in restored:
+                e = by_id[r.artifact_id]
+                assert _json.dumps(r.payload_json, sort_keys=True) == \
+                    _json.dumps(e.payload_json, sort_keys=True)
+                assert (r.span_start_ms, r.span_end_ms, r.run_id) == \
+                    (e.span_start_ms, e.span_end_ms, e.run_id)
+        finally:
+            src_db.close()
+            dst_db.close()
