@@ -90,9 +90,23 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640,
     float(run(params, frames, jnp.int32(7)))
     dt = time.time() - t0
     fps = n_batches * batch / dt
+    extra = {}
+    if not int8:  # MFU for the fp path (cost model mis-counts int8 dots)
+        try:  # scan body counted once -> divide by `batch` alone (see
+            # bench_detect_m for the verification note)
+            ca = run.lower(params, frames,
+                           jnp.int32(0)).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops_per_frame = float(ca["flops"]) / batch
+            peak = float(os.environ.get("EIOKU_TPU_PEAK_TFLOPS", "197")) * 1e12
+            extra["detect_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
+            extra["detect_mfu_pct"] = round(
+                100.0 * fps * flops_per_frame / peak, 1)
+        except Exception as e:
+            _log(f"detect: cost_analysis unavailable ({e})")
     _log(f"detect{'_int8' if int8 else ''}: {fps:.1f} frames/s "
-         f"({dt:.3f}s for {n_batches}x{batch})")
-    return fps
+         f"({dt:.3f}s for {n_batches}x{batch}) {extra}")
+    return (fps, extra) if extra else fps
 
 
 def bench_detect_int8():
@@ -141,10 +155,13 @@ def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
     fps = n_batches * batch / dt
     extra = {}
     try:  # MFU from XLA's own cost model (no hand-counted FLOPs); `run` is
-        # already jitted, so this lowering reuses the cached executable
+        # already jitted, so this lowering reuses the cached executable.
+        # cost_analysis counts the lax.scan BODY once — the trip count is NOT
+        # multiplied in (verified: identical flops for 1/4/8 iterations) — so
+        # the program's flops are per-BATCH, and the divisor is `batch` alone.
         ca = run.lower(params, frames, jnp.int32(0)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_frame = float(ca["flops"]) / (n_batches * batch)
+        flops_per_frame = float(ca["flops"]) / batch
         peak = float(os.environ.get("EIOKU_TPU_PEAK_TFLOPS", "197")) * 1e12
         extra["detect_m_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
         extra["detect_m_mfu_pct"] = round(100.0 * fps * flops_per_frame / peak, 1)
