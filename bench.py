@@ -40,6 +40,17 @@ def _remaining() -> float:
     return DEADLINE_S - (time.monotonic() - _START) - RESERVE_S
 
 
+def _provisional(stage: str, value: float, extra: dict | None = None) -> None:
+    """Emit a parseable result line BEFORE slow optional work (e.g. the MFU
+    cost_analysis compile, cold: minutes over the tunnel): the orchestrator
+    takes the LAST stdout line, so a stage killed mid-extras still reports
+    its already-measured number instead of losing the whole stage."""
+    import jax
+    print(json.dumps({"stage": stage, "value": float(value),
+                      "extra": extra or {}, "backend": jax.default_backend()}),
+          flush=True)
+
+
 # ---------------------------------------------------------------- stages
 
 
@@ -91,6 +102,10 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640,
     dt = time.time() - t0
     fps = n_batches * batch / dt
     extra = {}
+    # Provisional result line BEFORE the optional MFU compile: the
+    # orchestrator parses the LAST stdout line, so if this subprocess is
+    # killed while cost_analysis compiles cold, the measured fps still lands.
+    _provisional("detect_int8" if int8 else "detect", fps)
     if not int8:  # MFU for the fp path (cost model mis-counts int8 dots)
         try:  # scan trip-count accounting in cost_analysis is inconsistent on
             # this backend (fresh vs cache-deserialized executables report
@@ -157,6 +172,7 @@ def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
     dt = time.time() - t0
     fps = n_batches * batch / dt
     extra = {}
+    _provisional("detect_m", fps)  # parseable even if the MFU compile is cut
     try:  # MFU from XLA's own cost model (no hand-counted FLOPs). Scan
         # trip-count accounting in cost_analysis is inconsistent on this
         # backend (fresh vs cache-deserialized executables report different
@@ -618,7 +634,17 @@ def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
 
 # ------------------------------------------------------------ orchestration
 
+def _bench_salvage_probe():
+    """Test-only stage (tests/test_bench_harness.py, never in the run order):
+    emits a provisional line then hangs, proving the orchestrator salvages a
+    timed-out stage's already-measured number."""
+    _provisional("_salvage_probe", 123.0, {"salvaged": True})
+    time.sleep(600)
+    return 0.0
+
+
 STAGES = {
+    "_salvage_probe": _bench_salvage_probe,
     "detect": bench_detect,
     "detect_int8": bench_detect_int8,
     "detect_m": bench_detect_m,
@@ -638,14 +664,16 @@ STAGES = {
 # per-stage wall-clock ceilings (remote compile can be slow: the same MiniLM
 # compile has measured 60s and 415s on different days); the effective budget
 # is min(ceiling, remaining global deadline)
-STAGE_TIMEOUT_S = {"detect": 600, "detect_int8": 420, "detect_m": 420,
+STAGE_TIMEOUT_S = {"_salvage_probe": 45,
+                   "detect": 600, "detect_int8": 420, "detect_m": 420,
                    "embed": 420, "embed_int8": 420, "clip": 420,
                    "pipeline": 900, "combined": 600, "scenes": 300,
                    "query": 240, "whisper": 600, "whisper_beam": 420,
                    "whisper_beam_full": 420, "whisper_int8": 420}
 # skip a stage outright when less than this remains: a run that can't finish
 # shouldn't burn the budget of later (cheaper) stages
-STAGE_MIN_S = {"detect": 90, "detect_int8": 90, "detect_m": 90, "embed": 60,
+STAGE_MIN_S = {"_salvage_probe": 1,
+               "detect": 90, "detect_int8": 90, "detect_m": 90, "embed": 60,
                "embed_int8": 60, "clip": 60,
                "pipeline": 180,
                "combined": 120, "scenes": 60, "query": 45, "whisper": 120,
@@ -718,6 +746,7 @@ def _run_stage_subprocess(stage: str, force_cpu: bool = False) -> float | None:
     if force_cpu:
         env = dict(os.environ)
         env["EIOKU_FORCE_CPU"] = "1"
+    timed_out = False
     try:
         _CHILD = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--stage", stage],
@@ -726,11 +755,15 @@ def _run_stage_subprocess(stage: str, force_cpu: bool = False) -> float | None:
         out, err = _CHILD.communicate(timeout=budget)
     except subprocess.TimeoutExpired:
         _CHILD.kill()
-        _CHILD.communicate()
-        _log(f"stage {stage}: TIMED OUT after {budget:.0f}s")
-        return None
-    sys.stderr.write(err)
-    if _CHILD.returncode != 0:
+        # Salvage the pipe: stages print a provisional result line as soon as
+        # the number is measured, before slow optional extras — a timeout
+        # during those extras must not lose the measurement.
+        out, err = _CHILD.communicate()
+        timed_out = True
+        _log(f"stage {stage}: TIMED OUT after {budget:.0f}s "
+             f"(salvaging partial output)")
+    sys.stderr.write(err or "")
+    if not timed_out and _CHILD.returncode != 0:
         _log(f"stage {stage}: FAILED rc={_CHILD.returncode}")
         return None
     try:

@@ -7,6 +7,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -40,6 +42,25 @@ class TestAssemble:
                      "tpu")["extra"]
         assert "est_pipeline_video_hours_per_hour" not in measured
         assert measured["pipeline_video_hours_per_hour"] == 28.0
+
+
+@pytest.mark.slow
+class TestTimeoutSalvage:
+    def test_timed_out_stage_reports_provisional_value(self):
+        """A stage killed during slow optional extras (the MFU cost_analysis
+        compile can run minutes cold) must still report the number it already
+        measured: stages print a provisional result line first, and the
+        orchestrator salvages the pipe after a timeout kill."""
+        sys.path.insert(0, REPO)
+        import bench
+        os.environ["EIOKU_FORCE_CPU"] = "1"
+        try:
+            val = bench._run_stage_subprocess("_salvage_probe",
+                                              force_cpu=True)
+        finally:
+            os.environ.pop("EIOKU_FORCE_CPU", None)
+        assert val == 123.0
+        assert bench._STAGE_EXTRA.get("salvaged") is True
 
 
 class TestOrchestratorAlwaysPrints:
