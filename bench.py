@@ -609,7 +609,7 @@ def bench_whisper_int8():
 
 
 def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
-                    n_queries: int = 50) -> float:
+                    n_queries: int = 30) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -627,9 +627,9 @@ def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
         scores, idx = _topk_cosine(corpus, jnp.asarray(queries[i]), 10)
         float(scores.sum()) + int(idx[0])  # force completion + transfer
         times.append(time.time() - t0)
-        if i == 9:  # early p50 estimate: each query pays a tunnel roundtrip,
+        if i == 4:  # early p50 estimate: each query pays a tunnel roundtrip,
             # and a latency spike can blow the stage budget mid-loop — make
-            # sure SOME number lands even if the full 50 don't finish
+            # sure SOME number lands even if the full set doesn't finish
             _provisional("query", sorted(times)[len(times) // 2] * 1000)
     p50 = sorted(times)[len(times) // 2] * 1000
     _log(f"query p50: {p50:.2f} ms over {n_vectors} vectors")
@@ -924,13 +924,14 @@ def main() -> None:
         order = ["query", "scenes"]
         _log("dead-backend fallback: measuring cheap stages on CPU")
     else:
-        # cheapest-first on warm cache: ANY alive window records a number
-        # before the expensive stages get a chance to eat the deadline.
-        # pipeline comes right after the headline pair (detect+embed): its
-        # vh/h is the BASELINE config-5 number — on a slow-tunnel window it
-        # must outrank the secondary detect variants (observed 2026-08-19: a
-        # latency spike left only ~470s after embed; detect alone fit).
-        order = ["query", "scenes", "embed", "detect", "pipeline", "detect_m",
+        # Most-important-first on warm cache, sized so the critical prefix
+        # fits even a slow-tunnel window: scenes is the cheapest reliable
+        # stage (and the CPU-fallback headline source), embed+detect form the
+        # headline, pipeline is the BASELINE config-5 number. query — two
+        # observed 240s timeouts on slow windows (per-query tunnel roundtrips)
+        # — comes after them; it must never again burn budget ahead of the
+        # headline pair.
+        order = ["scenes", "embed", "detect", "pipeline", "query", "detect_m",
                  "combined", "clip", "detect_int8", "embed_int8"]
         if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
             # beam-5 first: it is the production default, and the k=1 variant
