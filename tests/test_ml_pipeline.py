@@ -704,6 +704,7 @@ class TestCombinedVisual:
         finally:
             db.close()
 
+    @pytest.mark.slow  # ~25 s e2e through the worker on the 1-core image
     def test_combined_e2e_through_worker(self, tmp_path, scene_video):
         from eioku_tpu.queue.worker import WorkerSettings
         from eioku_tpu.workers.main import build_worker

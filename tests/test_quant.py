@@ -129,6 +129,7 @@ class TestQuantizedYolo:
         params = fold_batchnorm(init_yolo_params(cfg, seed=0))
         return cfg, params, quantize_convs(params)
 
+    @pytest.mark.slow  # ~26 s: full-model int8 forward on the 1-core image
     def test_forward_parity(self):
         """int8 convs (per-output-channel weights, per-image activation
         scales) track the fp forward closely enough that detection survives:

@@ -315,6 +315,7 @@ class TestTokens:
         assert tr[2] == t.translate == 50358
         assert t.sot_sequence("ja")[2] == t.transcribe
 
+    @pytest.mark.slow  # ~30 s on the 1-core image: full pipeline e2e
     def test_run_transcription_translate_task(self, tmp_path, monkeypatch):
         """config {"task": "translate"}: the decode prompt carries the
         translate token instead of transcribe (whole pipeline plumbing)."""
