@@ -51,6 +51,33 @@ def _provisional(stage: str, value: float, extra: dict | None = None) -> None:
           flush=True)
 
 
+def _detect_mfu_extra(name: str, cfg, params, frames, fps: float,
+                      extra: dict) -> None:
+    """MFU from XLA's own cost model (no hand-counted FLOPs), shared by the
+    detect stages. Scan trip-count accounting in cost_analysis is
+    inconsistent on this backend (fresh vs cache-deserialized executables
+    report different scalings — observed 76.4 vs 19.1 GF/frame for the SAME
+    program), so lower a SCAN-FREE single call: its flops are unambiguously
+    one batch's worth. Compile-only — never executed — and the persistent
+    cache makes it cheap after priming. Best-effort: the measured fps was
+    already emitted as a provisional line before this runs."""
+    import jax
+
+    from eioku_tpu.models.yolo.postprocess import detect
+
+    try:
+        single = jax.jit(lambda p, f: detect(p, f, cfg))
+        ca = single.lower(params, frames).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_frame = float(ca["flops"]) / frames.shape[0]
+        peak = float(os.environ.get("EIOKU_TPU_PEAK_TFLOPS", "197")) * 1e12
+        extra[f"{name}_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
+        extra[f"{name}_mfu_pct"] = round(
+            100.0 * fps * flops_per_frame / peak, 1)
+    except Exception as e:  # cost_analysis is best-effort on remote backends
+        _log(f"{name}: cost_analysis unavailable ({e})")
+
+
 # ---------------------------------------------------------------- stages
 
 
@@ -107,21 +134,7 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640,
     # killed while cost_analysis compiles cold, the measured fps still lands.
     _provisional("detect_int8" if int8 else "detect", fps)
     if not int8:  # MFU for the fp path (cost model mis-counts int8 dots)
-        try:  # scan trip-count accounting in cost_analysis is inconsistent on
-            # this backend (fresh vs cache-deserialized executables report
-            # different scalings), so lower a SCAN-FREE single call: its flops
-            # are unambiguously one batch's worth. Never executed — compile
-            # only, and the persistent cache makes it cheap after priming.
-            single = jax.jit(lambda p, f: detect(p, f, cfg))
-            ca = single.lower(params, frames).compile().cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops_per_frame = float(ca["flops"]) / batch
-            peak = float(os.environ.get("EIOKU_TPU_PEAK_TFLOPS", "197")) * 1e12
-            extra["detect_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
-            extra["detect_mfu_pct"] = round(
-                100.0 * fps * flops_per_frame / peak, 1)
-        except Exception as e:
-            _log(f"detect: cost_analysis unavailable ({e})")
+        _detect_mfu_extra("detect", cfg, params, frames, fps, extra)
     _log(f"detect{'_int8' if int8 else ''}: {fps:.1f} frames/s "
          f"({dt:.3f}s for {n_batches}x{batch}) {extra}")
     return (fps, extra) if extra else fps
@@ -173,21 +186,7 @@ def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
     fps = n_batches * batch / dt
     extra = {}
     _provisional("detect_m", fps)  # parseable even if the MFU compile is cut
-    try:  # MFU from XLA's own cost model (no hand-counted FLOPs). Scan
-        # trip-count accounting in cost_analysis is inconsistent on this
-        # backend (fresh vs cache-deserialized executables report different
-        # scalings — observed 76.4 vs 19.1 GF/frame for the SAME program), so
-        # lower a SCAN-FREE single call: its flops are unambiguously one
-        # batch's worth. Compile-only, warm via the persistent cache.
-        single = jax.jit(lambda p, f: detect(p, f, cfg))
-        ca = single.lower(params, frames).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_frame = float(ca["flops"]) / batch
-        peak = float(os.environ.get("EIOKU_TPU_PEAK_TFLOPS", "197")) * 1e12
-        extra["detect_m_gflops_per_frame"] = round(flops_per_frame / 1e9, 1)
-        extra["detect_m_mfu_pct"] = round(100.0 * fps * flops_per_frame / peak, 1)
-    except Exception as e:  # cost_analysis is best-effort on remote backends
-        _log(f"detect_m: cost_analysis unavailable ({e})")
+    _detect_mfu_extra("detect_m", cfg, params, frames, fps, extra)
     _log(f"detect_m: {fps:.1f} frames/s ({dt:.3f}s for {n_batches}x{batch}) "
          f"{extra}")
     return fps, extra
@@ -647,8 +646,19 @@ def _bench_salvage_probe():
     return 0.0
 
 
+def _bench_crash_probe():
+    """Test-only stage: provisional line, then a truncated stdout line and a
+    nonzero exit — proves the orchestrator salvages a measurement from a
+    stage that CRASHES after measuring (e.g. a native SIGILL in the optional
+    MFU extras) and tolerates a final line cut mid-write."""
+    _provisional("_crash_probe", 321.0, {"crash_salvaged": True})
+    print('{"value": 999.0, "cut-mid-wri', flush=True)
+    os._exit(3)
+
+
 STAGES = {
     "_salvage_probe": _bench_salvage_probe,
+    "_crash_probe": _bench_crash_probe,
     "detect": bench_detect,
     "detect_int8": bench_detect_int8,
     "detect_m": bench_detect_m,
@@ -668,7 +678,7 @@ STAGES = {
 # per-stage wall-clock ceilings (remote compile can be slow: the same MiniLM
 # compile has measured 60s and 415s on different days); the effective budget
 # is min(ceiling, remaining global deadline)
-STAGE_TIMEOUT_S = {"_salvage_probe": 45,
+STAGE_TIMEOUT_S = {"_salvage_probe": 45, "_crash_probe": 45,
                    "detect": 600, "detect_int8": 420, "detect_m": 420,
                    "embed": 420, "embed_int8": 420, "clip": 420,
                    "pipeline": 900, "combined": 600, "scenes": 300,
@@ -676,7 +686,7 @@ STAGE_TIMEOUT_S = {"_salvage_probe": 45,
                    "whisper_beam_full": 420, "whisper_int8": 420}
 # skip a stage outright when less than this remains: a run that can't finish
 # shouldn't burn the budget of later (cheaper) stages
-STAGE_MIN_S = {"_salvage_probe": 1,
+STAGE_MIN_S = {"_salvage_probe": 1, "_crash_probe": 1,
                "detect": 90, "detect_int8": 90, "detect_m": 90, "embed": 60,
                "embed_int8": 60, "clip": 60,
                "pipeline": 180,
@@ -740,8 +750,9 @@ def _run_stage_subprocess(stage: str, force_cpu: bool = False) -> float | None:
     dead-tunnel fallback: a labeled CPU measurement beats recording 0.0)."""
     import subprocess
 
-    global _CHILD, _LAST_STAGE_SKIPPED
+    global _CHILD, _LAST_STAGE_SKIPPED, _LAST_STAGE_DISTRESS
     _LAST_STAGE_SKIPPED = False
+    _LAST_STAGE_DISTRESS = False
     budget = min(STAGE_TIMEOUT_S[stage], _remaining())
     if budget < STAGE_MIN_S.get(stage, 60):
         _log(f"stage {stage}: SKIPPED ({_remaining():.0f}s left < "
@@ -769,26 +780,48 @@ def _run_stage_subprocess(stage: str, force_cpu: bool = False) -> float | None:
         _log(f"stage {stage}: TIMED OUT after {budget:.0f}s "
              f"(salvaging partial output)")
     sys.stderr.write(err or "")
-    if not timed_out and _CHILD.returncode != 0:
-        _log(f"stage {stage}: FAILED rc={_CHILD.returncode}")
-        return None
-    try:
-        parsed = json.loads(out.strip().splitlines()[-1])
+    if timed_out:
+        _LAST_STAGE_DISTRESS = True
+    elif _CHILD.returncode != 0:
+        # A crash AFTER the provisional line (e.g. a native SIGILL in the
+        # optional MFU extras) must not lose the already-measured number any
+        # more than a timeout does: fall through to the salvage parse.
+        _LAST_STAGE_DISTRESS = True
+        _log(f"stage {stage}: FAILED rc={_CHILD.returncode} "
+             f"(salvaging partial output)")
+    # Reverse-scan for the last parseable result line: the kill can truncate
+    # the final JSON line mid-write, and a crashed stage can leave garbage
+    # after its provisional line — neither may discard an intact measurement
+    # printed earlier.
+    for line in reversed((out or "").strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if not isinstance(parsed, dict) or "value" not in parsed:
+            continue
         if parsed.get("backend"):
             global _BACKEND
             _BACKEND = parsed["backend"]
         if parsed.get("extra"):
             _STAGE_EXTRA.update(parsed["extra"])
-        return float(parsed["value"])
-    except (ValueError, KeyError, IndexError) as e:
-        _log(f"stage {stage}: unparseable output ({e})")
-        return None
+        try:
+            return float(parsed["value"])
+        except (TypeError, ValueError):
+            continue
+    _log(f"stage {stage}: no parseable result line")
+    return None
 
 
 # Set by _run_stage_subprocess when a stage was skipped for lack of budget
 # (vs actually failing): skips say nothing about backend health and must not
 # feed the consecutive-miss liveness check.
 _LAST_STAGE_SKIPPED = False
+# Set when the stage timed out or crashed, even if a provisional value was
+# salvaged: a salvaged number is still evidence of backend distress and must
+# keep feeding the consecutive-miss liveness check (a salvage must not delay
+# the dead-tunnel fallback).
+_LAST_STAGE_DISTRESS = False
 
 _FINAL: dict | None = None
 _PRINTED = False
@@ -946,7 +979,8 @@ def main() -> None:
         _log(f"[{time.monotonic() - _START:.0f}s] {stage} done; "
              f"{_remaining():.0f}s budget left")
         if not _LAST_STAGE_SKIPPED:  # skips say nothing about the backend
-            misses = misses + 1 if vals[stage] is None else 0
+            failed = vals[stage] is None or _LAST_STAGE_DISTRESS
+            misses = misses + 1 if failed else 0
         if misses >= 2 and not force_cpu and not _backend_alive():
             _log("backend unreachable after consecutive stage failures; "
                  "switching to the CPU fallback for remaining cheap stages")

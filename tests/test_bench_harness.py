@@ -46,21 +46,63 @@ class TestAssemble:
 
 @pytest.mark.slow
 class TestTimeoutSalvage:
+    def _run_probe(self, stage, timeout_s=None):
+        """Run a test-only probe stage under EIOKU_FORCE_CPU, optionally
+        shrinking its timeout ceiling (the probe prints its provisional line
+        right after child startup — no need to sleep through the production
+        45 s budget), and clean up the module globals the probes set."""
+        sys.path.insert(0, REPO)
+        import bench
+        bench._START = __import__("time").monotonic()  # fresh deadline: the
+        # module may have been imported many minutes earlier in this process
+        old = bench.STAGE_TIMEOUT_S[stage]
+        os.environ["EIOKU_FORCE_CPU"] = "1"
+        try:
+            if timeout_s is not None:
+                bench.STAGE_TIMEOUT_S[stage] = timeout_s
+            val = bench._run_stage_subprocess(stage, force_cpu=True)
+        finally:
+            bench.STAGE_TIMEOUT_S[stage] = old
+            os.environ.pop("EIOKU_FORCE_CPU", None)
+        extra = {k: bench._STAGE_EXTRA.pop(k, None)
+                 for k in ("salvaged", "crash_salvaged")}
+        return bench, val, extra
+
     def test_timed_out_stage_reports_provisional_value(self):
         """A stage killed during slow optional extras (the MFU cost_analysis
         compile can run minutes cold) must still report the number it already
         measured: stages print a provisional result line first, and the
-        orchestrator salvages the pipe after a timeout kill."""
+        orchestrator salvages the pipe after a timeout kill. A salvaged
+        timeout still flags distress so the liveness check keeps counting."""
+        bench, val, extra = self._run_probe("_salvage_probe", timeout_s=15)
+        assert val == 123.0
+        assert extra["salvaged"] is True
+        assert bench._LAST_STAGE_DISTRESS is True
+
+    def test_crashed_stage_reports_provisional_value(self):
+        """A stage that CRASHES after measuring (nonzero exit, final stdout
+        line cut mid-write) must also salvage: the parser falls through on
+        rc != 0 and reverse-scans past the truncated line to the intact
+        provisional one."""
+        bench, val, extra = self._run_probe("_crash_probe")
+        assert val == 321.0
+        assert extra["crash_salvaged"] is True
+        assert bench._LAST_STAGE_DISTRESS is True
+
+    def test_clean_stage_clears_distress(self):
+        """_assemble smoke stage: a normally-completing subprocess resets the
+        distress flag so earlier salvages don't poison the miss counter."""
         sys.path.insert(0, REPO)
         import bench
+        bench._START = __import__("time").monotonic()
+        bench._LAST_STAGE_DISTRESS = True
         os.environ["EIOKU_FORCE_CPU"] = "1"
         try:
-            val = bench._run_stage_subprocess("_salvage_probe",
-                                              force_cpu=True)
+            val = bench._run_stage_subprocess("query", force_cpu=True)
         finally:
             os.environ.pop("EIOKU_FORCE_CPU", None)
-        assert val == 123.0
-        assert bench._STAGE_EXTRA.get("salvaged") is True
+        assert val is not None and val > 0
+        assert bench._LAST_STAGE_DISTRESS is False
 
 
 class TestOrchestratorAlwaysPrints:

@@ -12,8 +12,12 @@ identical code, burning 100-250 s per "warm" bench run).
 Usage: python tools/cache_key_probe.py <stage> <out-log>
 """
 import logging
+import os
 import runpy
 import sys
+
+_BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
 
 
 def main() -> None:
@@ -29,7 +33,7 @@ def main() -> None:
         lg.addHandler(handler)
 
     sys.argv = ["bench.py", "--stage", stage]
-    runpy.run_path("bench.py", run_name="__main__")
+    runpy.run_path(_BENCH, run_name="__main__")
 
 
 if __name__ == "__main__":
