@@ -912,7 +912,48 @@ def _on_signal(signum, frame):
 _BACKEND = "unknown"
 
 
+def _prime() -> None:
+    """Warm the persistent compile cache: run every stage once with doubled
+    per-stage ceilings (cold remote compiles have measured up to ~600 s) and
+    wait out tunnel outages between stages. This is the pre-driver chore from
+    CLAUDE.md — after any model change, `python bench.py --prime` re-primes
+    /tmp/eioku_jax_cache_* so the driver's deadline-bounded capture hits warm
+    caches instead of timing out on cold compiles. EIOKU_PRIME_STAGES (comma
+    list) primes a subset; the overall run is bounded by
+    EIOKU_PRIME_DEADLINE_S (default 4 h)."""
+    global DEADLINE_S
+    DEADLINE_S = float(os.environ.get("EIOKU_PRIME_DEADLINE_S", "14400"))
+    for k in STAGE_TIMEOUT_S:
+        STAGE_TIMEOUT_S[k] *= 2
+    stages = [s for s in STAGES if not s.startswith("_")]
+    sel = os.environ.get("EIOKU_PRIME_STAGES", "")
+    if sel.strip():
+        stages = [s for s in sel.split(",") if s.strip() in STAGES]
+    failed: list[str] = []
+    for st in stages:
+        # outages are transient (minutes to hours): wait, don't burn budgets
+        while _remaining() > 300 and not _backend_alive(120):
+            _log(f"prime: backend unreachable; re-probing in 45s "
+                 f"({_remaining():.0f}s left)")
+            time.sleep(45)
+        if _remaining() < STAGE_MIN_S.get(st, 60):
+            _log(f"prime: out of deadline before {st}")
+            failed.append(st)
+            continue
+        v = _run_stage_subprocess(st)
+        ok = v is not None and not _LAST_STAGE_DISTRESS
+        _log(f"prime {st}: {'ok %.6g' % v if ok else 'INCOMPLETE'}")
+        if not ok:
+            failed.append(st)
+    _log(f"prime done in {time.monotonic() - _START:.0f}s; "
+         f"incomplete: {failed or 'none'}")
+    sys.exit(1 if failed else 0)
+
+
 def main() -> None:
+    if "--prime" in sys.argv:
+        _prime()
+        return
     if "--stage" in sys.argv:
         stage = sys.argv[sys.argv.index("--stage") + 1]
         jax = _setup_jax()

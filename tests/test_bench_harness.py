@@ -44,6 +44,68 @@ class TestAssemble:
         assert measured["pipeline_video_hours_per_hour"] == 28.0
 
 
+class TestPrimeMode:
+    """`bench.py --prime` — the pre-driver cache-warming chore (CLAUDE.md).
+    Pure-unit: collaborators are monkeypatched, no subprocesses spawned."""
+
+    def _prime(self, monkeypatch, *, alive=True, results=None, env=None):
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setattr(bench, "_START", __import__("time").monotonic())
+        calls = []
+
+        def fake_run(stage, force_cpu=False):
+            calls.append(stage)
+            v = (results or {}).get(stage, 1.0)
+            bench._LAST_STAGE_DISTRESS = v is None
+            return v
+
+        monkeypatch.setattr(bench, "_backend_alive", lambda *a: alive)
+        monkeypatch.setattr(bench, "_run_stage_subprocess", fake_run)
+        for k, v in (env or {}).items():
+            monkeypatch.setenv(k, v)
+        # STAGE_TIMEOUT_S is mutated in place (doubled) — restore after
+        saved = dict(bench.STAGE_TIMEOUT_S)
+        try:
+            with pytest.raises(SystemExit) as exc:
+                bench._prime()
+        finally:
+            bench.STAGE_TIMEOUT_S.clear()
+            bench.STAGE_TIMEOUT_S.update(saved)
+            bench._LAST_STAGE_DISTRESS = False
+        return bench, calls, exc.value.code
+
+    def test_primes_every_real_stage_and_doubles_ceilings(self, monkeypatch):
+        sys.path.insert(0, REPO)
+        import bench
+        want = [s for s in bench.STAGES if not s.startswith("_")]
+        seen_budget = {}
+
+        def fake_run(stage, force_cpu=False):
+            seen_budget[stage] = bench.STAGE_TIMEOUT_S[stage]
+            return 1.0
+
+        monkeypatch.setattr(bench, "_backend_alive", lambda *a: True)
+        monkeypatch.setattr(bench, "_run_stage_subprocess", fake_run)
+        saved = dict(bench.STAGE_TIMEOUT_S)
+        try:
+            with pytest.raises(SystemExit) as exc:
+                bench._prime()
+        finally:
+            bench.STAGE_TIMEOUT_S.clear()
+            bench.STAGE_TIMEOUT_S.update(saved)
+        assert list(seen_budget) == want
+        assert exc.value.code == 0
+        assert all(seen_budget[s] == 2 * saved[s] for s in want)
+
+    def test_subset_selection_and_failure_exit_code(self, monkeypatch):
+        _, calls, code = self._prime(
+            monkeypatch, results={"scenes": None},
+            env={"EIOKU_PRIME_STAGES": "scenes,query,nonexistent"})
+        assert calls == ["scenes", "query"]
+        assert code == 1  # an incomplete stage must be visible to scripts
+
+
 @pytest.mark.slow
 class TestTimeoutSalvage:
     def _run_probe(self, stage, timeout_s=None):
