@@ -928,7 +928,14 @@ def _prime() -> None:
     stages = [s for s in STAGES if not s.startswith("_")]
     sel = os.environ.get("EIOKU_PRIME_STAGES", "")
     if sel.strip():
-        stages = [s for s in sel.split(",") if s.strip() in STAGES]
+        asked = [t for t in (x.strip() for x in sel.split(",")) if t]
+        unknown = [t for t in asked if t not in STAGES]
+        stages = [t for t in asked if t in STAGES]
+        if unknown:
+            _log(f"prime: unknown stages {unknown} (known: {list(STAGES)})")
+        if not stages:  # an all-typos selection must not report success
+            _log("prime: EIOKU_PRIME_STAGES selected nothing; caches stay cold")
+            sys.exit(1)
     failed: list[str] = []
     for st in stages:
         # outages are transient (minutes to hours): wait, don't burn budgets

@@ -65,7 +65,10 @@ def throttled(write: Callable[[float], None], *, min_interval_s: float = 1.0,
     """
     import time
 
-    state = {"t": 0.0, "frac": -1.0, "terminal": False}
+    # t=None: the FIRST write always lands — seeding with 0.0 would silently
+    # drop it whenever the process starts within min_interval_s of boot
+    # (time.monotonic() counts from boot on Linux)
+    state = {"t": None, "frac": -1.0, "terminal": False}
 
     def sink(frac: float) -> None:
         now = time.monotonic()
@@ -77,8 +80,9 @@ def throttled(write: Callable[[float], None], *, min_interval_s: float = 1.0,
             if state["terminal"]:
                 return
             state["terminal"] = True
-        elif now - state["t"] < min_interval_s \
-                or frac - state["frac"] < min_delta:
+        elif state["t"] is not None and (
+                now - state["t"] < min_interval_s
+                or frac - state["frac"] < min_delta):
             return
         state["t"] = now
         state["frac"] = frac

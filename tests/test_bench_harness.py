@@ -64,14 +64,18 @@ class TestPrimeMode:
         monkeypatch.setattr(bench, "_run_stage_subprocess", fake_run)
         for k, v in (env or {}).items():
             monkeypatch.setenv(k, v)
-        # STAGE_TIMEOUT_S is mutated in place (doubled) — restore after
+        # STAGE_TIMEOUT_S (doubled) and DEADLINE_S (prime deadline) are
+        # mutated module-wide — restore both so later in-process tests of
+        # budget/skip behavior aren't order-dependent
         saved = dict(bench.STAGE_TIMEOUT_S)
+        saved_deadline = bench.DEADLINE_S
         try:
             with pytest.raises(SystemExit) as exc:
                 bench._prime()
         finally:
             bench.STAGE_TIMEOUT_S.clear()
             bench.STAGE_TIMEOUT_S.update(saved)
+            bench.DEADLINE_S = saved_deadline
             bench._LAST_STAGE_DISTRESS = False
         return bench, calls, exc.value.code
 
@@ -88,12 +92,14 @@ class TestPrimeMode:
         monkeypatch.setattr(bench, "_backend_alive", lambda *a: True)
         monkeypatch.setattr(bench, "_run_stage_subprocess", fake_run)
         saved = dict(bench.STAGE_TIMEOUT_S)
+        saved_deadline = bench.DEADLINE_S
         try:
             with pytest.raises(SystemExit) as exc:
                 bench._prime()
         finally:
             bench.STAGE_TIMEOUT_S.clear()
             bench.STAGE_TIMEOUT_S.update(saved)
+            bench.DEADLINE_S = saved_deadline
         assert list(seen_budget) == want
         assert exc.value.code == 0
         assert all(seen_budget[s] == 2 * saved[s] for s in want)
@@ -101,7 +107,7 @@ class TestPrimeMode:
     def test_subset_selection_and_failure_exit_code(self, monkeypatch):
         _, calls, code = self._prime(
             monkeypatch, results={"scenes": None},
-            env={"EIOKU_PRIME_STAGES": "scenes,query,nonexistent"})
+            env={"EIOKU_PRIME_STAGES": "scenes, query ,nonexistent"})
         assert calls == ["scenes", "query"]
         assert code == 1  # an incomplete stage must be visible to scripts
 

@@ -30,7 +30,6 @@ def build_prefixes(cfg):
 
     def upto(stage):
         def fn(params, x):
-            outs = []
             x = M._convbn(x, params["stem"], stride=2)
             x = M._convbn(x, params["down1"], stride=2)
             x = M._c2f(x, params["c2f_1"], True)
@@ -95,6 +94,14 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    # same persistent host-keyed compile cache as every other entry point:
+    # a rerun must difference warm prefixes, not pay ~8 cold remote compiles
+    from eioku_tpu.utils.device import (compile_cache_dir,
+                                        suppress_spurious_aot_feature_errors)
+    jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    suppress_spurious_aot_feature_errors()
 
     from eioku_tpu.models.yolo.model import (YoloConfig, fold_batchnorm,
                                              init_yolo_params)
