@@ -16,9 +16,15 @@ Writes a markdown table to stdout (paste into docs/PERF.md).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python tools/profile_detect.py` from anywhere: the package
+# lives at the repo root, one level up from this file
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_prefixes(cfg):
