@@ -122,6 +122,8 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640,
     t0 = time.time()
     float(run(params, frames, jnp.int32(0)))
     _log(f"detect compile+first: {time.time() - t0:.1f}s")
+    _maybe_cache_forensics("detect_int8" if int8 else "detect",
+                           time.time() - t0)
     # distinct start offset: identical repeated executions can be
     # deduplicated by the remote backend and would under-measure
     t0 = time.time()
@@ -180,6 +182,7 @@ def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
     t0 = time.time()
     float(run(params, frames, jnp.int32(0)))
     _log(f"detect_m compile+first: {time.time() - t0:.1f}s")
+    _maybe_cache_forensics("detect_m", time.time() - t0)
     t0 = time.time()
     float(run(params, frames, jnp.int32(7)))  # distinct start: defeat dedup
     dt = time.time() - t0
@@ -211,15 +214,23 @@ def bench_embed(n_batches: int = 10, batch: int = 256, seq: int = 256) -> float:
     out = minilm_embed(params, ids, mask, cfg)
     float(out.sum())
     _log(f"embed compile: {time.time() - t0:.1f}s")
+    _maybe_cache_forensics("embed", time.time() - t0)
     inputs = [jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq),
                                        dtype=np.int32)) for _ in range(n_batches)]
     jax.block_until_ready(inputs)
+    # short timed prefix -> provisional: a kill mid-main-loop (tunnel latency
+    # spike) must not lose the stage (VERDICT r3 item 2)
     t0 = time.time()
-    outs = [minilm_embed(params, x, mask, cfg) for x in inputs]
+    outs = [minilm_embed(params, x, mask, cfg) for x in inputs[:2]]
+    jax.block_until_ready(outs)
+    float(outs[-1].sum())
+    _provisional("embed", 2 * batch / (time.time() - t0))
+    t0 = time.time()
+    outs = [minilm_embed(params, x, mask, cfg) for x in inputs[2:]]
     jax.block_until_ready(outs)
     float(outs[-1].sum())
     dt = time.time() - t0
-    cps = n_batches * batch / dt
+    cps = (n_batches - 2) * batch / dt
     _log(f"embed: {cps:.1f} chunks/s")
     return cps
 
@@ -247,14 +258,20 @@ def bench_clip(n_batches: int = 8, batch: int = 64) -> float:
     out = clip_encode_image(params, mk(), cfg)
     float(out.sum())
     _log(f"clip compile: {time.time() - t0:.1f}s")
+    _maybe_cache_forensics("clip", time.time() - t0)
     inputs = [mk() for _ in range(n_batches)]
     jax.block_until_ready(inputs)
     t0 = time.time()
-    outs = [clip_encode_image(params, x, cfg) for x in inputs]
+    outs = [clip_encode_image(params, x, cfg) for x in inputs[:2]]
+    jax.block_until_ready(outs)
+    float(outs[-1].sum())
+    _provisional("clip", 2 * batch / (time.time() - t0))  # salvage guard
+    t0 = time.time()
+    outs = [clip_encode_image(params, x, cfg) for x in inputs[2:]]
     jax.block_until_ready(outs)
     float(outs[-1].sum())
     dt = time.time() - t0
-    fps = n_batches * batch / dt
+    fps = (n_batches - 2) * batch / dt
     _log(f"clip image tower: {fps:.1f} keyframes/s")
     return fps
 
@@ -284,14 +301,20 @@ def bench_embed_int8(n_batches: int = 10, batch: int = 256,
     out = minilm_embed(qparams, ids, mask, cfg)
     float(out.sum())
     _log(f"embed int8 compile: {time.time() - t0:.1f}s")
+    _maybe_cache_forensics("embed_int8", time.time() - t0)
     inputs = [jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq),
                                        dtype=np.int32)) for _ in range(n_batches)]
     jax.block_until_ready(inputs)
     t0 = time.time()
-    outs = [minilm_embed(qparams, x, mask, cfg) for x in inputs]
+    outs = [minilm_embed(qparams, x, mask, cfg) for x in inputs[:2]]
     jax.block_until_ready(outs)
     float(outs[-1].sum())
-    cps_q = n_batches * batch / (time.time() - t0)
+    _provisional("embed_int8", 2 * batch / (time.time() - t0))  # salvage
+    t0 = time.time()
+    outs = [minilm_embed(qparams, x, mask, cfg) for x in inputs[2:]]
+    jax.block_until_ready(outs)
+    float(outs[-1].sum())
+    cps_q = (n_batches - 2) * batch / (time.time() - t0)
     _log(f"embed int8: {cps_q:.1f} chunks/s")
     return cps_q
 
@@ -379,12 +402,20 @@ def bench_scene_pipeline() -> float:
 
     clip_s = 60
     path = _ensure_clip(clip_s)
+    t0 = time.time()
     detect_scenes(path, sample_fps=4.0)  # warm compile + page cache
+    warm_dt = time.time() - t0
+    _maybe_cache_forensics("scenes", warm_dt)
+    # warm-pass provisional (pessimistic: includes any residual compile) —
+    # a ceiling hit later must record SOMETHING (r03 lost this stage whole)
+    _provisional("scenes", clip_s / warm_dt,
+                 {"scenes_provenance": "warm_pass"})
     dt = float("inf")
     for _ in range(3):  # best-of-3: tunnel latency swings 2-4x run-to-run
         t0 = time.time()
         scenes = detect_scenes(path, sample_fps=4.0)
         dt = min(dt, time.time() - t0)
+        _provisional("scenes", clip_s / dt)  # flush after every iteration
     video_hours_per_hour = (clip_s / 3600.0) / (dt / 3600.0)
     _log(f"scenes: {len(scenes)} scenes, {clip_s}s clip in {dt:.2f}s "
          f"-> {video_hours_per_hour:.1f} video-hours/hour")
@@ -404,12 +435,18 @@ def bench_combined_visual() -> float:
             "object_detection": {"batch_size": 64, "frame_interval_s": 1.0},
             "face_detection": {"batch_size": 64, "frame_interval_s": 3.0},
             "place_classification": {"batch_size": 64, "frame_interval_s": 1.0}}
+    t0 = time.time()
     run_visual_analysis(path, cfgs)  # warm compile + page cache
+    warm_dt = time.time() - t0
+    _maybe_cache_forensics("combined", warm_dt)
+    _provisional("combined", 60 / warm_dt,
+                 {"combined_provenance": "warm_pass"})
     dt = float("inf")
     for _ in range(3):  # best-of-3 (see bench_scene_pipeline)
         t0 = time.time()
         out = run_visual_analysis(path, cfgs)
         dt = min(dt, time.time() - t0)
+        _provisional("combined", 60 / dt)  # flush after every iteration
     vh = (60 / 3600.0) / (dt / 3600.0)
     _log(f"combined visual: 60s clip in {dt:.2f}s -> {vh:.1f} video-hours/hour"
          f" ({sum(len(v) for v in out.values())} artifacts, 4 task types)")
@@ -493,11 +530,18 @@ def bench_pipeline() -> float:
     Returns video-hours indexed per wall-clock hour."""
     clip_s = 60
     path = _ensure_av_clip(clip_s)
+    t0 = time.time()
     _run_full_pipeline(path, clip_s)  # warm compile + page cache
+    warm_dt = time.time() - t0
+    _maybe_cache_forensics("pipeline", warm_dt)
+    _provisional("pipeline", clip_s / warm_dt,
+                 {"pipeline_provenance": "warm_pass"})
     dt, counts = _run_full_pipeline(path, clip_s)
+    _provisional("pipeline", clip_s / dt)  # flush after every iteration
     for _ in range(2):  # best-of-3 (tunnel variance)
         dt2, _ = _run_full_pipeline(path, clip_s)
         dt = min(dt, dt2)
+        _provisional("pipeline", clip_s / dt)
     vh = (clip_s / 3600.0) / (dt / 3600.0)
     _log(f"pipeline: {clip_s}s A/V clip in {dt:.2f}s -> {vh:.1f} "
          f"video-hours/hour {counts}")
@@ -506,7 +550,8 @@ def bench_pipeline() -> float:
 
 def _bench_whisper_common(beam_size: int, batch: int = 4,
                           decode_tokens: int = 64,
-                          int8: bool = False) -> float:
+                          int8: bool = False,
+                          stage: str = "whisper") -> float:
     """Audio-seconds transcribed per wall second: batched 30 s windows through
     encoder + KV-cached decode (fixed token budget; random weights — measures
     architecture cost, not content-dependent decode length)."""
@@ -559,36 +604,47 @@ def _bench_whisper_common(beam_size: int, batch: int = 4,
     out = run(wav)
     jax.block_until_ready(out)
     _log(f"whisper {variant} beam={beam_size} compile: {time.time() - t0:.1f}s")
+    _maybe_cache_forensics(stage, time.time() - t0)
     n = 3
     inputs = [jnp.asarray(rng.standard_normal(wav.shape).astype(np.float32) * 0.1)
               for _ in range(n)]
+    tag = "int8_" if int8 else ""
+    tok_key = (f"whisper_beam{beam_size}_{tag}{decode_tokens}"
+               "tok_decoded_tokens_per_s")
+    # run 1 timed on its own -> provisional: a tunnel latency spike during
+    # runs 2-3 must not lose the stage (VERDICT r3 item 2). Each run is one
+    # long sequential decode scan, so per-run syncing costs ~nothing.
     t0 = time.time()
-    outs = [run(w) for w in inputs]
+    out1 = run(inputs[0])
+    jax.block_until_ready(out1)
+    int(np.asarray(jax.tree_util.tree_leaves(out1)[0]).ravel()[-1])
+    dt1 = time.time() - t0
+    _provisional(stage, batch * 30.0 / dt1,
+                 {tok_key: round(batch * decode_tokens / dt1)})
+    t0 = time.time()
+    outs = [run(w) for w in inputs[1:]]
     jax.block_until_ready(outs)
     # force a device->host transfer inside the timed region (CLAUDE.md:
     # block_until_ready alone under-measures on this backend)
     int(np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[-1])
-    dt = time.time() - t0
+    dt = dt1 + (time.time() - t0)
     audio_per_s = n * batch * 30.0 / dt
     tokens_per_s = n * batch * decode_tokens / dt
-    tag = "int8_" if int8 else ""
     _log(f"whisper {variant} beam={beam_size}{' int8' if int8 else ''}: "
          f"{audio_per_s:.1f} audio-seconds/s, {tokens_per_s:.0f} decoded "
          f"tokens/s ({decode_tokens} tokens/window)")
-    return audio_per_s, {f"whisper_beam{beam_size}_{tag}"
-                         f"{decode_tokens}tok_decoded_tokens_per_s":
-                         round(tokens_per_s)}
+    return audio_per_s, {tok_key: round(tokens_per_s)}
 
 
 def bench_whisper():
-    return _bench_whisper_common(beam_size=1)
+    return _bench_whisper_common(beam_size=1, stage="whisper")
 
 
 def bench_whisper_beam():
     """The production decode setting for pretrained checkpoints: beam 5
     (ml/transcribe.py:174, faster-whisper's default) at the 64-token
     architecture-comparison budget."""
-    return _bench_whisper_common(beam_size=5)
+    return _bench_whisper_common(beam_size=5, stage="whisper_beam")
 
 
 def bench_whisper_beam_full():
@@ -596,7 +652,8 @@ def bench_whisper_beam_full():
     real turbo decodes run to ~200+ tokens per 30 s window, so this is the
     number a production deployment pays (the 64-token stages measure
     architecture cost for cross-run comparability)."""
-    return _bench_whisper_common(beam_size=5, decode_tokens=224)
+    return _bench_whisper_common(beam_size=5, decode_tokens=224,
+                                 stage="whisper_beam_full")
 
 
 def bench_whisper_int8():
@@ -604,7 +661,31 @@ def bench_whisper_int8():
     compute_type parity): beam 5 at the realistic 224-token budget with
     every attention/MLP linear quantized — halved weight reads in the
     bandwidth-bound decode loop plus the MXU's double-rate int8 path."""
-    return _bench_whisper_common(beam_size=5, decode_tokens=224, int8=True)
+    return _bench_whisper_common(beam_size=5, decode_tokens=224, int8=True,
+                                 stage="whisper_int8")
+
+
+def _embedding_like_corpus(n_vectors: int, dim: int, n_queries: int,
+                           seed: int = 0):
+    """Clustered corpus + near-content queries mimicking real embedding
+    statistics: 300 topic clusters with within-cluster spread 0.6, queries =
+    corpus point + noise 0.4 (a search query is semantically close to some
+    indexed content). Isotropic random vectors are the IVF worst case and
+    nothing like MiniLM/CLIP output manifolds; the recall metric must
+    measure the operating regime, not an adversarial one (the spread here is
+    already far looser than measured MiniLM cluster geometry)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_centers = 300
+    centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
+    assign = rng.integers(0, n_centers, n_vectors)
+    corpus = (centers[assign]
+              + 0.6 * rng.standard_normal((n_vectors, dim)).astype(np.float32))
+    qi = rng.integers(0, n_vectors, n_queries)
+    queries = (corpus[qi]
+               + 0.4 * rng.standard_normal((n_queries, dim)).astype(np.float32))
+    return corpus, queries
 
 
 def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
@@ -615,9 +696,8 @@ def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
 
     from eioku_tpu.index.semantic import _topk_cosine
 
-    rng = np.random.default_rng(0)
-    corpus = jnp.asarray(rng.standard_normal((n_vectors, dim)).astype(np.float16))
-    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
+    corpus_np, queries = _embedding_like_corpus(n_vectors, dim, n_queries)
+    corpus = jnp.asarray(corpus_np.astype(np.float16))
     out = _topk_cosine(corpus, jnp.asarray(queries[0]), 10)
     jax.block_until_ready(out)
     times = []
@@ -626,13 +706,52 @@ def bench_query_p50(n_vectors: int = 10000, dim: int = 384,
         scores, idx = _topk_cosine(corpus, jnp.asarray(queries[i]), 10)
         float(scores.sum()) + int(idx[0])  # force completion + transfer
         times.append(time.time() - t0)
-        if i == 4:  # early p50 estimate: each query pays a tunnel roundtrip,
-            # and a latency spike can blow the stage budget mid-loop — make
-            # sure SOME number lands even if the full set doesn't finish
+        if i in (4, 14):  # early p50 estimates: each query pays a tunnel
+            # roundtrip, and a latency spike can blow the stage budget
+            # mid-loop — make sure SOME number lands even if the full set
+            # doesn't finish
             _provisional("query", sorted(times)[len(times) // 2] * 1000)
     p50 = sorted(times)[len(times) // 2] * 1000
     _log(f"query p50: {p50:.2f} ms over {n_vectors} vectors")
-    return p50
+    # guard the recall extras below: an IVF compile stall must not lose the
+    # fully-measured p50
+    _provisional("query", p50)
+    extra = {}
+    try:
+        extra = _ivf_recall_extra(corpus_np, queries)
+    except Exception as e:  # extras are best-effort
+        _log(f"query: ivf recall unavailable ({e})")
+    return (p50, extra) if extra else p50
+
+
+def _ivf_recall_extra(corpus: "np.ndarray", queries: "np.ndarray",
+                      top_k: int = 10) -> dict:
+    """IVF-vs-exact recall@10 on the same 10k vectors (VERDICT r3 item 5): a
+    synthetic, driver-recordable stand-in for the BASELINE `top-10 recall >=
+    0.99 vs reference ranking` target that zero egress otherwise blocks (no
+    real checkpoints -> tools/parity_harness.py can't run). Exact ranking =
+    brute-force cosine over L2-normalized vectors; IVF = index/ivf.py with
+    its production clustering."""
+    import numpy as np
+
+    from eioku_tpu.index.ivf import IvfIndex
+
+    v = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True),
+                            1e-9)
+    index = IvfIndex.build(v)
+    n_probe = max(index.k // 8, 1)  # the production default (ivf.py:search)
+    hits = total = 0
+    for q in queries:
+        qn = q / max(np.linalg.norm(q), 1e-9)
+        exact = set(np.argsort(v @ qn)[::-1][:top_k].tolist())
+        _, slots = index.search(q, top_k=top_k, n_probe=n_probe)
+        hits += len(exact & set(int(s) for s in slots if s >= 0))
+        total += top_k
+    recall = hits / max(total, 1)
+    _log(f"query: ivf_recall_at10 {recall:.4f} (k={index.k}, "
+         f"n_probe={n_probe}, {len(queries)} queries)")
+    return {"ivf_recall_at10": round(recall, 4), "ivf_n_probe": n_probe,
+            "ivf_clusters": index.k}
 
 
 # ------------------------------------------------------------ orchestration
@@ -701,19 +820,88 @@ def _setup_jax():
     maybe_force_cpu()  # EIOKU_FORCE_CPU=1: orchestration testing off-TPU
     import jax
 
-    try:  # persistent HOST-KEYED compile cache: warm re-runs skip the slow
-        # remote compile, and the key prevents loading XLA:CPU AOT artifacts
-        # compiled on a different machine (SIGILL risk — /tmp is shared
-        # across heterogeneous hosts here)
-        from eioku_tpu.utils.device import (compile_cache_dir,
-                                            suppress_spurious_aot_feature_errors)
+    try:  # persistent compile cache: backend-split dir (TPU executables are
+        # host-independent so any host's prime warms this run; CPU stays
+        # CPUID-keyed against foreign-AOT SIGILLs) + stabilized key
+        from eioku_tpu.utils.device import setup_persistent_cache
 
-        jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        suppress_spurious_aot_feature_errors()
+        setup_persistent_cache()
+        _install_cache_key_recorder()
     except Exception:
         pass
     return jax
+
+
+_CK_HASHES: dict[str, str] = {}  # latest cache-key component hash per name
+
+
+def _install_cache_key_recorder() -> None:
+    """Record jax's per-component cache-key hashes (computation / jax_lib
+    version / backend version / XLA flags / compile_options /
+    accelerator_config / compression / custom_hook) as modules compile, so a
+    slow compile can be root-caused from the stage log itself
+    (_maybe_cache_forensics) instead of a separate tools/cache_key_probe.py
+    session. The logger is detached from stderr (propagate=False): DEBUG
+    enablement must not spam the bench output."""
+    import logging
+    import re as _re
+
+    lg = logging.getLogger("jax._src.cache_key")
+    lg.setLevel(logging.DEBUG)
+    lg.propagate = False
+    pat = _re.compile(r"hash of serialized (.+?): ([0-9a-f]{64})")
+
+    class _Recorder(logging.Handler):
+        def emit(self, record):
+            try:
+                m = pat.search(record.getMessage())
+                if m:
+                    _CK_HASHES[m.group(1)] = m.group(2)
+            except Exception:
+                pass
+
+    lg.addHandler(_Recorder())
+
+
+# cache-key components that do NOT depend on the module being compiled: these
+# must match the recorded baseline run-to-run, so a drift here (not in
+# `computation`) is what explains a previously-primed stage going cold
+_CK_ENV_COMPONENTS = ("jax_lib version", "backend version", "XLA flags",
+                      "accelerator_config", "compression", "custom_hook")
+_CK_BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tools", "cache_key_baseline.md")
+
+
+def _maybe_cache_forensics(stage: str, compile_s: float) -> None:
+    """Cache-miss forensics (VERDICT r3 item 4): when a stage compiles for
+    longer than EIOKU_CACHE_FORENSICS_THRESHOLD_S (default 60 s — a primed
+    run should never) dump the recorded key-component hashes into the stage
+    log and diff the module-independent ones against
+    tools/cache_key_baseline.md, naming the drifted component."""
+    import re as _re
+
+    try:
+        thresh = float(os.environ.get("EIOKU_CACHE_FORENSICS_THRESHOLD_S",
+                                      "60"))
+        if compile_s < thresh or not _CK_HASHES:
+            return
+        _log(f"cache-forensics {stage}: compile took {compile_s:.0f}s "
+             f"(>= {thresh:.0f}s); key components: {json.dumps(_CK_HASHES)}")
+        baseline: dict[str, str] = {}
+        with open(_CK_BASELINE_PATH) as f:
+            for line in f:
+                m = _re.match(r"\|\s*([^|]+?)\s*\|\s*([0-9a-f]{64})\s*\|",
+                              line)
+                if m:
+                    baseline[m.group(1)] = m.group(2)
+        for comp in _CK_ENV_COMPONENTS:
+            if comp in baseline and comp in _CK_HASHES \
+                    and baseline[comp] != _CK_HASHES[comp]:
+                _log(f"cache-forensics {stage}: COMPONENT DRIFT {comp}: "
+                     f"baseline {baseline[comp][:16]} now "
+                     f"{_CK_HASHES[comp][:16]}")
+    except Exception as e:  # diagnostics must never fail a stage
+        _log(f"cache-forensics {stage}: unavailable ({e})")
 
 
 _CHILD = None  # current stage subprocess, killed by the signal handlers
@@ -937,12 +1125,19 @@ def _prime() -> None:
             _log("prime: EIOKU_PRIME_STAGES selected nothing; caches stay cold")
             sys.exit(1)
     failed: list[str] = []
+    alive = True
     for st in stages:
         # outages are transient (minutes to hours): wait, don't burn budgets
-        while _remaining() > 300 and not _backend_alive(120):
+        while _remaining() > 300 and not (alive := _backend_alive(120)):
             _log(f"prime: backend unreachable; re-probing in 45s "
                  f"({_remaining():.0f}s left)")
             time.sleep(45)
+        if not alive:
+            # the wait loop ran out of re-probe budget with the backend still
+            # dead: launching can only burn the rest on a guaranteed timeout
+            _log(f"prime: backend dead and budget low; skipping {st}")
+            failed.append(st)
+            continue
         if _remaining() < STAGE_MIN_S.get(st, 60):
             _log(f"prime: out of deadline before {st}")
             failed.append(st)
@@ -958,9 +1153,6 @@ def _prime() -> None:
 
 
 def main() -> None:
-    if "--prime" in sys.argv:
-        _prime()
-        return
     if "--stage" in sys.argv:
         stage = sys.argv[sys.argv.index("--stage") + 1]
         jax = _setup_jax()
@@ -972,11 +1164,18 @@ def main() -> None:
                           "backend": jax.default_backend()}))
         return
 
+    # Handlers BEFORE the prime path too (ADVICE r3): a driver kill during a
+    # multi-hour prime must reap the in-flight stage subprocess instead of
+    # orphaning it against the TPU tunnel.
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(sig, _on_signal)
+    if "--prime" in sys.argv:
+        _prime()
+        return
+
     # The parent NEVER touches jax: a dead tunnel must not be able to hang
     # the orchestrator. A partial line exists from the very first moment, and
     # SIGALRM enforces the deadline unconditionally.
-    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
-        signal.signal(sig, _on_signal)
     vals: dict[str, float | None] = {}
     _flush_partial(_assemble(vals, _BACKEND))
     signal.alarm(max(int(DEADLINE_S), 1))
@@ -1008,18 +1207,19 @@ def main() -> None:
         # Most-important-first on warm cache, sized so the critical prefix
         # fits even a slow-tunnel window: scenes is the cheapest reliable
         # stage (and the CPU-fallback headline source), embed+detect form the
-        # headline, pipeline is the BASELINE config-5 number. query — two
-        # observed 240s timeouts on slow windows (per-query tunnel roundtrips)
-        # — comes after them; it must never again burn budget ahead of the
-        # headline pair.
-        order = ["scenes", "embed", "detect", "pipeline", "query", "detect_m",
-                 "combined", "clip", "detect_int8", "embed_int8"]
+        # headline, pipeline is the BASELINE config-5 number, detect_m the
+        # flagship-MFU figure (VERDICT r3 item 3: ahead of query). query —
+        # two observed 240s timeouts on slow windows (per-query tunnel
+        # roundtrips) — now has provisional fallbacks at 5/15 samples.
+        order = ["scenes", "embed", "detect", "pipeline", "detect_m", "query"]
         if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
-            # beam-5 first: it is the production default, and the k=1 variant
-            # of the decode program has shown pathological compile times on
-            # this backend — it must not burn the beam stage's budget
-            order += ["whisper_beam", "whisper_beam_full", "whisper_int8",
-                      "whisper"]
+            # the realistic-budget beam-5 number is the whisper figure that
+            # matters (VERDICT r3 item 8): ahead of the int8 variants and far
+            # ahead of the pathological-compile k=1 stage
+            order += ["whisper_beam_full"]
+        order += ["combined", "clip", "detect_int8", "embed_int8"]
+        if os.environ.get("EIOKU_BENCH_WHISPER", "1") != "0":
+            order += ["whisper_beam", "whisper_int8", "whisper"]
     misses = 0
     for stage in order:
         vals[stage] = _run_stage_subprocess(stage, force_cpu=force_cpu)

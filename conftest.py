@@ -29,9 +29,8 @@ jax.config.update("jax_platforms", "cpu")
 # code — warm re-runs cut the fast selection by minutes. (Host-keyed so a
 # /tmp shared across machines never serves foreign XLA:CPU AOT code.)
 try:
-    from eioku_tpu.utils.device import compile_cache_dir
+    from eioku_tpu.utils.device import setup_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    setup_persistent_cache()
 except Exception:
     pass

@@ -144,22 +144,94 @@ _AOT_FILTER_INSTALLED = False
 
 
 def compile_cache_dir(base: str = "/tmp/eioku_jax_cache") -> str:
-    """Host-keyed persistent compile cache directory.
+    """Backend-split persistent compile cache directory.
 
-    XLA:CPU AOT artifacts embed the compiling machine's CPU feature set;
+    CPU: XLA:CPU AOT artifacts embed the compiling machine's CPU feature set;
     loading them on a different host spams `cpu_aot_loader` machine-feature
     errors and can SIGILL. /tmp is shared across heterogeneous hosts in this
-    deployment, so the cache dir is keyed by a hash of the host CPU identity
-    — a native CPUID dump matching what LLVM's host detection reads (see
-    _cpu_fingerprint; generic /proc/cpuinfo proved insufficient) plus the
-    jax/jaxlib versions — so no host ever loads another machine's (or
+    deployment, so the CPU cache dir is keyed by a hash of the host CPU
+    identity — a native CPUID dump matching what LLVM's host detection reads
+    (see _cpu_fingerprint; generic /proc/cpuinfo proved insufficient) plus
+    the jax/jaxlib versions — so no host ever loads another machine's (or
     another compiler's) AOT code.
+
+    Accelerators (TPU/axon): the executables are compiled by and for the
+    REMOTE device and have no host-CPU dependence, so keying them by host
+    CPUID only breaks cache sharing — a `bench.py --prime` on one host then
+    warmed nothing for a capture on a different host (the r03 driver bench
+    paid a 495 s cold detect compile for exactly this reason). Key the
+    accelerator dir by the software stack alone (backend platform +
+    jax/jaxlib versions): any host's prime warms every other host's run.
     """
     import hashlib
 
     import jax
     import jaxlib
 
-    bits = [_cpu_fingerprint(), jax.__version__, jaxlib.__version__]
+    backend = jax.default_backend()
+    if backend == "cpu":
+        bits = [_cpu_fingerprint(), jax.__version__, jaxlib.__version__]
+        digest = hashlib.sha1("|".join(bits).encode()).hexdigest()[:10]
+        return f"{base}_{digest}"
+    bits = [backend, jax.__version__, jaxlib.__version__]
     digest = hashlib.sha1("|".join(bits).encode()).hexdigest()[:10]
-    return f"{base}_{digest}"
+    return f"{base}_{backend}_{digest}"
+
+
+def stabilize_compile_cache_key() -> None:
+    """Strip the churn-prone build-timestamp from JAX's persistent-cache key
+    on accelerator backends.
+
+    Evidence (tools/cache_key_baseline.md): identical model code accumulated
+    18 distinct cache keys for one module across multi-hour gaps on the
+    remote TPU tunnel — previously-primed stages cold-compiled again hours
+    later. The `backend version` key component hashes the full
+    `backend.platform_version`, which on this backend embeds a build
+    timestamp line (`Built on Nov 12 2025 … cl/831091709`) that moves
+    whenever the tunnel reconnects to a differently-built server instance,
+    even though executable compatibility is governed entirely by the compat
+    line (`axon 0.1.0; SerializedExecutable v9; compile-cache v14; compat
+    c49` — the same string the backend serves as its topology
+    serialization). Patch jax's `_hash_platform` to drop only `Built on …`
+    lines for non-CPU backends; a real compat change still changes the key.
+    CPU keeps the full string (XLA:CPU AOT executables genuinely are
+    build-sensitive; the host-keyed dir handles them). Idempotent.
+    """
+    global _CACHE_KEY_STABILIZED
+    if _CACHE_KEY_STABILIZED:
+        return
+    _CACHE_KEY_STABILIZED = True
+    try:
+        from jax._src import cache_key as _ck
+
+        def _hash_platform(hash_obj, backend):
+            _ck._hash_string(hash_obj, backend.platform)
+            version = backend.platform_version
+            if backend.platform != "cpu":
+                version = "\n".join(
+                    line for line in version.split("\n")
+                    if not line.startswith("Built on "))
+            _ck._hash_string(hash_obj, version)
+
+        _ck._hash_platform = _hash_platform
+    except Exception:
+        pass  # private API drifted: lose key stability, not correctness
+
+
+_CACHE_KEY_STABILIZED = False
+
+
+def setup_persistent_cache() -> str:
+    """Configure this process's persistent XLA compile cache: stabilized key
+    (accelerators), backend-split directory, and — on CPU — the spurious
+    AOT-feature-error filter. Returns the cache dir. Call after any
+    force-CPU decision and before the first compile."""
+    import jax
+
+    stabilize_compile_cache_key()
+    cache_dir = compile_cache_dir()
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if jax.default_backend() == "cpu":
+        suppress_spurious_aot_feature_errors()
+    return cache_dir

@@ -82,6 +82,8 @@ class TestPrimeMode:
     def test_primes_every_real_stage_and_doubles_ceilings(self, monkeypatch):
         sys.path.insert(0, REPO)
         import bench
+        bench._LAST_STAGE_DISTRESS = False  # a prior test may have left the
+        # module global True; fake_run below never resets it (ADVICE r3)
         want = [s for s in bench.STAGES if not s.startswith("_")]
         seen_budget = {}
 
@@ -110,6 +112,90 @@ class TestPrimeMode:
             env={"EIOKU_PRIME_STAGES": "scenes, query ,nonexistent"})
         assert calls == ["scenes", "query"]
         assert code == 1  # an incomplete stage must be visible to scripts
+
+    def test_dead_backend_with_low_budget_skips_stages(self, monkeypatch):
+        """ADVICE r3: once the outage-wait loop exhausts its re-probe budget
+        with the backend still dead (a probe DID run and fail), remaining
+        stages are skipped instead of launched against a backend known to be
+        unreachable."""
+        sys.path.insert(0, REPO)
+        import bench
+        # first _remaining() call sees >300 (so one probe runs and fails),
+        # every later call sees 200 (wait loop exits, probe never re-runs)
+        seq = iter([400.0])
+        monkeypatch.setattr(bench, "_remaining",
+                            lambda: next(seq, 200.0))
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        _, calls, code = self._prime(
+            monkeypatch, alive=False,
+            env={"EIOKU_PRIME_STAGES": "scenes,query"})
+        # nothing may launch, and the failure must be visible to scripts
+        assert calls == []
+        assert code == 1
+
+
+class TestStageProvisionals:
+    def test_every_stage_emits_provisional(self):
+        """VERDICT r3 item 2: every real stage must flush a provisional
+        result line before (or during) its slow tail so a ceiling-hit kill
+        still yields a parseable value. Structural check: each stage's
+        source (incl. its delegated harness) calls _provisional."""
+        import inspect
+        sys.path.insert(0, REPO)
+        import bench
+        for name, fn in bench.STAGES.items():
+            if name.startswith("_"):
+                continue
+            src = inspect.getsource(fn)
+            for helper in (bench._bench_whisper_common, bench.bench_detect,
+                           bench.bench_query_p50):
+                if helper.__name__ + "(" in src:
+                    src += inspect.getsource(helper)
+            assert "_provisional(" in src, (
+                f"stage {name} has no provisional salvage line")
+
+
+class TestIvfRecallProxy:
+    def test_recall_at10_meets_baseline_target(self):
+        """VERDICT r3 item 5: the driver-recordable stand-in for BASELINE's
+        `top-10 recall >= 0.99` must actually clear 0.99 on the bench
+        corpus (embedding-like clustered vectors, production n_probe)."""
+        sys.path.insert(0, REPO)
+        import bench
+        # the real bench corpus config (10k x 384): smaller/lower-dim configs
+        # sit near the threshold, the production one clears it with margin
+        corpus, queries = bench._embedding_like_corpus(10000, 384, 12, seed=3)
+        out = bench._ivf_recall_extra(corpus, queries)
+        assert out["ivf_recall_at10"] >= 0.99
+        assert out["ivf_n_probe"] == max(out["ivf_clusters"] // 8, 1)
+
+
+class TestCacheForensics:
+    def test_drift_line_on_forced_miss(self, monkeypatch, capsys):
+        """VERDICT r3 item 4: a compile exceeding the threshold dumps the
+        recorded key-component hashes and names the drifted
+        module-independent component vs tools/cache_key_baseline.md."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("EIOKU_CACHE_FORENSICS_THRESHOLD_S", "0")
+        monkeypatch.setattr(bench, "_CK_HASHES",
+                            {"computation": "ab" * 32,
+                             "backend version": "cd" * 32})
+        bench._maybe_cache_forensics("probe_stage", compile_s=1.0)
+        err = capsys.readouterr().err
+        assert "key components" in err
+        # baseline's backend-version hash differs from "cd"*32 -> drift named
+        assert "COMPONENT DRIFT backend version" in err
+        # computation is module-dependent: it must NOT be reported as drift
+        assert "DRIFT computation" not in err
+
+    def test_quiet_below_threshold(self, monkeypatch, capsys):
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("EIOKU_CACHE_FORENSICS_THRESHOLD_S", "60")
+        monkeypatch.setattr(bench, "_CK_HASHES", {"backend version": "e" * 64})
+        bench._maybe_cache_forensics("probe_stage", compile_s=5.0)
+        assert "key components" not in capsys.readouterr().err
 
 
 @pytest.mark.slow

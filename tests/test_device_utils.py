@@ -21,6 +21,66 @@ class TestCompileCacheDir:
     def test_respects_base(self):
         assert compile_cache_dir("/tmp/other").startswith("/tmp/other_")
 
+    def test_accelerator_dir_is_host_independent(self, monkeypatch):
+        """VERDICT r3 item 1: TPU executables are compiled by/for the remote
+        device — keying their cache dir by host CPUID made a prime on one
+        host useless for a capture on another (the r03 driver paid a 495 s
+        cold compile). Non-CPU backends must key by software stack only."""
+        import jax
+
+        from eioku_tpu.utils import device as dev
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        a = compile_cache_dir()
+        assert "_tpu_" in a
+        fp = dev._cpu_fingerprint()
+        # the host fingerprint must not influence the accelerator dir
+        monkeypatch.setattr(dev, "_cpu_fingerprint",
+                            lambda: fp + "DIFFERENT-HOST")
+        assert compile_cache_dir() == a
+        # ... but it must still key the CPU dir (foreign-AOT SIGILL guard)
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        c1 = compile_cache_dir()
+        monkeypatch.setattr(dev, "_cpu_fingerprint", lambda: fp)
+        c2 = compile_cache_dir()
+        assert c1 != c2 and "_tpu_" not in c1
+
+    def test_cache_key_stabilizer_drops_build_timestamp_only(self):
+        """stabilize_compile_cache_key must make the `backend version` key
+        component invariant to the platform_version's `Built on …` line on
+        accelerators (the tunnel-reconnect churner, tools/
+        cache_key_baseline.md) while CPU and real compat changes still
+        rekey."""
+        import hashlib
+
+        from eioku_tpu.utils import device as dev
+
+        dev.stabilize_compile_cache_key()
+        from jax._src import cache_key as ck
+
+        class B:
+            def __init__(self, platform, pv):
+                self.platform = platform
+                self.platform_version = pv
+
+        def digest(platform, pv):
+            h = hashlib.sha256()
+            ck._hash_platform(h, B(platform, pv))
+            return h.hexdigest()
+
+        compat = ("PJRT C API\naxon 0.1.0; SerializedExecutable v9; "
+                  "compile-cache v14; compat c49\nTFRT TPU v5 lite")
+        a = digest("tpu", compat + "\nBuilt on Nov 12 2025 (1762985796) cl/1")
+        b = digest("tpu", compat + "\nBuilt on Dec 01 2025 (1764500000) cl/2")
+        assert a == b  # rebuild timestamp must not rekey
+        c = digest("tpu", compat.replace("compat c49", "compat c50")
+                   + "\nBuilt on Nov 12 2025 (1762985796) cl/1")
+        assert c != a  # a real compat change must rekey
+        # CPU keeps the full string: identical-compat different-build rekeys
+        d = digest("cpu", "x\nBuilt on A")
+        e = digest("cpu", "x\nBuilt on B")
+        assert d != e
+
     def test_cpu_fingerprint_reflects_cpuid_or_boot(self):
         """The key must come from CPUID (what LLVM's host detection reads) or,
         failing that, the boot id — never from the genericised /proc/cpuinfo

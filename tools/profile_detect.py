@@ -101,13 +101,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # same persistent host-keyed compile cache as every other entry point:
-    # a rerun must difference warm prefixes, not pay ~8 cold remote compiles
-    from eioku_tpu.utils.device import (compile_cache_dir,
-                                        suppress_spurious_aot_feature_errors)
-    jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    suppress_spurious_aot_feature_errors()
+    # same persistent compile cache as every other entry point (backend-split
+    # dir + stabilized key): a rerun must hit warm prefixes, not pay ~8 cold
+    # remote compiles
+    from eioku_tpu.utils.device import setup_persistent_cache
+    setup_persistent_cache()
 
     from eioku_tpu.models.yolo.model import (YoloConfig, fold_batchnorm,
                                              init_yolo_params)
