@@ -11,10 +11,12 @@ Replaces the reference's SQLAlchemy engine + scoped sessions
   - PostgreSQL (the reference's deploy dialect, dev/docker-compose.yml:68) is
     served by PostgresDatabase below via the connect() factory: same
     interface, qmark SQL translated to %s at execute time, dialect-divergent
-    SQL built by db.dialect (eioku_tpu/db/dialect.py). Execution requires a
-    DBAPI driver (psycopg2 or pg8000) at runtime — not shipped in this image,
-    so construction raises a clear error here; the PG SQL surface itself is
-    unit-tested driver-free (tests/test_pg_dialect.py).
+    SQL built by db.dialect (eioku_tpu/db/dialect.py). The driver is
+    psycopg2 or pg8000 when importable, else the first-party wire-protocol
+    client (db/pgwire.py) — so postgresql:// URLs execute even in this
+    driverless image. The PG SQL surface is unit-tested driver-free
+    (tests/test_pg_dialect.py); the wire client against a scripted protocol
+    server (tests/test_pgwire.py).
 """
 from __future__ import annotations
 
@@ -46,7 +48,8 @@ class Database:
         if url.startswith(("postgresql://", "postgres://")):
             raise RuntimeError(
                 "Database is the sqlite engine; use connect(url) to open "
-                "PostgreSQL URLs (requires a psycopg2/pg8000 driver)"
+                "PostgreSQL URLs (psycopg2/pg8000 when importable, else the "
+                "first-party db/pgwire.py client)"
             )
         self.url = url
         self.path = _parse_sqlite_url(url)
@@ -213,7 +216,9 @@ class _PgConn:
 
 def _import_pg_driver():
     """psycopg2 preferred (the reference's driver), pg8000 as the pure-Python
-    fallback; both expose connect(dsn)."""
+    fallback, and the first-party wire-protocol client (db/pgwire.py) when
+    neither external driver exists — this image ships none, so pgwire is
+    what actually executes PostgreSQL URLs here."""
     try:
         import psycopg2  # type: ignore
 
@@ -225,11 +230,9 @@ def _import_pg_driver():
 
         return pg8000.dbapi
     except ImportError:
-        raise RuntimeError(
-            "PostgreSQL URL given but no DBAPI driver is importable "
-            "(install psycopg2 or pg8000); in driverless environments use a "
-            "sqlite:/// URL — WAL mode supports multi-process access"
-        ) from None
+        from eioku_tpu.db import pgwire
+
+        return pgwire
 
 
 class PostgresDatabase:
@@ -248,8 +251,13 @@ class PostgresDatabase:
         self.path = ""
         self._lock = threading.RLock()
         self._txn_depth = 0
-        self._raw = driver.connect(url) if driver.__name__.startswith(
-            "psycopg2") else _pg8000_connect(driver, url)
+        # psycopg2 and the first-party pgwire client take the DSN directly;
+        # pg8000.dbapi wants keyword args
+        if driver.__name__.startswith("psycopg2") \
+                or driver.__name__.endswith("pgwire"):
+            self._raw = driver.connect(url)
+        else:
+            self._raw = _pg8000_connect(driver, url)
         self._raw.autocommit = False
 
     @contextmanager

@@ -213,14 +213,17 @@ class TestPostgresDatabase:
         db = connect(f"sqlite:///{tmp_path}/x.db")
         assert isinstance(db, Database) and db.dialect.name == "sqlite"
 
-    def test_missing_driver_raises_clear_error(self, monkeypatch):
+    def test_missing_external_drivers_fall_back_to_pgwire(self, monkeypatch):
+        """With neither psycopg2 nor pg8000 importable (this image), the
+        first-party wire client is the driver — postgresql:// URLs execute
+        instead of raising (tests/test_pgwire.py covers the protocol)."""
         monkeypatch.setitem(sys.modules, "psycopg2", None)
         monkeypatch.setitem(sys.modules, "pg8000", None)
         monkeypatch.setitem(sys.modules, "pg8000.dbapi", None)
-        from eioku_tpu.db.connection import connect
+        from eioku_tpu.db import pgwire
+        from eioku_tpu.db.connection import _import_pg_driver
 
-        with pytest.raises(RuntimeError, match="psycopg2 or pg8000"):
-            connect("postgresql://u:p@host/eioku")
+        assert _import_pg_driver() is pgwire
 
     def test_query_translates_and_wraps_rows(self, pg_db):
         db, conn = pg_db
