@@ -59,18 +59,19 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
 
     Greedy keep is the unique solution of "kept iff no kept higher-ranked
     box conflicts with me", so instead of K sequential suppression steps it
-    is computed by Jacobi iteration on that recurrence: each sweep is one
-    parallel [K, K] masked reduction on the VPU, and the fixpoint — reached
-    in suppression-chain-depth sweeps, typically a handful — is exactly the
-    sequential result.
+    is computed by Jacobi iteration on that recurrence, and the fixpoint —
+    reached in suppression-chain-depth sweeps (measured 3-5 on the bench
+    workload) — is exactly the sequential result. Each sweep is one
+    [K, K] x [K] matvec: counting suppressors on the MXU measured faster
+    than the equivalent masked any-reduce on the VPU (docs/PERF.md).
     """
     k = boxes.shape[0]
     iou = _iou_matrix(boxes)
     same_class = classes[:, None] == classes[None, :]
     ranks = jnp.arange(k)
     # conflict[j, i]: higher-ranked j (j < i, score order) suppresses i
-    conflict = (iou > iou_threshold) & same_class & \
-        (ranks[:, None] < ranks[None, :])
+    conflict = ((iou > iou_threshold) & same_class &
+                (ranks[:, None] < ranks[None, :])).astype(jnp.float32)
     valid = scores > 0
 
     def cond(state):
@@ -79,10 +80,21 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
 
     def body(state):
         keep, _, it = state
-        new = valid & ~jnp.any(conflict & keep[:, None], axis=0)
-        return new, keep, it + 1
+        suppressors = conflict.T @ keep.astype(jnp.float32)  # [K] per box
+        return valid & (suppressors < 0.5), keep, it + 1
 
     keep, _, _ = jax.lax.while_loop(cond, body, (valid, ~valid, 0))
+    if k <= max_det:
+        # every candidate fits in the output: skip the kept-first argsort +
+        # gather entirely (measured ~2% of whole-detect time at K=256) and
+        # return score-ordered slots with the validity mask — consumers trim
+        # by mask, not position (ml/detection.py:146, ml/combined.py:229)
+        return {
+            "boxes": boxes,
+            "scores": jnp.where(keep, scores, 0.0),
+            "classes": jnp.where(keep, classes, -1),
+            "valid": keep,
+        }
     order = jnp.argsort(~keep, stable=True)  # kept first, score order preserved
     sel = order[:max_det]
     return {
@@ -101,11 +113,18 @@ def pad_offsets_for(h: int, w: int) -> tuple[int, int]:
 @partial(jax.jit, static_argnames=("cfg", "top_k", "max_det"))
 def detect(params: Params, images: jnp.ndarray, cfg: YoloConfig,
            conf_threshold: float = 0.25, iou_threshold: float = 0.45,
-           top_k: int = 512, max_det: int = 300) -> dict:
+           top_k: int = 256, max_det: int = 300) -> dict:
     """Full batched detection: forward -> decode -> top-K -> NMS (all on device).
 
-    images: [B, H, W, 3] uint8 or float. Returns dict of [B, max_det, ...]
-    fixed-shape outputs + validity mask.
+    images: [B, H, W, 3] uint8 or float. Returns dict of
+    [B, min(top_k, max_det), ...] fixed-shape outputs + validity mask.
+
+    top_k bounds the NMS candidate pool; its [K, K] suppression work scales
+    quadratically, and 512 -> 256 measured +8.6% whole-detect throughput
+    (docs/PERF.md). 256 candidates >= conf comfortably covers real scenes
+    (the reference runs conf 0.5 objects / 0.7 faces,
+    model_manager.py:230-326, where dozens of candidates is already a crowd);
+    pass top_k=512 to restore the wider pre-NMS pool.
     """
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.bfloat16) / 255.0
