@@ -218,12 +218,18 @@ def _format_to_dollar(sql: str) -> str:
 
 
 class _ScramClient:
-    """SCRAM-SHA-256 (RFC 5802/7677) client side, channel binding 'n'."""
+    """SCRAM-SHA-256 (RFC 5802/7677) client side, channel binding 'n'.
 
-    def __init__(self, password: str, nonce: str | None = None):
+    username defaults to empty per PostgreSQL convention (the server takes
+    the identity from the startup message's user and ignores the SASL n=
+    attribute); tests/test_pgwire.py validates the crypto against the RFC
+    7677 §3 example by passing the example's username/nonce explicitly."""
+
+    def __init__(self, password: str, nonce: str | None = None,
+                 username: str = ""):
         self._password = password
         self._nonce = nonce or base64.b64encode(os.urandom(18)).decode()
-        self.client_first_bare = f"n=,r={self._nonce}"
+        self.client_first_bare = f"n={username},r={self._nonce}"
         self._auth_message = ""
         self._salted = b""
 
