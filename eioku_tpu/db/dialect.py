@@ -15,9 +15,10 @@ columns (payload_json stays TEXT and is cast `::jsonb` inside PG expressions),
 `ON CONFLICT ... DO UPDATE ... excluded.*` upserts, and `UPDATE/INSERT ...
 RETURNING` all parse identically on PostgreSQL and SQLite >= 3.35.
 
-Execution against a live PostgreSQL server requires a DBAPI driver (psycopg2
-or pg8000), which this image does not ship — see connection.PostgresDatabase
-for the runtime gate. The SQL itself is exercised by golden tests either way.
+Execution against a live PostgreSQL server uses psycopg2/pg8000 when
+importable, else the first-party wire-protocol client (db/pgwire.py) — see
+connection.PostgresDatabase. The SQL itself is exercised by golden tests
+either way.
 """
 from __future__ import annotations
 
