@@ -324,3 +324,49 @@ class TestDumpRoundTripProperties:
         finally:
             src_db.close()
             dst_db.close()
+
+
+class TestPgwirePlaceholderScanner:
+    """db/pgwire.py:_format_to_dollar — the third stage of the qmark -> %s ->
+    $n placeholder chain every PostgreSQL statement rides."""
+
+    sql_atoms = st.lists(st.sampled_from([
+        "SELECT a FROM t WHERE x = ", "?", " AND y IN (", "?", ", ", "?", ")",
+        " ORDER BY 1", "'it''s'", "'100%'", '"we?ird"', "-- c ? %s\n",
+        "/* block ? */", " || ", "'%s'", " + 1 ",
+    ]), min_size=1, max_size=25)
+
+    @given(sql_atoms)
+    @settings(max_examples=200, deadline=None)
+    def test_composes_with_translate_qmark(self, atoms):
+        """translate_qmark (? -> %s, literal/comment-aware) followed by
+        _format_to_dollar (%s -> $n) numbers exactly the placeholders
+        OUTSIDE literals/comments, in order, leaving everything else
+        byte-identical."""
+        import re
+
+        from eioku_tpu.db.dialect import translate_qmark
+        from eioku_tpu.db.pgwire import _format_to_dollar
+
+        sql = "".join(atoms)
+        n_params = sum(1 for a in atoms if a == "?")
+        dollar = _format_to_dollar(translate_qmark(sql))
+        found = re.findall(r"\$(\d+)", dollar)
+        assert [int(x) for x in found] == list(range(1, n_params + 1))
+        # no un-rewritten placeholders outside literals remain: rebuild the
+        # expected string atom-by-atom and compare exactly
+        expected, n = [], 0
+        for a in atoms:
+            if a == "?":
+                n += 1
+                expected.append(f"${n}")
+            else:
+                expected.append(a)
+        assert dollar == "".join(expected)
+
+    @given(st.text(alphabet="abc?'\"-%s/*\n ", max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_never_crashes_and_is_deterministic(self, sql):
+        from eioku_tpu.db.pgwire import _format_to_dollar
+
+        assert _format_to_dollar(sql) == _format_to_dollar(sql)
