@@ -69,8 +69,9 @@ def _load_model(model_name: str, num_classes: int, cache_dir: str | None,
     params = fold_batchnorm(params)
     if int8:
         # opt-in int8 PTQ (config {"int8": true}): per-output-channel conv
-        # weights + dynamic per-image activation scales on the MXU's
-        # double-rate int8 path (ops/quant.py; TensorRT-granularity PTQ)
+        # weights + dynamic per-image activation scales (ops/quant.py;
+        # TensorRT-granularity PTQ). Memory-savings opt-in — measured
+        # SLOWER than bf16 on this backend at every conv width (PERF.md)
         from eioku_tpu.ops.quant import quantize_convs
 
         params = quantize_convs(params)

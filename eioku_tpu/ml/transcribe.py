@@ -320,9 +320,10 @@ def run_transcription(video_path: str, config: dict,
 
     if want_int8:
         if tp_mesh is None:
-            # every attention/MLP linear (enc + dec) int8 — the MXU
-            # double-rate path + halved weight reads in the bandwidth-bound
-            # decode loop; convs, embeddings, and layernorms stay bf16
+            # every attention/MLP linear (enc + dec) int8 — halved weight
+            # storage/reads; measured within tunnel variance of bf16 for
+            # throughput (docs/PERF.md), so this is a memory opt-in.
+            # Convs, embeddings, and layernorms stay bf16
             # (ops/quant.py walks the tree by shape). Parity with the
             # reference engine's compute_type="int8" (faster-whisper). The
             # quantized tree is process-cached: PTQ must not re-run per task.

@@ -1,12 +1,16 @@
 """Post-training int8 quantization for linear layers (weight-only storage,
 dynamic activation quantization at compute time).
 
-TPU-native rationale: the MXU multiplies int8 operands at twice the bf16
-rate (e.g. v5e: 394 int8 TOPS vs 197 bf16 TFLOPs) and int8 weights halve
-HBM traffic again over bf16 — for matmul-bound serving (the MiniLM embed
-stage) this is a near-2x lever with ~1e-3 cosine deviation on normalized
-embeddings. The reference has no quantized path (its torch models run fp16);
-this is a beyond-parity serving feature, opt-in per task config.
+TPU-native rationale: the MXU's int8 peak is twice bf16 (e.g. v5e: 394 int8
+TOPS vs 197 bf16 TFLOPs) and int8 weights halve HBM traffic over bf16.
+MEASURED REALITY on this backend (docs/PERF.md): XLA's int8 lowering never
+realizes that headroom after quant/dequant overhead — bf16 beats int8 on
+YOLOv8n (7,287 vs 4,634 f/s), YOLOv8m (1,589 vs 1,321), and MiniLM (6,235
+vs 5,690 chunks/s); whisper int8 lands within tunnel variance. int8 here is
+therefore an opt-in for weight-memory savings (half-size checkpoints/HBM
+residency), not a throughput claim, with ~1e-3 cosine deviation on
+normalized embeddings. The reference has no quantized path at all (its
+torch models run fp16); this remains a beyond-parity serving feature.
 
 Scheme: symmetric per-output-channel int8 weights (scale = max|w|/127 per
 column), symmetric per-row dynamic activation quantization (scale recomputed
