@@ -389,6 +389,41 @@ class TestQueries:
         assert sql == "SELECT '%s -- $9', \"we%sird\" FROM t WHERE x = $1"
         assert params == ["5"]
 
+    def test_notice_mid_result_is_skipped(self):
+        """NoticeResponse interleaved with the result stream (PG emits these
+        for e.g. implicit index creation) must not disturb row parsing."""
+        cols = [("v", OID_INT4)]
+
+        class NoticeServer(FakePgServer):
+            def _respond(self, sql):
+                notice = _msg(b"N", b"S" + _cstr(b"NOTICE")
+                              + b"M" + _cstr(b"heads up") + b"\x00")
+                return notice + super()._respond(sql) + notice
+
+        with NoticeServer(script=[(r"SELECT n", ("rows", cols, [[b"5"]]))]) \
+                as srv:
+            conn = pgwire.connect(_dsn(srv))
+            conn.autocommit = True
+            cur = conn.cursor()
+            cur.execute("SELECT n")
+            assert cur.fetchall() == [(5,)]
+            conn.close()
+
+    def test_unicode_and_null_round_trip(self):
+        cols = [("t", OID_TEXT), ("u", OID_TEXT)]
+        with FakePgServer(script=[
+                (r"SELECT uni",
+                 ("rows", cols, [["héllo wörld — 動画", None]]))]) as srv:
+            conn = pgwire.connect(_dsn(srv))
+            conn.autocommit = True
+            cur = conn.cursor()
+            cur.execute("INSERT INTO t VALUES (%s, %s)",
+                        ("snowman ☃", None))
+            cur.execute("SELECT uni")
+            assert cur.fetchall() == [("héllo wörld — 動画", None)]
+            conn.close()
+        assert srv.executed[0][1] == ["snowman ☃", None]
+
     def test_error_maps_to_exception_and_connection_survives(self):
         script = [(r"SELECT boom",
                    ("error", "42P01", 'relation "nope" does not exist'))]
