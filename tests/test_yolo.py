@@ -141,6 +141,29 @@ class TestNMS:
         out = nms_fixed(boxes, scores, classes, max_det=2)
         assert np.asarray(out["valid"]).sum() == 2
 
+    def test_truncation_path_keeps_top_scored_kept_first(self):
+        """k > max_det engages the kept-first argsort + truncate path (the
+        k <= max_det fast path skips it): the max_det output slots must hold
+        the top-scored KEPT boxes in score order, dropping suppressed ones
+        rather than letting them occupy slots."""
+        rng = np.random.default_rng(7)
+        n, max_det = 32, 6
+        xy = rng.uniform(0, 60, (n, 2))
+        wh = rng.uniform(5, 30, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        scores = np.sort(rng.uniform(0.1, 1.0, n).astype(np.float32))[::-1]
+        classes = rng.integers(0, 2, n).astype(np.int32)
+        full = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores.copy()),
+                         jnp.asarray(classes), iou_threshold=0.45, max_det=n)
+        kept_scores = np.asarray(full["scores"])[np.asarray(full["valid"])]
+        want = sorted(kept_scores, reverse=True)[:max_det]
+        trunc = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores.copy()),
+                          jnp.asarray(classes), iou_threshold=0.45,
+                          max_det=max_det)
+        assert np.asarray(trunc["boxes"]).shape == (max_det, 4)
+        got = np.asarray(trunc["scores"])[np.asarray(trunc["valid"])]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
     def test_cascade_not_suppressed_by_suppressed_box(self):
         # B overlaps A (suppressed); C overlaps B but not A -> C must survive
         boxes = jnp.asarray([[0, 0, 10, 10], [4, 0, 14, 10], [9, 0, 19, 10]],
