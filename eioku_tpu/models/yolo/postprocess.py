@@ -153,6 +153,26 @@ def detect(params: Params, images: jnp.ndarray, cfg: YoloConfig,
     top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
     top_classes = jnp.take_along_axis(classes_all, top_idx, axis=1)
 
-    return jax.vmap(
-        lambda bx, sc, cl: nms_fixed(bx, sc, cl, iou_threshold, max_det)
-    )(top_boxes, top_scores, top_classes)
+    if k <= max_det:
+        # default configuration (k=256): the fused XLA formulation measured
+        # fastest here (docs/PERF.md r4 experiments)
+        return jax.vmap(
+            lambda bx, sc, cl: nms_fixed(bx, sc, cl, iou_threshold, max_det)
+        )(top_boxes, top_scores, top_classes)
+    # large candidate pool (k > max_det, e.g. top_k=512/1024 crowd configs):
+    # batched keep mask — the Pallas kernel keeps each image's [K, K]
+    # suppression problem VMEM-resident (ops/nms.py; ~27% faster than the
+    # XLA path at K=1024) — then kept-first truncation to max_det slots
+    from eioku_tpu.ops.nms import nms_keep_mask
+
+    keep = nms_keep_mask(top_boxes, top_scores, top_classes, iou_threshold)
+    order = jnp.argsort(~keep, axis=1, stable=True)[:, :max_det]
+    keep_sel = jnp.take_along_axis(keep, order, axis=1)
+    return {
+        "boxes": jnp.take_along_axis(top_boxes, order[..., None], axis=1),
+        "scores": jnp.where(
+            keep_sel, jnp.take_along_axis(top_scores, order, axis=1), 0.0),
+        "classes": jnp.where(
+            keep_sel, jnp.take_along_axis(top_classes, order, axis=1), -1),
+        "valid": keep_sel,
+    }
