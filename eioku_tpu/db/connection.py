@@ -238,12 +238,21 @@ def _import_pg_driver():
 class PostgresDatabase:
     """PostgreSQL engine with the Database interface (same method surface,
     same qmark SQL — translated per-execute) and dialect=POSTGRES so
-    dialect-divergent statements are built in PG form."""
+    dialect-divergent statements are built in PG form.
+
+    Connection resilience: the reference's engine carries
+    pool_pre_ping=True + pool_recycle=300 (/root/reference/backend/src/
+    database/connection.py:15-18) so a server restart or idle-timeout kill
+    is healed transparently. The single-connection equivalent here is
+    reconnect-on-failure: an OperationalError/InterfaceError OUTSIDE any
+    transaction reconnects once and retries the statement; inside a
+    transaction the error propagates (the caller's transaction() context
+    rolls back — a retry would silently split atomicity)."""
 
     dialect = POSTGRES
 
     def __init__(self, url: str):
-        driver = _import_pg_driver()
+        self._driver = _import_pg_driver()
         self.url = url
         # interface parity with Database: consumers branch on path for
         # file-adjacent storage (thumbnails, semantic index); PG has no file,
@@ -251,14 +260,43 @@ class PostgresDatabase:
         self.path = ""
         self._lock = threading.RLock()
         self._txn_depth = 0
+        # connection errors the reconnect path may heal (every supported
+        # driver exposes both DBAPI names)
+        self._retryable = tuple(
+            getattr(self._driver, name)
+            for name in ("OperationalError", "InterfaceError")
+            if hasattr(self._driver, name)) or (OSError,)
+        self._raw = self._connect()
+
+    def _connect(self):
         # psycopg2 and the first-party pgwire client take the DSN directly;
         # pg8000.dbapi wants keyword args
-        if driver.__name__.startswith("psycopg2") \
-                or driver.__name__.endswith("pgwire"):
-            self._raw = driver.connect(url)
+        if self._driver.__name__.startswith("psycopg2") \
+                or self._driver.__name__.endswith("pgwire"):
+            raw = self._driver.connect(self.url)
         else:
-            self._raw = _pg8000_connect(driver, url)
-        self._raw.autocommit = False
+            raw = _pg8000_connect(self._driver, self.url)
+        raw.autocommit = False
+        return raw
+
+    def _reconnect(self):
+        try:
+            self._raw.close()
+        except Exception:
+            pass
+        self._raw = self._connect()
+
+    def _run(self, op):
+        """Run op(conn) under the lock; outside a transaction, heal a dead
+        connection by reconnecting once and retrying (pre-ping parity)."""
+        with self._lock:
+            try:
+                return op(self._raw)
+            except self._retryable:
+                if self._txn_depth != 0:
+                    raise  # never silently split an open transaction
+                self._reconnect()
+                return op(self._raw)
 
     @contextmanager
     def transaction(self) -> Iterator[_PgConn]:
@@ -270,40 +308,54 @@ class PostgresDatabase:
             except BaseException:
                 self._txn_depth -= 1
                 if outermost:
-                    self._raw.rollback()
+                    try:
+                        self._raw.rollback()
+                    except self._retryable:
+                        # the connection died mid-transaction: the server
+                        # aborts the open transaction with the session, so a
+                        # fresh connection is the correct rolled-back state
+                        self._reconnect()
                 raise
             self._txn_depth -= 1
             if outermost:
                 self._raw.commit()
 
     def execute(self, sql: str, params: tuple | dict = ()) -> _PgCursor:
-        with self._lock:
-            cur = _PgConn(self._raw).execute(sql, params)
+        def op(raw):
+            cur = _PgConn(raw).execute(sql, params)
             if self._txn_depth == 0:
-                self._raw.commit()
+                raw.commit()
             return cur
 
+        return self._run(op)
+
     def executemany(self, sql: str, seq: list[tuple]) -> None:
-        with self._lock:
-            _PgConn(self._raw).executemany(sql, seq)
+        def op(raw):
+            _PgConn(raw).executemany(sql, seq)
             if self._txn_depth == 0:
-                self._raw.commit()
+                raw.commit()
+
+        self._run(op)
 
     def query(self, sql: str, params: tuple | dict = ()) -> list[_PgRow]:
-        with self._lock:
-            rows = _PgConn(self._raw).execute(sql, params).fetchall()
+        def op(raw):
+            rows = _PgConn(raw).execute(sql, params).fetchall()
             if self._txn_depth == 0:
                 # autocommit is off: without this, a read-mostly process sits
                 # "idle in transaction" forever (blocks VACUUM, holds locks)
-                self._raw.commit()
+                raw.commit()
             return rows
 
+        return self._run(op)
+
     def query_one(self, sql: str, params: tuple | dict = ()) -> _PgRow | None:
-        with self._lock:
-            row = _PgConn(self._raw).execute(sql, params).fetchone()
+        def op(raw):
+            row = _PgConn(raw).execute(sql, params).fetchone()
             if self._txn_depth == 0:
-                self._raw.commit()
+                raw.commit()
             return row
+
+        return self._run(op)
 
     def scalar(self, sql: str, params: tuple | dict = ()) -> Any:
         row = self.query_one(sql, params)

@@ -79,11 +79,17 @@ class _Reader:
         self._f = sock.makefile("rb")
 
     def read_message(self) -> tuple[bytes, bytes]:
-        head = self._f.read(5)
+        try:
+            head = self._f.read(5)
+        except OSError as e:  # reset/closed socket -> DBAPI error class
+            raise OperationalError(f"connection lost: {e}") from e
         if len(head) < 5:
             raise OperationalError("server closed the connection")
         tag, length = head[:1], struct.unpack("!I", head[1:5])[0]
-        payload = self._f.read(length - 4)
+        try:
+            payload = self._f.read(length - 4)
+        except OSError as e:
+            raise OperationalError(f"connection lost: {e}") from e
         if len(payload) < length - 4:
             raise OperationalError("short read from server")
         return tag, payload
@@ -410,6 +416,15 @@ class Connection:
             self.rollback()
         self.close()
 
+    def _send(self, data: bytes) -> None:
+        """sendall with socket errors wrapped as the DBAPI error class (a
+        dropped connection must raise OperationalError, not raw OSError —
+        PostgresDatabase's reconnect-on-failure dispatches on it)."""
+        try:
+            self._sock.sendall(data)
+        except OSError as e:
+            raise OperationalError(f"connection lost: {e}") from e
+
     # -- protocol: startup + auth
 
     def _startup(self, user: str, database: str) -> None:
@@ -418,7 +433,7 @@ class Connection:
                      ("client_encoding", "UTF8")):
             body += _cstr(k.encode()) + _cstr(v.encode())
         body += b"\x00"
-        self._sock.sendall(struct.pack("!I", len(body) + 4) + body)
+        self._send(struct.pack("!I", len(body) + 4) + body)
         scram: _ScramClient | None = None
         while True:
             tag, payload = self._reader.read_message()
@@ -429,7 +444,7 @@ class Connection:
                 if code == 0:  # AuthenticationOk
                     continue
                 if code == 3:  # cleartext password
-                    self._sock.sendall(
+                    self._send(
                         _msg(b"p", _cstr(self._password.encode("utf-8"))))
                 elif code == 5:  # MD5: md5(md5(password+user)+salt)
                     salt = payload[4:8]
@@ -438,7 +453,7 @@ class Connection:
                     ).hexdigest().encode("ascii")
                     digest = b"md5" + hashlib.md5(
                         inner + salt).hexdigest().encode("ascii")
-                    self._sock.sendall(_msg(b"p", _cstr(digest)))
+                    self._send(_msg(b"p", _cstr(digest)))
                 elif code == 10:  # SASL: pick SCRAM-SHA-256
                     mechs = payload[4:].split(b"\x00")
                     if b"SCRAM-SHA-256" not in mechs:
@@ -447,13 +462,13 @@ class Connection:
                             f"(got {mechs})")
                     scram = _ScramClient(self._password)
                     first = scram.first_message()
-                    self._sock.sendall(_msg(
+                    self._send(_msg(
                         b"p", _cstr(b"SCRAM-SHA-256")
                         + struct.pack("!I", len(first)) + first))
                 elif code == 11:  # SASL continue
                     if scram is None:
                         raise OperationalError("SASLContinue before SASL")
-                    self._sock.sendall(
+                    self._send(
                         _msg(b"p", scram.final_message(payload[4:])))
                 elif code == 12:  # SASL final
                     if scram is None:
@@ -484,7 +499,7 @@ class Connection:
 
     def _simple(self, sql: str) -> str | None:
         """Simple-query protocol ('Q'): used for BEGIN/COMMIT/ROLLBACK."""
-        self._sock.sendall(_msg(b"Q", _cstr(sql.encode("utf-8"))))
+        self._send(_msg(b"Q", _cstr(sql.encode("utf-8"))))
         tag_text, error = None, None
         while True:
             tag, payload = self._reader.read_message()
@@ -518,7 +533,7 @@ class Connection:
         buf += _msg(b"D", b"P" + _cstr(b""))
         buf += _msg(b"E", _cstr(b"") + struct.pack("!I", 0))
         buf += _msg(b"S", b"")
-        self._sock.sendall(bytes(buf))
+        self._send(bytes(buf))
 
         cols: list[tuple[str, int]] | None = None
         rows: list[tuple] = []

@@ -67,16 +67,21 @@ class FakePgServer(threading.Thread):
     self.executed as (sql, [param-or-None text values])."""
 
     def __init__(self, auth: str = "trust", password: str = "secret",
-                 script=None):
+                 script=None, kill_after: int | None = None):
         super().__init__(daemon=True)
         self.auth, self.password = auth, password
         self.script = [(re.compile(p, re.I | re.S), r)
                        for p, r in (script or [])]
         self.executed: list[tuple[str, list]] = []
         self.simple_queries: list[str] = []
+        # abruptly close the client socket once this many extended-protocol
+        # statements have executed (simulates a server restart / idle kill);
+        # later connections are served normally
+        self.kill_after = kill_after
+        self.connections = 0
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
-        self._srv.listen(1)
+        self._srv.listen(4)
         self.port = self._srv.getsockname()[1]
 
     # -- lifecycle
@@ -90,16 +95,18 @@ class FakePgServer(threading.Thread):
         self.join(timeout=5)
 
     def run(self):
-        try:
-            conn, _ = self._srv.accept()
-        except OSError:
-            return
-        try:
-            self._serve(conn)
-        except (OSError, ConnectionError):
-            pass
-        finally:
-            conn.close()
+        while True:  # serve sequential connections (reconnect tests)
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            self.connections += 1
+            try:
+                self._serve(conn)
+            except (OSError, ConnectionError):
+                pass
+            finally:
+                conn.close()
 
     # -- protocol
 
@@ -149,6 +156,9 @@ class FakePgServer(threading.Thread):
                 pass  # row description is emitted with the Execute result
             elif tag == b"E":
                 self.executed.append((pending_sql, pending_params))
+                if self.kill_after is not None \
+                        and len(self.executed) == self.kill_after:
+                    return  # abrupt close mid-batch: no response, no Sync
                 responses += self._respond(pending_sql)
             elif tag == b"S":
                 conn.sendall(bytes(responses) + _msg(b"Z", b"T"))
@@ -460,6 +470,51 @@ class TestQueries:
             conn.commit()  # no-op outside a transaction
             conn.close()
         assert srv.simple_queries == ["BEGIN", "COMMIT", "BEGIN", "ROLLBACK"]
+
+
+class TestAutoReconnect:
+    """PostgresDatabase pre-ping parity (reference: pool_pre_ping +
+    recycle 300s, backend/src/database/connection.py:15-18): a dead
+    connection heals transparently OUTSIDE transactions and fails loudly
+    (with rollback + heal) inside them."""
+
+    @pytest.fixture
+    def no_external_drivers(self, monkeypatch):
+        monkeypatch.setitem(sys.modules, "psycopg2", None)
+        monkeypatch.setitem(sys.modules, "pg8000", None)
+        monkeypatch.setitem(sys.modules, "pg8000.dbapi", None)
+
+    def test_query_retries_on_fresh_connection(self, no_external_drivers):
+        from eioku_tpu.db.connection import connect
+
+        cols = [("v", OID_INT4)]
+        script = [(r"SELECT v", ("rows", cols, [[b"11"]]))]
+        with FakePgServer(script=script, kill_after=1) as srv:
+            db = connect(_dsn(srv))
+            rows = db.query("SELECT v FROM t")  # stmt 1 killed -> retried
+            assert [r[0] for r in rows] == [11]
+            assert srv.connections == 2  # transparently reconnected
+            # and the healed connection keeps working
+            assert db.query("SELECT v FROM t")[0][0] == 11
+            db.close()
+        assert srv.connections == 2
+
+    def test_transaction_never_silently_retried(self, no_external_drivers):
+        from eioku_tpu.db import pgwire
+        from eioku_tpu.db.connection import connect
+
+        with FakePgServer(kill_after=2) as srv:
+            db = connect(_dsn(srv))
+            with db.transaction() as c:
+                c.execute("INSERT INTO t VALUES (?)", (1,))  # stmt 1 ok
+            with pytest.raises(pgwire.OperationalError):
+                with db.transaction() as c:
+                    c.execute("INSERT INTO t VALUES (?)", (2,))  # killed
+            # the broken transaction surfaced; the engine healed for
+            # subsequent work on a fresh connection
+            db.query("SELECT 1")
+            assert srv.connections == 2
+            db.close()
 
 
 class TestPostgresDatabaseIntegration:
