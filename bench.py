@@ -124,11 +124,15 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640,
     _log(f"detect compile+first: {time.time() - t0:.1f}s")
     _maybe_cache_forensics("detect_int8" if int8 else "detect",
                            time.time() - t0)
-    # distinct start offset: identical repeated executions can be
-    # deduplicated by the remote backend and would under-measure
-    t0 = time.time()
-    float(run(params, frames, jnp.int32(7)))
-    dt = time.time() - t0
+    # distinct start offsets: identical repeated executions can be
+    # deduplicated by the remote backend and would under-measure. Best-of-3:
+    # single timed runs have recorded 20x stalls from tunnel latency alone
+    # (r4 rehearsal: detect_m 7.4s for a 0.3s program)
+    dt = float("inf")
+    for s in (7, 13, 21):
+        t0 = time.time()
+        float(run(params, frames, jnp.int32(s)))
+        dt = min(dt, time.time() - t0)
     fps = n_batches * batch / dt
     extra = {}
     # Provisional result line BEFORE the optional MFU compile: the
@@ -183,9 +187,12 @@ def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
     float(run(params, frames, jnp.int32(0)))
     _log(f"detect_m compile+first: {time.time() - t0:.1f}s")
     _maybe_cache_forensics("detect_m", time.time() - t0)
-    t0 = time.time()
-    float(run(params, frames, jnp.int32(7)))  # distinct start: defeat dedup
-    dt = time.time() - t0
+    dt = float("inf")
+    for s in (7, 13, 21):  # distinct starts defeat dedup; best-of-3 rejects
+        # tunnel stalls (see bench_detect)
+        t0 = time.time()
+        float(run(params, frames, jnp.int32(s)))
+        dt = min(dt, time.time() - t0)
     fps = n_batches * batch / dt
     extra = {}
     _provisional("detect_m", fps)  # parseable even if the MFU compile is cut
@@ -613,25 +620,24 @@ def _bench_whisper_common(beam_size: int, batch: int = 4,
     tag = "int8_" if int8 else ""
     tok_key = (f"whisper_beam{beam_size}_{tag}{decode_tokens}"
                "tok_decoded_tokens_per_s")
-    # run 1 timed on its own -> provisional: a tunnel latency spike during
-    # runs 2-3 must not lose the stage (VERDICT r3 item 2). Each run is one
-    # long sequential decode scan, so per-run syncing costs ~nothing.
-    t0 = time.time()
-    out1 = run(inputs[0])
-    jax.block_until_ready(out1)
-    int(np.asarray(jax.tree_util.tree_leaves(out1)[0]).ravel()[-1])
-    dt1 = time.time() - t0
-    _provisional(stage, batch * 30.0 / dt1,
-                 {tok_key: round(batch * decode_tokens / dt1)})
-    t0 = time.time()
-    outs = [run(w) for w in inputs[1:]]
-    jax.block_until_ready(outs)
-    # force a device->host transfer inside the timed region (CLAUDE.md:
-    # block_until_ready alone under-measures on this backend)
-    int(np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[-1])
-    dt = dt1 + (time.time() - t0)
-    audio_per_s = n * batch * 30.0 / dt
-    tokens_per_s = n * batch * decode_tokens / dt
+    # each run timed on its own, provisional after the first: a tunnel
+    # latency spike must neither lose the stage (VERDICT r3 item 2) nor
+    # poison the figure — best-of-3 rejects stalls (an r4 rehearsal caught a
+    # single-timing 17x stall: 8.3 audio-s/s for a ~140 audio-s/s program).
+    # Each run is one long sequential decode scan, so per-run syncing (the
+    # device->host transfer CLAUDE.md requires anyway) costs ~nothing.
+    dt = float("inf")
+    for j, w in enumerate(inputs):
+        t0 = time.time()
+        out_j = run(w)
+        jax.block_until_ready(out_j)
+        int(np.asarray(jax.tree_util.tree_leaves(out_j)[0]).ravel()[-1])
+        dt = min(dt, time.time() - t0)
+        if j == 0:
+            _provisional(stage, batch * 30.0 / dt,
+                         {tok_key: round(batch * decode_tokens / dt)})
+    audio_per_s = batch * 30.0 / dt
+    tokens_per_s = batch * decode_tokens / dt
     _log(f"whisper {variant} beam={beam_size}{' int8' if int8 else ''}: "
          f"{audio_per_s:.1f} audio-seconds/s, {tokens_per_s:.0f} decoded "
          f"tokens/s ({decode_tokens} tokens/window)")
