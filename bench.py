@@ -133,12 +133,13 @@ def bench_detect(n_batches: int = 8, batch: int = 384, size: int = 640,
         t0 = time.time()
         float(run(params, frames, jnp.int32(s)))
         dt = min(dt, time.time() - t0)
+        # flush after every run: a stall mid-loop must not lose the best
+        # already-measured value (and the line BEFORE the optional MFU
+        # compile salvages a kill during cost_analysis)
+        _provisional("detect_int8" if int8 else "detect",
+                     n_batches * batch / dt)
     fps = n_batches * batch / dt
     extra = {}
-    # Provisional result line BEFORE the optional MFU compile: the
-    # orchestrator parses the LAST stdout line, so if this subprocess is
-    # killed while cost_analysis compiles cold, the measured fps still lands.
-    _provisional("detect_int8" if int8 else "detect", fps)
     if not int8:  # MFU for the fp path (cost model mis-counts int8 dots)
         _detect_mfu_extra("detect", cfg, params, frames, fps, extra)
     _log(f"detect{'_int8' if int8 else ''}: {fps:.1f} frames/s "
@@ -193,9 +194,10 @@ def bench_detect_m(n_batches: int = 4, batch: int = 128, size: int = 640):
         t0 = time.time()
         float(run(params, frames, jnp.int32(s)))
         dt = min(dt, time.time() - t0)
+        _provisional("detect_m", n_batches * batch / dt)  # per-run flush;
+        # also parseable even if the MFU compile below is cut
     fps = n_batches * batch / dt
     extra = {}
-    _provisional("detect_m", fps)  # parseable even if the MFU compile is cut
     _detect_mfu_extra("detect_m", cfg, params, frames, fps, extra)
     _log(f"detect_m: {fps:.1f} frames/s ({dt:.3f}s for {n_batches}x{batch}) "
          f"{extra}")
@@ -627,15 +629,16 @@ def _bench_whisper_common(beam_size: int, batch: int = 4,
     # Each run is one long sequential decode scan, so per-run syncing (the
     # device->host transfer CLAUDE.md requires anyway) costs ~nothing.
     dt = float("inf")
-    for j, w in enumerate(inputs):
+    for w in inputs:
         t0 = time.time()
         out_j = run(w)
         jax.block_until_ready(out_j)
         int(np.asarray(jax.tree_util.tree_leaves(out_j)[0]).ravel()[-1])
         dt = min(dt, time.time() - t0)
-        if j == 0:
-            _provisional(stage, batch * 30.0 / dt,
-                         {tok_key: round(batch * decode_tokens / dt)})
+        # flush after every run: the first provisional protects against a
+        # later stall, the rest keep the best-so-far current
+        _provisional(stage, batch * 30.0 / dt,
+                     {tok_key: round(batch * decode_tokens / dt)})
     audio_per_s = batch * 30.0 / dt
     tokens_per_s = batch * decode_tokens / dt
     _log(f"whisper {variant} beam={beam_size}{' int8' if int8 else ''}: "
