@@ -448,6 +448,22 @@ class TestQueries:
             cur.execute("SELECT 1")  # ReadyForQuery resynced: still usable
             conn.close()
 
+    def test_cursor_fetchmany_iteration_and_context_manager(self):
+        cols = [("v", OID_INT4)]
+        rows = [[str(i).encode()] for i in range(5)]
+        with FakePgServer(script=[(r"SELECT seq",
+                                   ("rows", cols, rows))]) as srv:
+            with pgwire.connect(_dsn(srv)) as conn:
+                conn.autocommit = True
+                cur = conn.cursor()
+                cur.execute("SELECT seq")
+                assert cur.fetchmany(2) == [(0,), (1,)]
+                assert list(cur) == [(2,), (3,), (4,)]
+                assert cur.fetchone() is None
+            # __exit__ committed (no-op outside txn) and closed
+            with pytest.raises(pgwire.InterfaceError):
+                conn.cursor()
+
     def test_executemany_accumulates_rowcount(self):
         with FakePgServer() as srv:
             conn = pgwire.connect(_dsn(srv))
