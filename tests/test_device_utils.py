@@ -45,6 +45,19 @@ class TestCompileCacheDir:
         c2 = compile_cache_dir()
         assert c1 != c2 and "_tpu_" not in c1
 
+    def test_setup_persistent_cache_wires_config(self):
+        """The shared entry-point helper must point jax at the backend-split
+        dir and set the persistence threshold (every entry point — bench,
+        conftest, graft entry, profiler — relies on this one function)."""
+        import jax
+
+        from eioku_tpu.utils.device import setup_persistent_cache
+
+        d = setup_persistent_cache()
+        assert d == compile_cache_dir()
+        assert jax.config.jax_compilation_cache_dir == d
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 2.0
+
     def test_cache_key_stabilizer_drops_build_timestamp_only(self):
         """stabilize_compile_cache_key must make the `backend version` key
         component invariant to the platform_version's `Built on …` line on
