@@ -286,15 +286,28 @@ class PostgresDatabase:
             pass
         self._raw = self._connect()
 
-    def _run(self, op):
-        """Run op(conn) under the lock; outside a transaction, heal a dead
-        connection by reconnecting once and retrying (pre-ping parity)."""
+    def _run(self, op, *, write: bool = False):
+        """Run op(conn) under the lock, healing a dead connection outside a
+        transaction (pre-ping parity with the reference's pool_pre_ping).
+
+        Reads retry after the failure: re-executing a SELECT is idempotent.
+        Writes must execute at most once — a connection can die AFTER the
+        server applied the statement but before the client read
+        CommandComplete, and a blind retry would silently duplicate the
+        INSERT — so writes ping FIRST (SELECT 1) and only a failed ping
+        triggers the reconnect; the real statement is never re-executed."""
         with self._lock:
+            if write and self._txn_depth == 0:
+                try:
+                    _PgConn(self._raw).execute("SELECT 1").fetchone()
+                except self._retryable:
+                    self._reconnect()
+                return op(self._raw)
             try:
                 return op(self._raw)
             except self._retryable:
-                if self._txn_depth != 0:
-                    raise  # never silently split an open transaction
+                if self._txn_depth != 0 or write:
+                    raise  # never split a transaction or re-run a write
                 self._reconnect()
                 return op(self._raw)
 
@@ -327,7 +340,7 @@ class PostgresDatabase:
                 raw.commit()
             return cur
 
-        return self._run(op)
+        return self._run(op, write=True)
 
     def executemany(self, sql: str, seq: list[tuple]) -> None:
         def op(raw):
@@ -335,7 +348,7 @@ class PostgresDatabase:
             if self._txn_depth == 0:
                 raw.commit()
 
-        self._run(op)
+        self._run(op, write=True)
 
     def query(self, sql: str, params: tuple | dict = ()) -> list[_PgRow]:
         def op(raw):

@@ -143,8 +143,14 @@ def _decode_value(raw: bytes | None, oid: int):
     text = raw.decode("utf-8")
     if oid in (_OID_INT2, _OID_INT4, _OID_INT8, _OID_OID):
         return int(text)
-    if oid in (_OID_FLOAT4, _OID_FLOAT8, _OID_NUMERIC):
+    if oid in (_OID_FLOAT4, _OID_FLOAT8):
         return float(text)
+    if oid == _OID_NUMERIC:
+        # psycopg2 parity: NUMERIC round-trips exact as decimal.Decimal —
+        # float would lossily coerce exact-precision columns
+        import decimal
+
+        return decimal.Decimal(text)
     if oid == _OID_BOOL:
         return text in ("t", "true", "1")
     if oid == _OID_BYTEA:

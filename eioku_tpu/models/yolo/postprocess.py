@@ -54,8 +54,12 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
     """Greedy class-aware NMS over pre-top-K candidates (single image).
 
     boxes [K,4], scores [K] (0 for padding), classes [K]. Returns dict of
-    fixed-shape arrays: boxes [max_det,4], scores, classes, valid mask.
-    Candidates must already be sorted by descending score.
+    fixed-shape [min(K, max_det)]-row arrays: boxes [.,4], scores, classes,
+    valid mask. Candidates must already be sorted by descending score.
+    When K <= max_det the rows stay in score order with suppressed slots
+    masked out (NOT compacted kept-first); only the K > max_det truncation
+    path reorders kept boxes to the front. Consumers must trim by the
+    `valid` mask, never by slot position.
 
     Greedy keep is the unique solution of "kept iff no kept higher-ranked
     box conflicts with me", so instead of K sequential suppression steps it

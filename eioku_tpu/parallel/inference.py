@@ -38,14 +38,14 @@ class DataParallelDetector:
         self._in_sharding = data_sharded(mesh)
 
     def __call__(self, frames, conf_threshold: float = 0.25,
-                 iou_threshold: float = 0.45) -> dict:
+                 iou_threshold: float = 0.45, top_k: int = 256) -> dict:
         n_data = self.mesh.shape["data"]
         frames = jnp.asarray(frames)
         frames, orig_b = pad_to_multiple(frames, n_data)
         frames = jax.device_put(frames, self._in_sharding)
         out = self._detect(self.params, frames, self.cfg,
                            conf_threshold=conf_threshold,
-                           iou_threshold=iou_threshold)
+                           iou_threshold=iou_threshold, top_k=top_k)
         return {k: v[:orig_b] for k, v in out.items()}
 
 

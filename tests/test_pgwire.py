@@ -515,6 +515,41 @@ class TestAutoReconnect:
             db.close()
         assert srv.connections == 2
 
+    def test_write_pings_first_and_heals_dead_connection(
+            self, no_external_drivers):
+        """Writes use true pre-ping semantics: the SELECT 1 probe absorbs
+        the dead connection, and the INSERT executes exactly once on the
+        fresh connection (never re-executed after a mid-statement failure,
+        which could duplicate a write the server already applied)."""
+        from eioku_tpu.db.connection import connect
+
+        with FakePgServer(kill_after=1) as srv:
+            db = connect(_dsn(srv))
+            db.execute("INSERT INTO t VALUES (?)", (7,))  # ping dies -> heal
+            db.close()
+        inserts = [(s, p) for s, p in srv.executed if "INSERT" in s]
+        assert inserts == [("INSERT INTO t VALUES ($1)", ["7"])]
+        assert srv.connections == 2
+
+    def test_write_failure_after_ping_is_not_retried(
+            self, no_external_drivers):
+        """A connection death DURING the write (after a healthy ping) must
+        surface, not silently re-execute: the server may have applied the
+        statement before the failure."""
+        from eioku_tpu.db import pgwire
+        from eioku_tpu.db.connection import connect
+
+        with FakePgServer(kill_after=2) as srv:
+            db = connect(_dsn(srv))
+            with pytest.raises(pgwire.OperationalError):
+                db.execute("INSERT INTO t VALUES (?)", (8,))  # dies mid-stmt
+            # exactly one INSERT ever reached the server
+            inserts = [s for s, _ in srv.executed if "INSERT" in s]
+            assert inserts == ["INSERT INTO t VALUES ($1)"]
+            # the engine still heals for subsequent reads
+            db.query("SELECT 1")
+            db.close()
+
     def test_transaction_never_silently_retried(self, no_external_drivers):
         from eioku_tpu.db import pgwire
         from eioku_tpu.db.connection import connect
