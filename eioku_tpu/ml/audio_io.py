@@ -102,6 +102,10 @@ def _configure_av(lib) -> None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_int,
         ctypes.c_char_p]
+    lib.eioku_media_encode_ex.restype = ctypes.c_int
+    lib.eioku_media_encode_ex.argtypes = \
+        lib.eioku_media_encode_mapped.argtypes + [ctypes.c_longlong,
+                                                  ctypes.c_char_p]
     lib.eioku_clip_remux.restype = ctypes.c_int
     lib.eioku_clip_remux.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong,
@@ -164,14 +168,19 @@ def native_media_encode(path: str, frames: np.ndarray | None,
                         samples: np.ndarray | None = None,
                         sr: int = SAMPLE_RATE,
                         video_codec: str | None = None,
-                        frame_map: np.ndarray | None = None) -> None:
+                        frame_map: np.ndarray | None = None,
+                        video_bitrate: int | None = None,
+                        preset: str | None = None) -> None:
     """Mux video (frames: (N,H,W,3) uint8 RGB) and/or an AAC audio
     track (mono float32 PCM) into one container at `path` — the shape
     real-world library files take. Either stream may be omitted.
     video_codec picks the encoder by libav name (default libx264;
     e.g. "libx265", "libvpx-vp9" for decode-breadth fixtures).
     frame_map (int32 [T]) makes output frame i read frames[frame_map[i]]:
-    long fixtures with few distinct frames need MBs, not GBs, of buffer."""
+    long fixtures with few distinct frames need MBs, not GBs, of buffer.
+    video_bitrate (bps; default 800k) and preset (x264 name; default
+    "ultrafast") let realistic-content fixtures carry camera-class
+    bitstreams (8-16 Mbps) so decode pays real-file work."""
     import ctypes
     lib = native_decoder()
     if lib is None:
@@ -194,9 +203,10 @@ def native_media_encode(path: str, frames: np.ndarray | None,
         pcm, n_pcm = x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x)
     else:
         pcm, n_pcm = None, 0
-    ret = lib.eioku_media_encode_mapped(
+    ret = lib.eioku_media_encode_ex(
         path.encode(), rgb, fmap, n_frames, w, h, float(fps), pcm, n_pcm, sr,
-        video_codec.encode() if video_codec else None)
+        video_codec.encode() if video_codec else None,
+        int(video_bitrate or 0), preset.encode() if preset else None)
     if ret != 0:
         raise RuntimeError(f"native media encode failed for {path!r} "
                            f"(averror {ret})")

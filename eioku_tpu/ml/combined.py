@@ -510,10 +510,15 @@ def run_visual_analysis(video_path: str, config: dict,
     batch_size = int(config.get("batch_size", 32))
     decode_threads = int(config.get("decode_threads", 4))
     decode_procs = int(config.get("decode_procs", 0))
+    # analysis-decode accelerators (video_io._decode_flags): default level 1
+    # skips only the deblocking filter; level 2 additionally skips non-ref
+    # frames — sound here because every consumer samples sparsely (the base
+    # grid is the 4 fps scene cadence: step >= 6 at 24-30 fps sources)
+    decode_fast = int(config.get("decode_fast", 1))
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval_s,
             resize_hw=dec_hw, decode_threads=decode_threads,
-            decode_procs=decode_procs)):
+            decode_procs=decode_procs, fast_level=decode_fast)):
         if scfg is not None:
             # Scene scoring needs only 96x160: resize on host so the device
             # upload is ~40x smaller than shipping full-resolution frames

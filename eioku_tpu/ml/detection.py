@@ -127,7 +127,8 @@ def _run_detection(video_path: str, config: dict, *, model_name: str,
     results: list[dict] = []
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval,
-            decode_threads=decode_threads, decode_procs=decode_procs)):
+            decode_threads=decode_threads, decode_procs=decode_procs,
+            fast_level=int(config.get("decode_fast", 1)))):
         batch_start = len(results)
         if preprocess == "device":
             from eioku_tpu.ops.resize import (

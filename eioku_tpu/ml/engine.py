@@ -120,6 +120,7 @@ class InferenceEngine:
             batch_size=int(config.get("batch_size", 64)),
             decode_threads=int(config.get("decode_threads", 4)),
             decode_procs=int(config.get("decode_procs", 0)),
+            decode_fast=int(config.get("decode_fast", 1)),
         )
         return [
             {"payload": {"scene_index": s.scene_index, "start_ms": s.start_ms,

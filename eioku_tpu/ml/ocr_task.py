@@ -222,7 +222,8 @@ def run_ocr(video_path: str, config: dict,
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval,
             resize_hw=(DETECT_H, DETECT_W), decode_threads=decode_threads,
-            decode_procs=decode_procs)):
+            decode_procs=decode_procs,
+            fast_level=int(config.get("decode_fast", 1)))):
         scores = np.asarray(
             craft_scores_i420(craft_params,
                               jnp.asarray(to_i420(batch.frames))),

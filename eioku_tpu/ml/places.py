@@ -43,7 +43,8 @@ def run_place_classification(video_path: str, config: dict,
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval,
             resize_hw=(224, 224), decode_threads=decode_threads,
-            decode_procs=decode_procs)):
+            decode_procs=decode_procs,
+            fast_level=int(config.get("decode_fast", 1)))):
         logits = resnet18_forward(params, preprocess(jnp.asarray(batch.frames)))
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         scores, idx = jax.lax.top_k(probs, top_k)

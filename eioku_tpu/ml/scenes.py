@@ -48,6 +48,7 @@ def detect_scenes(
     use_pallas: bool = True,
     decode_threads: int = 4,
     decode_procs: int = 0,
+    decode_fast: int = 1,
 ) -> list[Scene]:
     info = video_io.probe(path)
     duration_ms = info.duration_ms
@@ -59,7 +60,7 @@ def detect_scenes(
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             path, batch_size=batch_size, frame_interval_s=interval_s,
             resize_hw=(SCENE_H, SCENE_W), decode_threads=decode_threads,
-            decode_procs=decode_procs)):
+            decode_procs=decode_procs, fast_level=decode_fast)):
         # ship I420 (half the bytes of RGB); device converts back and scores
         planes = i420_frames_to_hsv_planes(jnp.asarray(to_i420(batch.frames)))
         scores = np.asarray(scene_scores(prev_plane, planes, use_pallas=use_pallas))

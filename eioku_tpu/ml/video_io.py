@@ -69,6 +69,7 @@ def _configure_video_lib(lib) -> None:
     lib.eioku_video_open.restype = ctypes.c_int
     lib.eioku_video_open.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
@@ -98,15 +99,32 @@ def _native_enabled() -> bool:
         native_video_lib() is not None
 
 
+def _decode_flags(fast_level: int, step: int) -> int:
+    """Map the analysis-decode speed level to native open() flags.
+
+    0 = bit-exact (cv2 parity). 1 = skip the in-loop deblocking filter
+    (~15-30% less decode CPU; LSB-level drift, invisible at model input
+    scales). 2 = additionally skip non-reference frames when the sample
+    step is sparse enough (>= 4) that samples snap at most a couple of
+    frames — skipped frames' motion-comp cost vanishes entirely."""
+    flags = 0
+    if fast_level >= 1:
+        flags |= 1
+    if fast_level >= 2 and step >= 4:
+        flags |= 2
+    return flags
+
+
 def _decode_native(path, fps, step, batch_size, resize_hw, max_frames,
-                   start_frame: int = 0, end_frame: int = -1
-                   ) -> Iterator[FrameBatch]:
+                   start_frame: int = 0, end_frame: int = -1,
+                   fast_level: int = 0) -> Iterator[FrameBatch]:
     """Sampled decode of [start_frame, end_frame) through the native shim.
     Mirrors _decode_segment's contract: same sampled frame set (indices are
     multiples of `step` counted from frame 0), same batch shapes. lowres only
     engages when resize_hw is much smaller than the source, so output
     geometry always equals the cv2 path's. ctypes releases the GIL during
-    decode, so stripe workers and the prefetch thread truly overlap."""
+    decode, so stripe workers and the prefetch thread truly overlap.
+    fast_level engages the analysis-decode accelerators (_decode_flags)."""
     import ctypes
     lib = native_video_lib()
     target_h, target_w = resize_hw if resize_hw is not None else (0, 0)
@@ -118,6 +136,7 @@ def _decode_native(path, fps, step, batch_size, resize_hw, max_frames,
     c_fps = ctypes.c_double()
     nf = ctypes.c_longlong()
     ret = lib.eioku_video_open(path.encode(), target_w, target_h, 3,
+                               _decode_flags(fast_level, step),
                                ctypes.byref(h), ctypes.byref(src_w),
                                ctypes.byref(src_h), ctypes.byref(out_w),
                                ctypes.byref(out_h), ctypes.byref(c_fps),
@@ -167,10 +186,11 @@ def _decode_native(path, fps, step, batch_size, resize_hw, max_frames,
 
 
 def _decode_native_list(path, fps, step, batch_size, resize_hw,
-                        start_frame: int, end_frame: int) -> list[FrameBatch]:
+                        start_frame: int, end_frame: int,
+                        fast_level: int = 0) -> list[FrameBatch]:
     """Stripe-worker entry point (one segment -> its batches)."""
     return list(_decode_native(path, fps, step, batch_size, resize_hw, None,
-                               start_frame, end_frame))
+                               start_frame, end_frame, fast_level))
 
 
 def probe(path: str) -> VideoInfo:
@@ -197,6 +217,7 @@ def iter_frame_batches(
     max_frames: int | None = None,
     decode_threads: int = 1,
     decode_procs: int = 0,
+    fast_level: int = 0,
 ) -> Iterator[FrameBatch]:
     """Yield fixed-shape batches of frames sampled every `frame_interval_s`.
 
@@ -208,6 +229,10 @@ def iter_frame_batches(
     multi-core hosts where cv2's GIL-released decode still contends with the
     Python consumer (frames are resized in the child, so IPC carries only the
     model-input geometry).
+    fast_level (native path only) engages the analysis-decode accelerators:
+    1 = skip the deblocking filter, 2 = additionally skip non-reference
+    frames on sparse sampling grids (_decode_flags). Default 0 stays
+    bit-exact with the cv2 path.
     """
     info = probe(path)
     step = max(int(round(info.fps * frame_interval_s)), 1)
@@ -224,11 +249,13 @@ def iter_frame_batches(
             and max_frames is None:
         yield from _iter_batches_striped(path, info, step, batch_size,
                                          resize_hw, n_workers,
-                                         use_procs=use_procs)
+                                         use_procs=use_procs,
+                                         fast_level=fast_level)
         return
     if _native_enabled():
         yield from _decode_native(path, info.fps, step, batch_size,
-                                  resize_hw, max_frames)
+                                  resize_hw, max_frames,
+                                  fast_level=fast_level)
         return
     yield from _decode_segment(path, info.fps, step, batch_size, resize_hw,
                                max_frames, start_frame=0, end_frame=None)
@@ -308,8 +335,8 @@ def _get_proc_pool(n_workers: int):
 
 
 def _iter_batches_striped(path, info, step, batch_size, resize_hw,
-                          n_workers: int, use_procs: bool = False
-                          ) -> Iterator[FrameBatch]:
+                          n_workers: int, use_procs: bool = False,
+                          fast_level: int = 0) -> Iterator[FrameBatch]:
     """Stream the video as step-aligned segments decoded by a worker pool.
 
     Each segment spans step*batch_size source frames (= exactly one output
@@ -333,11 +360,16 @@ def _iter_batches_striped(path, info, step, batch_size, resize_hw,
     else:
         # stripe workers use the native decoder when it's available: decode
         # runs with the GIL released, plus lowres/fused-convert per stripe
-        worker = _decode_native_list if _native_enabled() \
-            else _decode_segment_list
+        use_native = _native_enabled()
+        worker = _decode_native_list if use_native else _decode_segment_list
         owned = ThreadPoolExecutor(max_workers=n_workers)
-        submit = lambda rng: owned.submit(worker, path, info.fps,
-                                          step, batch_size, resize_hw, *rng)
+        if use_native:
+            submit = lambda rng: owned.submit(worker, path, info.fps, step,
+                                              batch_size, resize_hw, *rng,
+                                              fast_level)
+        else:
+            submit = lambda rng: owned.submit(worker, path, info.fps, step,
+                                              batch_size, resize_hw, *rng)
     try:
         pending: deque = deque()
         for rng in segments:

@@ -156,13 +156,17 @@ class VideoDiscoveryService:
             if task_type == "visual_analysis":
                 # carries one sub-config per ACTIVE visual consumer
                 # (ml/combined.py runs exactly the sub-tasks whose config is
-                # present — an OCR-only fold must not run detection)
+                # present — an OCR-only fold must not run detection), plus
+                # top-level fold settings (decode batch/threads/fast level)
+                # from task_settings["visual_analysis"]
                 active = set(self.config.active_task_types or ACTIVE_TASK_TYPES)
-                config = {sub: self.config.settings_for(sub)
-                          for sub in ("scene_detection", "object_detection",
-                                      "face_detection", "place_classification",
-                                      "ocr")
-                          if sub in active}
+                config = dict(self.config.settings_for("visual_analysis"))
+                config.update({sub: self.config.settings_for(sub)
+                               for sub in ("scene_detection",
+                                           "object_detection",
+                                           "face_detection",
+                                           "place_classification", "ocr")
+                               if sub in active})
             else:
                 config = self.config.settings_for(task_type)
             if language is not None:

@@ -168,24 +168,26 @@ int eioku_audio_decode(const char *path, int target_sr, float **out_buf,
     return 0;
 }
 
-int eioku_media_encode_mapped(const char *path, const unsigned char *rgb,
-                              const int *frame_map, int n_frames, int w,
-                              int h, double fps, const float *samples,
-                              long long n_samples, int sr,
-                              const char *video_codec);
+int eioku_media_encode_ex(const char *path, const unsigned char *rgb,
+                          const int *frame_map, int n_frames, int w,
+                          int h, double fps, const float *samples,
+                          long long n_samples, int sr,
+                          const char *video_codec, long long video_bitrate,
+                          const char *preset);
 
 int eioku_audio_encode(const char *path, const float *samples, long long n,
                        int sr) {
-    return eioku_media_encode_mapped(path, nullptr, nullptr, 0, 0, 0, 0.0,
-                                     samples, n, sr, nullptr);
+    return eioku_media_encode_ex(path, nullptr, nullptr, 0, 0, 0, 0.0,
+                                 samples, n, sr, nullptr, 0, nullptr);
 }
 
 int eioku_media_encode(const char *path, const unsigned char *rgb,
                        int n_frames, int w, int h, double fps,
                        const float *samples, long long n_samples, int sr,
                        const char *video_codec) {
-    return eioku_media_encode_mapped(path, rgb, nullptr, n_frames, w, h, fps,
-                                     samples, n_samples, sr, video_codec);
+    return eioku_media_encode_ex(path, rgb, nullptr, n_frames, w, h, fps,
+                                 samples, n_samples, sr, video_codec, 0,
+                                 nullptr);
 }
 
 int eioku_media_encode_mapped(const char *path, const unsigned char *rgb,
@@ -193,6 +195,21 @@ int eioku_media_encode_mapped(const char *path, const unsigned char *rgb,
                               int h, double fps, const float *samples,
                               long long n_samples, int sr,
                               const char *video_codec) {
+    return eioku_media_encode_ex(path, rgb, frame_map, n_frames, w, h, fps,
+                                 samples, n_samples, sr, video_codec, 0,
+                                 nullptr);
+}
+
+// _ex: video_bitrate <= 0 -> 800 kbps (the cheap-fixture default);
+// preset NULL -> "ultrafast". Realistic-content fixtures (1080p bench clip)
+// pass a camera-class bitrate (8-16 Mbps) so the decoder pays the bit
+// parsing real files cost.
+int eioku_media_encode_ex(const char *path, const unsigned char *rgb,
+                          const int *frame_map, int n_frames, int w,
+                          int h, double fps, const float *samples,
+                          long long n_samples, int sr,
+                          const char *video_codec, long long video_bitrate,
+                          const char *preset) {
     AVFormatContext *oc = nullptr;
     int ret = avformat_alloc_output_context2(&oc, nullptr, nullptr, path);
     if (ret < 0 || !oc) return ret < 0 ? ret : AVERROR(EINVAL);
@@ -228,9 +245,11 @@ int eioku_media_encode_mapped(const char *path, const unsigned char *rgb,
             venc->framerate = AVRational{(int)(fps * 1000 + 0.5), 1000};
             if (oc->oformat->flags & AVFMT_GLOBALHEADER)
                 venc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-            venc->bit_rate = 800000;  // vp9/av1 default to constrained-q
+            venc->bit_rate = video_bitrate > 0 ? video_bitrate
+                                               : 800000;  // vp9/av1: CQ
             if (venc->priv_data) {
-                av_opt_set(venc->priv_data, "preset", "ultrafast", 0);
+                av_opt_set(venc->priv_data, "preset",
+                           preset ? preset : "ultrafast", 0);
                 av_opt_set(venc->priv_data, "deadline", "realtime", 0);
                 av_opt_set(venc->priv_data, "cpu-used", "8", 0);
             }

@@ -54,7 +54,17 @@ struct Video {
     int stream = -1;
     int out_w = 0, out_h = 0;
     double fps = 30.0;
+    double idx_fps = 30.0;      // rate used for pts<->index mapping: prefers
+                                // r_frame_rate (exact for CFR streams) over
+                                // avg_frame_rate, whose duration-derived
+                                // value is biased by ~1/n_frames and drifts
+                                // the recovered index by +1 near EOF
+    double tb = 0.0;            // stream time_base as double (pts indexing)
+    long long start_pts = 0;    // stream start_time (0 if unset)
     long long next_index = 0;  // presentation index of the next decoded frame
+    long long next_target = -1;  // next sample index to emit (-1 = derive)
+    bool pts_index = false;  // index frames by pts, not by arrival count
+                             // (required when skip_frame drops non-refs)
     bool draining = false;
     bool done = false;
     bool pending = false;  // v->frame holds an undelivered post-seek frame
@@ -76,9 +86,20 @@ extern "C" {
 
 void eioku_video_close(void *h) { video_free((Video *)h); }
 
+// flags (analysis-decode accelerators, both lossy-but-harmless for model
+// input sampling; keep 0 for bit-exact cv2 parity):
+//   1 = skip the in-loop deblocking filter (AVDISCARD_ALL): ~15-30% less
+//       decode CPU; output drifts a few LSBs vs reference decode — invisible
+//       to detection/scene scoring at model resolutions.
+//   2 = skip non-reference frames (AVDISCARD_NONREF) and index frames by
+//       PTS: sampled output snaps to the nearest decodable (reference)
+//       frame, at most a couple of frames late. Correct only when the
+//       sample step is larger than the B-frame run length; callers enable
+//       it for sparse sampling (step >= 4), where skipping the non-ref
+//       frames between samples saves their whole motion-comp cost.
 int eioku_video_open(const char *path, int target_w, int target_h,
-                     int max_lowres, void **handle, int *src_w, int *src_h,
-                     int *out_w, int *out_h, double *fps,
+                     int max_lowres, int flags, void **handle, int *src_w,
+                     int *src_h, int *out_w, int *out_h, double *fps,
                      long long *n_frames) {
     *handle = nullptr;
     Video *v = new Video();
@@ -115,6 +136,11 @@ int eioku_video_open(const char *path, int target_w, int target_h,
             lowres++;
     }
     v->dec->lowres = lowres;
+    if (flags & 1) v->dec->skip_loop_filter = AVDISCARD_ALL;
+    if (flags & 2) {
+        v->dec->skip_frame = AVDISCARD_NONREF;
+        v->pts_index = true;  // arrival counting breaks once frames drop
+    }
     if ((ret = avcodec_open2(v->dec, codec, nullptr)) < 0) {
         video_free(v);
         return ret;
@@ -134,6 +160,13 @@ int eioku_video_open(const char *path, int target_w, int target_h,
         r = (double)st->r_frame_rate.num / st->r_frame_rate.den;
     *fps = r > 0 ? r : 30.0;
     v->fps = *fps;
+    double rr = st->r_frame_rate.den
+                    ? (double)st->r_frame_rate.num / st->r_frame_rate.den
+                    : 0.0;
+    v->idx_fps = (rr > 0 && rr < *fps * 1.05 && rr > *fps * 0.95)
+                     ? rr : *fps;  // CFR: exact rational; else avg
+    v->tb = av_q2d(st->time_base);
+    v->start_pts = st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
     long long nf = st->nb_frames;
     if (nf <= 0 && v->fmt->duration > 0)
         nf = (long long)(*fps * v->fmt->duration / AV_TIME_BASE + 0.5);
@@ -184,8 +217,23 @@ int eioku_video_read(void *h, int step, int max_frames, long long end_frame,
         if (ret == AVERROR_EOF) { v->done = true; break; }
         if (ret < 0) return ret;
 
-        long long idx = v->next_index++;
-        if (idx % step == 0) {
+        long long idx;
+        if (v->pts_index) {
+            // frames can be missing (skip_frame): recover the presentation
+            // index from the timestamp instead of counting arrivals
+            int64_t pts = v->frame->best_effort_timestamp;
+            idx = pts != AV_NOPTS_VALUE
+                      ? (long long)((pts - v->start_pts) * v->tb * v->idx_fps
+                                    + 0.5)
+                      : v->next_index;
+        } else {
+            idx = v->next_index;
+        }
+        v->next_index = idx + 1;
+        if (v->next_target < 0)  // align to the global step grid (stripes)
+            v->next_target = (idx + step - 1) / step * step;
+        if (idx >= v->next_target) {
+            v->next_target = idx / step * step + step;
             if (!v->sws) {
                 v->sws = sws_getContext(
                     v->frame->width, v->frame->height,
@@ -218,6 +266,7 @@ int eioku_video_seek(void *h, long long frame_index) {
     avcodec_flush_buffers(v->dec);
     v->draining = false;
     v->done = false;
+    v->next_target = -1;  // re-derive the sample grid after the jump
     v->next_index = -1;  // unknown until the first post-seek frame arrives
     // decode forward, discarding everything before frame_index; the first
     // decoded frame's timestamp recovers the presentation index
@@ -245,7 +294,7 @@ int eioku_video_seek(void *h, long long frame_index) {
             int64_t pts = v->frame->best_effort_timestamp;
             if (pts == AV_NOPTS_VALUE) pts = start;
             v->next_index =
-                (long long)((pts - start) * tb * v->fps + 0.5);
+                (long long)((pts - start) * tb * v->idx_fps + 0.5);
         }
         if (v->next_index >= frame_index) break;
         v->next_index++;

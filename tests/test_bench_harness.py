@@ -84,7 +84,9 @@ class TestPrimeMode:
         import bench
         bench._LAST_STAGE_DISTRESS = False  # a prior test may have left the
         # module global True; fake_run below never resets it (ADVICE r3)
-        want = [s for s in bench.STAGES if not s.startswith("_")]
+        # prime covers exactly the driver's run order (pruned extras stay
+        # selectable via EIOKU_PRIME_STAGES)
+        want = list(bench.DRIVER_ORDER)
         seen_budget = {}
 
         def fake_run(stage, force_cpu=False):
@@ -148,7 +150,8 @@ class TestStageProvisionals:
                 continue
             src = inspect.getsource(fn)
             for helper in (bench._bench_whisper_common, bench.bench_detect,
-                           bench.bench_query_p50):
+                           bench.bench_query_p50,
+                           bench._bench_pipeline_common):
                 if helper.__name__ + "(" in src:
                     src += inspect.getsource(helper)
             assert "_provisional(" in src, (

@@ -72,6 +72,46 @@ class TestNativeDecode:
                 # differ by a hair; content must match closely
                 assert float(np.abs(fa - fb).mean()) < 3.0
 
+    def test_fast_levels_sample_equivalent_frames(self, tmp_path):
+        """Analysis-decode accelerators: level 1 (deblock skip) keeps the
+        exact sample grid with near-identical pixels; level 2 (non-ref skip)
+        may snap each sample a couple of frames but keeps one sample per
+        step. Needs an H.264 fixture (B-frames + loop filter)."""
+        from eioku_tpu.ml import audio_io, video_io
+        if video_io.native_video_lib() is None or \
+                audio_io.native_decoder() is None:
+            pytest.skip("native shims unavailable in this image")
+        path = str(tmp_path / "h264.mp4")
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (60, 64, 96, 3), dtype=np.uint8)
+        audio_io.native_media_encode(path, frames, fps=12.0,
+                                     preset="veryfast")
+
+        def collect(level):
+            out = []
+            for b in video_io.iter_frame_batches(
+                    path, batch_size=8, frame_interval_s=0.5,
+                    decode_threads=1, fast_level=level):
+                for s in range(b.valid):
+                    out.append((int(b.frame_indices[s]),
+                                b.frames[s].astype(np.int32)))
+            return out
+
+        exact = collect(0)
+        deblock = collect(1)
+        nonref = collect(2)
+        step = 6  # 12 fps * 0.5 s
+        assert [i for i, _ in exact] == list(range(0, 60, step))
+        # level 1: same grid, pixels within deblocking drift
+        assert [i for i, _ in deblock] == [i for i, _ in exact]
+        drift = max(float(np.abs(a - b).mean())
+                    for (_, a), (_, b) in zip(exact, deblock))
+        assert drift < 4.0
+        # level 2: one sample per step-window, each within a B-run of the grid
+        assert len(nonref) == len(exact)
+        for want, (got, _) in zip(range(0, 60, step), nonref):
+            assert want <= got < want + step
+
     def test_lowres_engages_only_for_small_targets(self, tmp_path):
         """mpeg4 supports DCT-domain lowres; a small target triggers it
         without changing the emitted geometry, and content stays right."""
@@ -598,6 +638,29 @@ class TestCombinedVisual:
             tasks = ctx.tasks.find(limit=10)
             assert [t.task_type for t in tasks] == ["visual_analysis"]
             assert set(tasks[0].config) == {"ocr"}
+        finally:
+            db.close()
+
+    def test_combined_discovery_merges_fold_settings(self, tmp_path,
+                                                     scene_video):
+        """task_settings["visual_analysis"] (decode batch/threads/fast) lands
+        top-level in the fold task's config next to the sub-task dicts."""
+        from eioku_tpu.domain.models import PathConfig
+        config = AppConfig(
+            scan_paths=[], auto_discover=False, combined_visual=True,
+            active_task_types=["scene_detection", "object_detection"],
+            task_settings={"visual_analysis": {"decode_fast": 2,
+                                               "batch_size": 64}})
+        db = Database(f"sqlite:///{tmp_path}/cvf.db")
+        ctx = build_context(config, db=db)
+        try:
+            ctx.paths.save(PathConfig(path=str(tmp_path)))
+            ctx.discovery.discover()
+            tasks = ctx.tasks.find(limit=10)
+            assert [t.task_type for t in tasks] == ["visual_analysis"]
+            cfg = tasks[0].config
+            assert cfg["decode_fast"] == 2 and cfg["batch_size"] == 64
+            assert "scene_detection" in cfg and "object_detection" in cfg
         finally:
             db.close()
 
