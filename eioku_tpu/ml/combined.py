@@ -18,6 +18,7 @@ task instead of four).
 from __future__ import annotations
 
 import logging
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -515,10 +516,31 @@ def run_visual_analysis(video_path: str, config: dict,
     # frames — sound here because every consumer samples sparsely (the base
     # grid is the 4 fps scene cadence: step >= 6 at 24-30 fps sources)
     decode_fast = int(config.get("decode_fast", 1))
+    # keyframe cache: persist 1 s-grid frames as JPEGs so the downstream
+    # CLIP visual-index task reads them instead of re-decoding the source
+    # (cv2 seek-decodes a whole GOP per keyframe — measured ~18 s of
+    # redundant 1080p decode per 60 s clip; this pass already decoded
+    # every frame once). The task handler points this at
+    # <visual_index.data_dir>/keyframes/<video_id>.
+    kf_dir = config.get("keyframe_cache_dir")
+    kf_step = 0
+    if kf_dir:
+        import shutil
+        shutil.rmtree(kf_dir, ignore_errors=True)  # replace stale cache
+        os.makedirs(kf_dir, exist_ok=True)
+        kf_step = substep(float(config.get("keyframe_cache_interval_s", 1.0)))
     for batch in video_io.prefetch(video_io.iter_frame_batches(
             video_path, batch_size=batch_size, frame_interval_s=interval_s,
             resize_hw=dec_hw, decode_threads=decode_threads,
             decode_procs=decode_procs, fast_level=decode_fast)):
+        if kf_step:
+            import cv2
+            for i in range(batch.valid):
+                if int(batch.frame_indices[i]) % kf_step == 0:
+                    cv2.imwrite(
+                        os.path.join(kf_dir,
+                                     f"{int(batch.timestamps_ms[i])}.jpg"),
+                        cv2.cvtColor(batch.frames[i], cv2.COLOR_RGB2BGR))
         if scfg is not None:
             # Scene scoring needs only 96x160: resize on host so the device
             # upload is ~40x smaller than shipping full-resolution frames

@@ -101,11 +101,21 @@ async def process_ml_task(ctx: dict, task_id: str, task_type: str, video_id: str
                     f"input file changed since discovery (hash "
                     f"{current[:12]} != {video.file_hash[:12]}); re-run "
                     "discovery to refresh the video record")
+        # provenance hash BEFORE machine-local injections (the keyframe
+        # cache path must not make identical configs look different)
+        config_hash = compute_config_hash(config or {})
+        if task_type == "visual_analysis" \
+                and app.extra.get("visual_index") is not None:
+            # the combined pass persists 1 s-grid keyframes next to the
+            # visual index so the cascaded visual_indexing task reads them
+            # instead of seek-decoding the source again (index/visual.py
+            # _from_cache; ~18 s of redundant 1080p decode saved per minute)
+            config = {**config, "keyframe_cache_dir": app.extra[
+                "visual_index"].keyframe_cache_dir(video_id)}
         with METRICS.timer("task_seconds", task_type=task_type), \
                 maybe_profile(task_type), progress.reporting(sink):
             results = await asyncio.to_thread(engine.run_task, task_type,
                                               video_path, config)
-        config_hash = compute_config_hash(config or {})
         try:
             input_hash = current[:16] if current is not None \
                 else compute_input_hash(video_path)

@@ -8,6 +8,7 @@ so parity here means numerical agreement with the public HF implementation
 whisper, and reranker converters.
 """
 import json
+import os
 
 import numpy as np
 import pytest
@@ -257,6 +258,64 @@ class TestVisualIndex:
         assert index.index_video(v.id, {}) == 1  # one scene -> one keyframe
         row = ctx.db.query_one("SELECT * FROM frame_embeddings")
         assert row["ts_ms"] == 1000 and row["scene_index"] == 0
+
+    def test_keyframe_cache_skips_seek_decode(self, ctx, tmp_path,
+                                              monkeypatch):
+        """When the combined pass has dropped keyframe JPEGs next to the
+        index, index_video must read them and never touch the source video
+        (the seek-decode path measured ~18 s of redundant 1080p decode per
+        clip-minute in the e2e bench)."""
+        import cv2
+
+        from eioku_tpu.domain.models import Video
+        path = str(tmp_path / "clip.mp4")
+        _write_video(path)
+        v = Video(path=path, file_hash="h", duration_ms=3000)
+        ctx.videos.save(v)
+        index = _tiny_index(ctx)
+        d = index.keyframe_cache_dir(v.id)
+        os.makedirs(d)
+        for ts in (200, 1300, 2400):  # within 1500 ms of the stride stamps
+            cv2.imwrite(os.path.join(d, f"{ts}.jpg"),
+                        np.full((32, 32, 3), ts % 255, np.uint8))
+
+        def boom(*a, **k):
+            raise AssertionError("seek-decode path used despite full cache")
+
+        monkeypatch.setattr(index, "_decode_at", boom)
+        n = index.index_video(v.id, {"keyframe_interval_s": 1.0})
+        assert n >= 2
+
+    def test_keyframe_cache_partial_falls_back(self, ctx, tmp_path):
+        """Stamps without a nearby cached JPEG still seek-decode."""
+        import cv2
+
+        from eioku_tpu.domain.models import Video
+        path = str(tmp_path / "clip.mp4")
+        _write_video(path)
+        v = Video(path=path, file_hash="h")
+        ctx.videos.save(v)
+        index = _tiny_index(ctx)
+        d = index.keyframe_cache_dir(v.id)
+        os.makedirs(d)
+        cv2.imwrite(os.path.join(d, "500.jpg"),
+                    np.zeros((32, 32, 3), np.uint8))
+        n = index.index_video(v.id, {"keyframe_interval_s": 1.0})
+        assert n >= 2  # mixed cache + decode still indexes every stamp
+
+    def test_combined_pass_writes_keyframe_cache(self, tmp_path):
+        from eioku_tpu.ml.combined import run_visual_analysis
+        path = str(tmp_path / "kf.mp4")
+        _write_video(path)
+        kf = str(tmp_path / "kfcache")
+        out = run_visual_analysis(path, {
+            "scene_detection": {"sample_fps": 2.0},
+            "keyframe_cache_dir": kf})
+        assert "scene_detection" in out
+        names = sorted(os.listdir(kf))
+        assert names and all(n.endswith(".jpg") for n in names)
+        # one JPEG per second of the 3 s clip (1 s cache grid)
+        assert len(names) == 3
 
     def test_similar_moments(self, ctx, tmp_path):
         """Anchor excluded, cross-video hits ranked, nearest keyframe used."""
