@@ -83,6 +83,47 @@ def _places_i420(pparams, planes, top_k):
     return jax.lax.top_k(probs, top_k)
 
 
+@partial(jax.jit, static_argnames=("ycfg", "fcfg"))
+def _detect_faces_i420(yparams, fparams, planes, face_idx, ycfg, fcfg,
+                       conf_threshold, face_conf):
+    """Fused objects+faces: the face grid is a subset of the object grid
+    (3 s vs 1 s default), so faces read a device-side GATHER of the same
+    I420 upload instead of paying their own host->device transfer — on a
+    bandwidth-scarce link the face upload was pure waste."""
+    rgb = i420_to_rgb(planes)
+    det = detect(yparams, rgb.astype(jnp.bfloat16), ycfg,
+                 conf_threshold=conf_threshold)
+    fdet = detect(fparams, rgb[face_idx].astype(jnp.bfloat16), fcfg,
+                  conf_threshold=face_conf)
+    return det, fdet
+
+
+@partial(jax.jit, static_argnames=("ycfg", "fcfg", "top_k"))
+def _detect_places_faces_i420(yparams, pparams, fparams, planes, face_idx,
+                              ycfg, fcfg, conf_threshold, top_k, face_conf):
+    """Fully fused visual frame pass: ONE I420 upload feeds objects, places
+    (on-device resize), and the face-grid gather."""
+    from eioku_tpu.models.resnet.model import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        resnet18_forward,
+    )
+
+    rgb = i420_to_rgb(planes)
+    det = detect(yparams, rgb.astype(jnp.bfloat16), ycfg,
+                 conf_threshold=conf_threshold)
+    b = rgb.shape[0]
+    imgs = jax.image.resize(rgb, (b, 224, 224, 3), method="bilinear")
+    x = ((imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)) \
+        .astype(jnp.bfloat16)
+    logits = resnet18_forward(pparams, x)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    sc, idx = jax.lax.top_k(probs, top_k)
+    fdet = detect(fparams, rgb[face_idx].astype(jnp.bfloat16), fcfg,
+                  conf_threshold=face_conf)
+    return det, sc, idx, fdet
+
+
 @partial(jax.jit, static_argnames=("ycfg", "conf_threshold", "top_k"))
 def _detect_places_i420(yparams, pparams, planes, ycfg, conf_threshold, top_k):
     """Fused objects+places: ONE I420 upload feeds the YOLO graph and, via an
@@ -119,7 +160,7 @@ class _DetectionConsumer:
                  conf: float, step: int, batch_size: int, cache_dir,
                  payload_builder, frame_ms: int, src_wh: tuple[int, int],
                  coord_scale: float = 1.0, places: tuple | None = None,
-                 int8: bool = False):
+                 int8: bool = False, face_rider: dict | None = None):
         self.params, self.cfg = _load_model(model_name, num_classes,
                                             cache_dir, int8)
         self.class_names = class_names
@@ -134,6 +175,13 @@ class _DetectionConsumer:
         # frames also feed the Places classifier in the same device call
         self.places = places
         self.place_results: list[dict] = []
+        # fused faces mode: the face grid is a multiple of this consumer's
+        # grid, so face frames ride the same upload via a device-side gather
+        # (keys: params, cfg, conf, step, payload_builder; results are
+        # appended to face_rider["results"])
+        self.face_rider = face_rider
+        if face_rider is not None:
+            face_rider.setdefault("results", [])
         self._frames: list[np.ndarray] = []
         self._meta: list[tuple[int, int]] = []  # (frame_idx, t_ms)
         self._pending: list[tuple] = []  # dispatched, not yet fetched
@@ -181,9 +229,37 @@ class _DetectionConsumer:
         else:
             boxed, scale, (pad_x, pad_y) = letterbox_batch(stack, valid)
         places_out = None
+        face_out = None  # (fdet, face_meta, face_valid) when faces rode along
         even = boxed.shape[1] % 2 == 0 and boxed.shape[2] % 2 == 0
         letterboxed = boxed is not stack
-        if even and self.places is not None and not letterboxed:
+        rider = self.face_rider
+        face_sel = []
+        if rider is not None:
+            ratio = rider["step"] // self.step
+            face_sel = [k for k, (fi, _) in enumerate(self._meta)
+                        if fi % rider["step"] == 0]
+        if even and not letterboxed and rider is not None and face_sel:
+            # fully fused path: one upload feeds objects (+places) and the
+            # face-grid gather. face_idx is padded to a per-bucket fixed cap
+            # so the gather shape is compile-stable.
+            cap = bucket // max(rider["step"] // self.step, 1) + 1
+            fidx = np.zeros((cap,), np.int32)
+            fidx[:len(face_sel)] = face_sel[:cap]
+            planes = jnp.asarray(to_i420(list(boxed)))
+            face_meta = [self._meta[k] for k in face_sel[:cap]]
+            if self.places is not None:
+                pparams, _, topk = self.places
+                out, psc, pidx, fdet = _detect_places_faces_i420(
+                    self.params, pparams, rider["params"], planes,
+                    jnp.asarray(fidx), self.cfg, rider["cfg"], self.conf,
+                    topk, rider["conf"])
+                places_out = (psc, pidx)
+            else:
+                out, fdet = _detect_faces_i420(
+                    self.params, rider["params"], planes, jnp.asarray(fidx),
+                    self.cfg, rider["cfg"], self.conf, rider["conf"])
+            face_out = (fdet, face_meta, len(face_meta))
+        elif even and self.places is not None and not letterboxed:
             # fused single-upload path: the detector frames are the raw decode
             # output (no gray letterbox bars), so places can read them too
             planes = jnp.asarray(to_i420(list(boxed)))
@@ -212,44 +288,70 @@ class _DetectionConsumer:
                 pparams, _, topk = self.places
                 places_out = _places_i420(pparams,
                                           jnp.asarray(to_i420(resized)), topk)
+        if rider is not None and face_sel and face_out is None:
+            # the fused path didn't run (letterbox/odd geometry): faces still
+            # must be processed — host-gather the subset and dispatch the
+            # rider's own detect (correctness over fusion on this rare path)
+            fstack = np.stack([boxed[k] for k in face_sel])
+            fdet = detect(rider["params"], jnp.asarray(fstack), rider["cfg"],
+                          conf_threshold=rider["conf"])
+            face_out = (fdet, [self._meta[k] for k in face_sel],
+                        len(face_sel))
         self._pending.append((out, self._meta, scale, (pad_x, pad_y), valid,
-                              places_out))
+                              places_out, face_out))
         self._frames, self._meta = [], []
         if len(self._pending) >= self.MAX_PENDING:
             self.drain()
 
+    def _emit_boxes(self, out_np, meta, scale, pads, valid, sink,
+                    payload_builder, class_names) -> None:
+        """Un-letterbox + clip + build payloads for one fetched batch (the
+        shared tail of the object and ridden-face outputs)."""
+        pad_x, pad_y = pads
+        boxes, scores, classes, ok = out_np
+        for i in range(valid):
+            frame_idx, t_ms = meta[i]
+            for j in np.nonzero(ok[i])[0]:
+                x1, y1, x2, y2 = boxes[i, j]
+                cs = self.coord_scale
+                x1 = float(np.clip((x1 - pad_x) / scale * cs, 0, self.src_w))
+                x2 = float(np.clip((x2 - pad_x) / scale * cs, 0, self.src_w))
+                y1 = float(np.clip((y1 - pad_y) / scale * cs, 0, self.src_h))
+                y2 = float(np.clip((y2 - pad_y) / scale * cs, 0, self.src_h))
+                if x2 <= x1 or y2 <= y1:
+                    continue
+                label = class_names[int(classes[i, j])] if class_names \
+                    else "face"
+                sink.append({
+                    "payload": payload_builder(
+                        label, float(scores[i, j]),
+                        {"x": x1, "y": y1,
+                         "width": x2 - x1, "height": y2 - y1},
+                        frame_idx),
+                    "span_start_ms": t_ms,
+                    "span_end_ms": t_ms + self.frame_ms,
+                })
+
     def drain(self) -> None:
-        for out, meta, scale, (pad_x, pad_y), valid, places_out in self._pending:
+        for out, meta, scale, (pad_x, pad_y), valid, places_out, face_out \
+                in self._pending:
             if places_out is not None:
                 self.place_results.extend(_place_records(
                     np.asarray(places_out[0]), np.asarray(places_out[1]),
                     meta, valid, self.places[1], self.frame_ms))
-            boxes = np.asarray(out["boxes"])
-            scores = np.asarray(out["scores"])
-            classes = np.asarray(out["classes"])
-            ok = np.asarray(out["valid"])
-            for i in range(valid):
-                frame_idx, t_ms = meta[i]
-                for j in np.nonzero(ok[i])[0]:
-                    x1, y1, x2, y2 = boxes[i, j]
-                    cs = self.coord_scale
-                    x1 = float(np.clip((x1 - pad_x) / scale * cs, 0, self.src_w))
-                    x2 = float(np.clip((x2 - pad_x) / scale * cs, 0, self.src_w))
-                    y1 = float(np.clip((y1 - pad_y) / scale * cs, 0, self.src_h))
-                    y2 = float(np.clip((y2 - pad_y) / scale * cs, 0, self.src_h))
-                    if x2 <= x1 or y2 <= y1:
-                        continue
-                    label = self.class_names[int(classes[i, j])] \
-                        if self.class_names else "face"
-                    self.results.append({
-                        "payload": self.payload_builder(
-                            label, float(scores[i, j]),
-                            {"x": x1, "y": y1,
-                             "width": x2 - x1, "height": y2 - y1},
-                            frame_idx),
-                        "span_start_ms": t_ms,
-                        "span_end_ms": t_ms + self.frame_ms,
-                    })
+            if face_out is not None:
+                fdet, fmeta, fvalid = face_out
+                rider = self.face_rider
+                self._emit_boxes(
+                    (np.asarray(fdet["boxes"]), np.asarray(fdet["scores"]),
+                     np.asarray(fdet["classes"]), np.asarray(fdet["valid"])),
+                    fmeta, scale, (pad_x, pad_y), fvalid,
+                    rider["results"], rider["payload_builder"], [])
+            self._emit_boxes(
+                (np.asarray(out["boxes"]), np.asarray(out["scores"]),
+                 np.asarray(out["classes"]), np.asarray(out["valid"])),
+                meta, scale, (pad_x, pad_y), valid,
+                self.results, self.payload_builder, self.class_names)
         self._pending = []
 
 
@@ -422,6 +524,28 @@ def run_visual_analysis(video_path: str, config: dict,
     # (the 1 s default): one I420 upload, one device program for both tasks
     fuse_places = pcfg is not None and ocfg is not None \
         and place_step == obj_step
+    face_step = substep(float(fcfg.get("frame_interval_s", 3.0))) \
+        if fcfg is not None else 0
+    face_payload = lambda label, conf, box, fi: {  # noqa: E731
+        "cluster_id": None, "confidence": conf, "bounding_box": box,
+        "frame_number": fi}
+    # faces fuse into the object consumer when their (sparser) grid is a
+    # multiple of the object grid (the 3 s vs 1 s defaults): the face frames
+    # are a device-side GATHER of the already-uploaded object batch, so the
+    # separate face upload disappears entirely
+    fuse_faces = fcfg is not None and ocfg is not None \
+        and face_step % max(obj_step, 1) == 0 \
+        and bool(config.get("fuse_faces", True))  # kill-switch
+    face_rider = None
+    if fuse_faces:
+        fparams, fycfg = _load_model(fcfg.get("model", "yolov8n-face"), 1,
+                                     model_cache_dir,
+                                     bool(fcfg.get("int8", False)))
+        face_rider = {
+            "params": fparams, "cfg": fycfg,
+            "conf": float(fcfg.get("confidence_threshold", 0.7)),
+            "step": face_step, "payload_builder": face_payload,
+            "results": []}
     objects = _DetectionConsumer(
         ocfg.get("model", "yolov8n"), len(COCO_CLASSES), COCO_CLASSES,
         float(ocfg.get("confidence_threshold", 0.5)),
@@ -431,20 +555,20 @@ def run_visual_analysis(video_path: str, config: dict,
                                       "bounding_box": box, "frame_number": fi},
         frame_ms, (info.width, info.height), coord_scale,
         places=(place_params, place_labels, place_topk) if fuse_places
-        else None, int8=bool(ocfg.get("int8", False))) \
+        else None, int8=bool(ocfg.get("int8", False)),
+        face_rider=face_rider) \
         if ocfg is not None else None
     if fuse_places:
         place_step = 0  # the standalone places path below stays idle
     faces = _DetectionConsumer(
         fcfg.get("model", "yolov8n-face"), 1, [],
         float(fcfg.get("confidence_threshold", 0.7)),
-        substep(float(fcfg.get("frame_interval_s", 3.0))),
+        face_step,
         int(fcfg.get("batch_size", 64)), model_cache_dir,
-        lambda label, conf, box, fi: {"cluster_id": None, "confidence": conf,
-                                      "bounding_box": box, "frame_number": fi},
+        face_payload,
         frame_ms, (info.width, info.height), coord_scale,
         int8=bool(fcfg.get("int8", False))) \
-        if fcfg is not None else None
+        if fcfg is not None and not fuse_faces else None
 
     ocr = _OcrConsumer(
         xcfg, substep(float(xcfg.get("frame_interval_s", 2.0))),
@@ -617,20 +741,21 @@ def run_visual_analysis(video_path: str, config: dict,
         ]
     if objects is not None:
         out["object_detection"] = objects.results
-    if faces is not None:
+    if fcfg is not None:
+        face_results = face_rider["results"] if fuse_faces else faces.results
         # face clustering over the merged face results
         from eioku_tpu.ml.detection import _assign_face_clusters
-        _assign_face_clusters(faces.results, frame_step=faces.step)
+        _assign_face_clusters(face_results, frame_step=face_step)
         if fcfg.get("embeddings"):
             # identity embeddings for /people: the combined pass has already
             # released its frames, so this re-decodes the face-sampled ones.
-            # faces.step is the TRUE grid (snapped to the pass's base step);
+            # face_step is the TRUE grid (snapped to the pass's base step);
             # passing the seconds interval instead would rederive a different
             # grid and miss the faces (review finding, round 3)
             from eioku_tpu.ml.detection import attach_face_embeddings
-            attach_face_embeddings(video_path, faces.results, faces.step,
+            attach_face_embeddings(video_path, face_results, face_step,
                                    model_cache_dir)
-        out["face_detection"] = faces.results
+        out["face_detection"] = face_results
     if pcfg is not None:
         out["place_classification"] = objects.place_results if fuse_places \
             else place_results

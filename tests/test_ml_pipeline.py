@@ -574,6 +574,28 @@ class TestCombinedVisual:
         for r in results["object_detection"][:10]:
             SchemaRegistry.validate("object.detection", 1, r["payload"])
 
+    def test_fused_faces_match_separate_consumer(self, tmp_path):
+        """The face rider (device-side gather from the object upload) must
+        produce the same face stream as the separate face consumer. A
+        >=640-wide source engages the fused i420 path; the smaller fixtures
+        exercise the letterbox fallback elsewhere."""
+        from eioku_tpu.ml.combined import run_visual_analysis
+        path = str(tmp_path / "wide.mp4")
+        write_video(path, segments=[(30, (200, 40, 40)), (30, (40, 200, 40))],
+                    size=(960, 540), fps=12)
+        cfg = {"object_detection": {"batch_size": 8, "frame_interval_s": 1.0},
+               "face_detection": {"batch_size": 8, "frame_interval_s": 3.0,
+                                  "confidence_threshold": 0.2}}
+        fused = run_visual_analysis(path, cfg)["face_detection"]
+        separate = run_visual_analysis(path, {**cfg, "fuse_faces": False})[
+            "face_detection"]
+        assert len(fused) == len(separate)
+        for f, s in zip(fused, separate):
+            assert f["span_start_ms"] == s["span_start_ms"]
+            fb, sb = f["payload"]["bounding_box"], s["payload"]["bounding_box"]
+            for k in ("x", "y", "width", "height"):
+                assert abs(fb[k] - sb[k]) < 2.0, (fb, sb)
+
     @pytest.mark.slow  # heaviest e2e: ~1-2 min each on the 1-core image
     def test_fused_places_matches_standalone_on_letterboxed_video(
             self, scene_video):
