@@ -195,11 +195,18 @@ def run_transcription(video_path: str, config: dict,
         return []
 
     variant = _normalize_variant(config.get("model", "large-v3"))
-    # bf16 weights + activations: the production setting, mirroring
-    # faster-whisper's fp16 default (config {"compute_dtype": "float32"}
-    # overrides). "int8" / "int8_bfloat16" (faster-whisper's compute_type
-    # names) loads bf16 and post-training-quantizes every linear below.
-    cd_raw = str(config.get("compute_dtype", "bfloat16"))
+    # bf16 weights + activations mirror faster-whisper's fp16 default
+    # (config {"compute_dtype": "float32"} overrides). "int8" /
+    # "int8_bfloat16" (faster-whisper's compute_type names) loads bf16 and
+    # post-training-quantizes every linear below. For the TURBO serving
+    # variant int8 is the measured default: 5 alternating bf16/int8 pairs
+    # on the live TPU put int8 at 162-164 audio-s/s vs bf16's 152.7-153.4
+    # at the realistic beam-5/224-token budget (tools/whisper_int8_repeats,
+    # 2026-08-21; docs/PERF.md) — the halved weight reads win in the
+    # bandwidth-bound 4-layer decode loop. ~1e-3-scale logit deviation,
+    # same PTQ scheme faster-whisper's int8 compute type applies.
+    default_cd = "int8" if variant == "large-v3-turbo" else "bfloat16"
+    cd_raw = str(config.get("compute_dtype", default_cd))
     want_int8 = cd_raw.lower().startswith("int8")
     params, cfg, pretrained = _load_model(
         variant, model_cache_dir,
