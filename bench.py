@@ -1599,6 +1599,7 @@ def main() -> None:
         if os.environ.get("EIOKU_BENCH_WHISPER", "1") == "0":
             order.remove("whisper_beam_full")
     misses = 0
+    cpu_fallback = False
     for stage in order:
         vals[stage] = _run_stage_subprocess(stage, force_cpu=force_cpu)
         _flush_partial(_assemble(vals, _BACKEND))
@@ -1610,14 +1611,27 @@ def main() -> None:
         if misses >= 2 and not force_cpu and not _backend_alive():
             _log("backend unreachable after consecutive stage failures; "
                  "switching to the CPU fallback for remaining cheap stages")
-            force_cpu = True
+            force_cpu = cpu_fallback = True
             # re-queue only the cheap CPU-feasible stages not yet recorded
-            order = [s for s in ("query", "scenes")
-                     if vals.get(s) is None]
-            for stage in order:
+            for stage in [s for s in ("query", "scenes")
+                          if vals.get(s) is None]:
                 vals[stage] = _run_stage_subprocess(stage, force_cpu=True)
                 _flush_partial(_assemble(vals, _BACKEND))
             break
+    # Second-chance pass: a stage wedged by a transient tunnel stall earlier
+    # in the run (measured: multi-minute windows that clear) gets ONE retry
+    # while meaningful deadline remains — most-important-first, same order.
+    if not cpu_fallback:
+        for stage in order:
+            if vals.get(stage) is not None or _remaining() < \
+                    STAGE_MIN_S.get(stage, 60):
+                continue
+            if not _backend_alive():
+                break  # still dead: retries can only burn the remainder
+            _log(f"[{time.monotonic() - _START:.0f}s] retrying {stage} "
+                 f"({_remaining():.0f}s budget left)")
+            vals[stage] = _run_stage_subprocess(stage)
+            _flush_partial(_assemble(vals, _BACKEND))
     _print_final()
 
 

@@ -136,6 +136,45 @@ class TestPrimeMode:
         assert code == 1
 
 
+class TestSecondChanceRetry:
+    def test_wedged_stage_retried_once_with_remaining_budget(
+            self, monkeypatch, capsys):
+        """A stage that produced nothing (transient tunnel wedge) gets ONE
+        retry after the main pass while deadline remains; the retried value
+        lands in the final line."""
+        import signal
+        import time
+        sys.path.insert(0, REPO)
+        import bench
+        calls = []
+
+        def fake_run(stage, force_cpu=False):
+            calls.append(stage)
+            bench._LAST_STAGE_SKIPPED = False
+            first_try = calls.count(stage) == 1
+            bench._LAST_STAGE_DISTRESS = stage == "scenes" and first_try
+            if stage == "scenes" and first_try:
+                return None
+            return 42.0
+
+        monkeypatch.setattr(bench, "_run_stage_subprocess", fake_run)
+        monkeypatch.setattr(bench, "_backend_alive", lambda *a: True)
+        monkeypatch.setattr(bench, "DRIVER_ORDER", ["scenes", "embed"])
+        monkeypatch.setattr(bench, "_START", time.monotonic())
+        monkeypatch.setattr(bench, "_PRINTED", False)
+        monkeypatch.setattr(sys, "argv", ["bench.py"])
+        monkeypatch.delenv("EIOKU_BENCH_WHISPER", raising=False)
+        try:
+            bench.main()
+        finally:
+            signal.alarm(0)
+            bench._LAST_STAGE_DISTRESS = False
+        assert calls == ["scenes", "embed", "scenes"]
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        out = json.loads(line)
+        assert out["extra"]["scene_video_hours_per_hour"] == 42.0
+
+
 class TestStageProvisionals:
     def test_every_stage_emits_provisional(self):
         """VERDICT r3 item 2: every real stage must flush a provisional
