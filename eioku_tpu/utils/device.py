@@ -214,6 +214,49 @@ def stabilize_compile_cache_key() -> None:
             _ck._hash_string(hash_obj, version)
 
         _ck._hash_platform = _hash_platform
+
+        # Second churn source (observed r5): the serialized CompileOptions
+        # component drifted across tunnel sessions (70e23aa1 -> 5885dced)
+        # with identical client code and byte-identical options within any
+        # one session — the server restart changed debug_options DEFAULTS.
+        # Debug options are compiler-side knobs: within an unchanged compat
+        # line (which _hash_platform still hashes) the cached executable
+        # remains loadable, so on accelerator backends hash only the
+        # semantically-relevant fields. XLA_FLAGS the user actually sets are
+        # hashed by the separate "XLA flags" component, and explicit option
+        # overrides are included below. CPU keeps jax's full hashing.
+        _orig_hsco = _ck._hash_serialized_compile_options
+
+        def _hsco(hash_obj, co, strip_device_assignment=False):
+            import jax as _jax
+
+            if _jax.default_backend() == "cpu":
+                return _orig_hsco(
+                    hash_obj, co,
+                    strip_device_assignment=strip_device_assignment)
+            ebo = co.executable_build_options
+            parts = (
+                co.num_replicas, co.num_partitions,
+                co.parameter_is_tupled_arguments,
+                co.compile_portable_executable,
+                ebo.num_replicas, ebo.num_partitions,
+                ebo.use_spmd_partitioning, ebo.use_auto_spmd_partitioning,
+                repr(getattr(ebo, "use_shardy_partitioner", None)),
+                repr(getattr(ebo, "optimization_level", None)),
+                repr(getattr(ebo, "memory_fitting_level", None)),
+                repr(getattr(ebo, "exec_time_optimization_effort", None)),
+                repr(getattr(ebo, "memory_fitting_effort", None)),
+                tuple(ebo.allow_spmd_sharding_propagation_to_output or ()),
+                tuple(ebo.allow_spmd_sharding_propagation_to_parameters
+                      or ()),
+                tuple(sorted((str(k), str(v))
+                             for k, v in (co.env_option_overrides or []))),
+                str(co.device_assignment),
+                bytes(getattr(ebo, "fdo_profile", b"") or b""),
+            )
+            hash_obj.update(repr(parts).encode())
+
+        _ck._hash_serialized_compile_options = _hsco
     except Exception:
         pass  # private API drifted: lose key stability, not correctness
 

@@ -94,6 +94,45 @@ class TestCompileCacheDir:
         e = digest("cpu", "x\nBuilt on B")
         assert d != e
 
+    def test_compile_options_hash_ignores_debug_defaults_on_accelerators(
+            self, monkeypatch):
+        """r5 churn source: a tunnel-server restart changes debug_options
+        DEFAULTS, drifting the serialized-CompileOptions key component while
+        the compat line (and thus executable loadability) is unchanged. On
+        non-CPU backends the stabilized hash must ignore debug options but
+        still rekey on semantically-relevant fields (partition counts)."""
+        import hashlib
+
+        import jax
+        from jax._src import compiler as jax_compiler
+
+        from eioku_tpu.utils import device as dev
+
+        dev.stabilize_compile_cache_key()
+        from jax._src import cache_key as ck
+
+        def digest(co):
+            h = hashlib.sha256()
+            ck._hash_serialized_compile_options(h, co)
+            return h.hexdigest()
+
+        def make(num_partitions=1, dump_to=""):
+            co = jax_compiler.xc.CompileOptions()
+            co.num_partitions = num_partitions
+            co.executable_build_options.debug_options.xla_dump_to = dump_to
+            # a debug knob jax does NOT clear in its own hasher: the exact
+            # field a server restart can re-default
+            co.executable_build_options.debug_options \
+                .xla_cpu_enable_fast_math = bool(dump_to)
+            return co
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert digest(make()) == digest(make(dump_to="x"))  # debug-invariant
+        assert digest(make()) != digest(make(num_partitions=2))
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        # CPU keeps jax's full hashing: the uncleaned debug knob rekeys
+        assert digest(make()) != digest(make(dump_to="x"))
+
     def test_cpu_fingerprint_reflects_cpuid_or_boot(self):
         """The key must come from CPUID (what LLVM's host detection reads) or,
         failing that, the boot id — never from the genericised /proc/cpuinfo
