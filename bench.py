@@ -1238,7 +1238,12 @@ def _install_cache_key_recorder() -> None:
 
 # cache-key components that do NOT depend on the module being compiled: these
 # must match the recorded baseline run-to-run, so a drift here (not in
-# `computation`) is what explains a previously-primed stage going cold
+# `computation`) is what explains a previously-primed stage going cold.
+# compile_options stays OUT of the list even after the r5 stabilized hashing
+# (utils/device.stabilize_compile_cache_key): jax legitimately varies
+# per-jit fields (SPMD sharding-propagation flags), so it is
+# module-dependent by design — but no longer session-dependent, which was
+# the r5 churn source.
 _CK_ENV_COMPONENTS = ("jax_lib version", "backend version", "XLA flags",
                       "accelerator_config", "compression", "custom_hook")
 _CK_BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
